@@ -1,0 +1,60 @@
+"""Vector distance / similarity as pure Column expressions.
+
+The reference delegates similarity to ChromaDB's HNSW index with the
+default ``l2`` space (collection creation at
+``src/PDFToChromaIngester.py:51-54``); its BGE variants L2-normalize
+embeddings (``src/PDFToChromaIngestorBgeEmbedding.py:45``) which makes
+L2 rank-equivalent to cosine.  Here the same math is expressed as
+built-in higher-order-function expressions (``zip_with`` +
+``aggregate``), so scoring stays JVM-side inside whole-stage codegen —
+no Python round trip — and is dimension-agnostic (the fixtures are 64-d,
+the reference models 384-d).
+
+All arithmetic is done in double precision regardless of the stored
+array element type (the fixtures store ``array<float>``): inputs are
+cast up front so Spark and the DuckDB oracle accumulate identically.
+The fold order of ``aggregate`` is the array order — deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column | str) -> Column:
+    c = F.col(v) if isinstance(v, str) else v
+    return c.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns (double accumulation)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    diff = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x - y)
+    return F.sqrt(
+        F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """cos(a, b) = a.b / (|a| |b|); matches DuckDB list_cosine_similarity."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def normalize(a: Column | str) -> Column:
+    """Unit-normalize an array column (reference BGE
+    ``normalize_embeddings=True``, src/PDFToChromaIngestorBgeEmbedding.py:45)."""
+    arr = _as_double(a)
+    nrm = l2_norm(arr)
+    return F.transform(arr, lambda x: x / nrm)

@@ -1,0 +1,92 @@
+"""Text chunking — the reference's only 1->N (table-generating) operator.
+
+Behavior-parity reimplementation of ``chunk_text``
+(``src/PDFToChromaIngester.py:94-124``), the fixed-window chunker with
+sentence-boundary snapping:
+
+* text no longer than ``chunk_size`` passes through whole (unstripped);
+* otherwise windows of ``chunk_size`` chars; for every non-final window
+  the cut snaps to the *last* sentence ending (``'. '``, ``'! '``,
+  ``'? '``, ``'\\n\\n'``) whose start lies in the final ``overlap``
+  chars of the window (the cut lands *after* the ending);
+* each emitted chunk is stripped; empty chunks are dropped;
+* the next window starts ``overlap`` chars before the cut.
+
+Those quirks (last-match snapping, stride measured from the snapped
+cut, strip-then-drop) are preserved verbatim — the DuckDB oracle cannot
+express this operator, so golden unit tests in
+``tests/test_chunker.py`` are the correctness gate (rows-only check on
+the driver side).
+
+Spark mapping: a scalar pandas UDF returning ``array<string>`` +
+``posexplode`` -> (chunk_index, chunk).  Chunking is embarrassingly
+parallel (narrow, no shuffle); the UDF is Arrow-batched so the Python
+cost is per-batch, not per-row.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SENTENCE_ENDS = (". ", "! ", "? ", "\n\n")
+
+
+def chunk_text(text: str, chunk_size: int = 600, overlap: int = 50) -> list[str]:
+    """Pure-Python chunker with reference-identical output."""
+    if len(text) <= chunk_size:
+        return [text]
+
+    chunks: list[str] = []
+    start = 0
+    n = len(text)
+    while start < n:
+        end = start + chunk_size
+        if end < n:
+            best_break = -1
+            for i in range(end - overlap, end):
+                for ending in SENTENCE_ENDS:
+                    if text[i : i + len(ending)] == ending:
+                        best_break = i + len(ending)
+            if best_break != -1:
+                end = best_break
+        piece = text[start:end].strip()
+        if piece:
+            chunks.append(piece)
+        start = end - overlap
+    return chunks
+
+
+def chunk_udf(chunk_size: int = 600, overlap: int = 50):
+    """Arrow-batched chunker UDF: string -> array<string>."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _chunk(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in batch_iter:
+            yield series.map(
+                lambda t: chunk_text(t, chunk_size, overlap) if t is not None else []
+            )
+
+    return _chunk
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 600,
+    overlap: int = 50,
+) -> DataFrame:
+    """1->N chunk explosion: each input row yields (chunk_index, chunk).
+
+    Mirrors ``ingest_pdf``'s chunk loop (``src/PDFToChromaIngester.py:141,155-170``)
+    as a narrow, shuffle-free plan: pandas-UDF chunk -> posexplode.
+    """
+    chunks = df.withColumn("chunks", chunk_udf(chunk_size, overlap)(F.col(text_col)))
+    return chunks.select(
+        *[c for c in df.columns if c != text_col],
+        F.posexplode("chunks").alias("chunk_index", "chunk"),
+    )

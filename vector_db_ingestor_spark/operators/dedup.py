@@ -1,0 +1,308 @@
+"""Deduplication operators for the training-data pipeline (north star).
+
+The reference has no dedup (its nearest analogue is the deterministic
+``chunk_id = f"{filename}_chunk_{i}"`` at
+``src/PDFToChromaIngester.py:163``); these are the standard large-corpus
+dedup families, each expressed shuffle-consciously:
+
+* exact        — content-hash groupBy; one shuffle on the hash.
+* minhash LSH  — shingle -> K minhash perms -> B bands -> band-bucket
+                 join; candidate pairs only ever meet inside a bucket,
+                 so the join never goes quadratic.
+* simhash      — 64-bit weighted-bit fingerprint per doc (Arrow-batched
+                 numpy UDF), near-dup = small Hamming distance within
+                 band buckets.
+* n-gram Jaccard — token-shingle set similarity verified pairwise on
+                 LSH candidates (or a blocked self-join at small scale).
+* embedding cosine — near-dup by vector similarity on a blocked
+                 self-join (label blocks here; LSH buckets at scale).
+
+All hashing uses Spark built-ins (``xxhash64``, ``sha2``) — fully
+deterministic, JVM-side, no Python in the hot path except the simhash
+fingerprint which is a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vector_db_ingestor_spark.functions.vector import cosine_similarity
+
+
+# ---------------------------------------------------------------- exact
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per exact text duplicate group.
+
+    ``sha2`` the text (256-bit — collision-free in practice at 100 TB),
+    rank within hash groups, keep rank 1.  One shuffle, on the digest,
+    which is uniformly distributed — no skew by construction.
+    """
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Sorted distinct word n-grams of lowercased whitespace tokens."""
+    toks = F.split(F.lower(text_col), r"\s+")
+    if n == 1:
+        return F.array_sort(F.array_distinct(toks))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+# ---------------------------------------------------------- minhash LSH
+
+def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
+    """num_perm minhash values via seeded xxhash64 over the shingle set.
+
+    min(xxhash64(shingle, seed)) per seed — the classic "K independent
+    hash functions" construction, all JVM-side.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed))))
+            for seed in range(num_perm)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing >=1 minhash band.
+
+    rows = bands x rows_per_band; a pair collides in a band iff all
+    rows_per_band minhashes agree there.  The plan:
+
+      sig -> explode bands -> groupBy (band_idx, band_hash) bucket join
+
+    The only shuffle keys are band buckets — cardinality ~n_docs x B /
+    bucket_size; no quadratic blow-up.  Output: (id_a < id_b) pairs with
+    their estimated jaccard (fraction of agreeing minhashes).
+    """
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("mh_id"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_perm).alias(
+            "sig"
+        ),
+    )
+    banded = sig.select(
+        "mh_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(
+        F.col("mh_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "band_idx",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col("mh_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        "band_idx",
+        "band_hash",
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(agree / F.lit(float(num_perm)), 6).alias("est_jaccard"),
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash_udf(num_bits: int = 64):
+    """64-bit SimHash fingerprint over whitespace tokens.
+
+    Vectorized: per Arrow batch, tokens are hashed with a stable 64-bit
+    FNV-1a (pure numpy, no Python-salted hash()), bits vote +-1, the
+    sign vector packs into one int64.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def fnv1a64(token: str) -> int:
+            h = np.uint64(0xCBF29CE484222325)
+            for byte in token.encode("utf-8"):
+                h = np.uint64(h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
+            return int(h)
+
+        def fingerprint(text: str) -> int:
+            if not text:
+                return 0
+            votes = np.zeros(num_bits, dtype=np.int64)
+            for tok in text.lower().split():
+                h = fnv1a64(tok)
+                bits = (h >> np.arange(num_bits, dtype=np.uint64)) & np.uint64(1)
+                votes += np.where(bits.astype(bool), 1, -1)
+            fp = 0
+            for i in range(num_bits):
+                if votes[i] > 0:
+                    fp |= 1 << i
+            # wrap to signed int64
+            return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+        for series in batch_iter:
+            yield series.map(fingerprint).astype("int64")
+
+    return _simhash
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into ``bands``
+    16-bit blocks; any pair within Hamming distance bands-1 shares at
+    least one exact block, so the self-join runs on block buckets, never
+    all-pairs.
+    """
+    bits_per_band = 64 // bands
+    fp = df.select(
+        F.col(id_col).alias("sh_id"), simhash_udf()(F.col(text_col)).alias("fp")
+    )
+    mask = (1 << bits_per_band) - 1
+    banded = fp.select(
+        "sh_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), b * bits_per_band).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    left = banded.selectExpr("sh_id as id_a", "fp as fp_a", "band_idx", "band_val")
+    right = banded.selectExpr("sh_id as id_b", "fp as fp_b", "band_idx", "band_val")
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ----------------------------------------------------- n-gram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets on a blocked self-join.
+
+    Blocking (default: same ``lang``) bounds the candidate set; at
+    100 TB swap the block key for minhash band buckets
+    (:func:`minhash_candidates`) and use this only as the verify stage.
+    """
+    sh = df.select(
+        F.col(id_col).alias("gid"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        word_shingles(F.col(text_col), n).alias("grams"),
+    )
+    a = sh.selectExpr("gid as id_a", "blk", "grams as grams_a")
+    b = sh.selectExpr("gid as id_b", "blk", "grams as grams_b")
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    jac = inter / union
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold.
+
+    Blocked self-join (same ``label`` here; random-projection LSH
+    buckets at scale — see operators/similarity.py) + JVM-side cosine.
+    """
+    cols = [F.col(id_col), F.col(vec_col)]
+    if block_col:
+        cols.append(F.col(block_col))
+    e = embeddings.select(*cols)
+    a = e.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+    )
+    cos = F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory.
+
+Settings chosen for oracle parity and scale:
+
+* ``spark.sql.session.timeZone=UTC`` — DuckDB timestamps are UTC-naive;
+  pinning the session TZ makes timestamp comparisons exact.
+* ``spark.sql.legacy.parquet.nanosAsLong=true`` — the driver's
+  ``events.parquet`` carries TIMESTAMP(NANOS); Spark reads it as long
+  nanos and :mod:`vector_db_ingestor_spark.tables` converts to
+  microsecond timestamps (identical to DuckDB's ns->us truncation).
+* AQE on (+ skew-join handling) — at 100 TB the runtime re-plan picks
+  broadcast joins and splits skewed partitions; it is free locally.
+* shuffle partitions default to the local core count — at cluster scale
+  this would be ~2-3x total executor cores; AQE coalesces the excess.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "vector_db_ingestor_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
