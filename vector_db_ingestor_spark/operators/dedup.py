@@ -58,7 +58,7 @@ def dedup_exact(
 
 def word_shingles(text_col: Column, n: int = 3) -> Column:
     """Sorted distinct word n-grams of lowercased whitespace tokens."""
-    toks = F.split(F.lower(text_col), r"\s+")
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
     if n == 1:
         return F.array_sort(F.array_distinct(toks))
     idx = F.sequence(F.lit(0), F.size(toks) - n)
@@ -104,11 +104,15 @@ def minhash_candidates(
     their estimated jaccard (fraction of agreeing minhashes).
     """
     rows_per_band = num_perm // bands
-    sig = df.select(
+    # materialize shingles in their own projection: inlining the shingle
+    # expression into all num_perm minhash expressions defeats CSE and
+    # recomputes the split/ngram work 64x
+    shingled = df.select(
         F.col(id_col).alias("mh_id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_perm).alias(
-            "sig"
-        ),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    sig = shingled.select(
+        "mh_id", minhash_signature(F.col("sh"), num_perm).alias("sig")
     )
     banded = sig.select(
         "mh_id",

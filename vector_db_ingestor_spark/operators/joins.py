@@ -1,0 +1,126 @@
+"""Range and as-of joins — operators Spark lacks natively, composed
+from built-ins so Catalyst can still optimize them.
+
+The reference has no joins at all (SURVEY §2A "not present"); these are
+the temporal-join operators a training-data/event pipeline needs.
+
+Design notes for 100 TB:
+
+* A naive theta join (``a.ts BETWEEN b.ts - i AND b.ts``) becomes a
+  broadcast-nested-loop join — quadratic work.  :func:`range_join`
+  instead discretizes time into buckets of the window width, explodes
+  each probe row into the (at most 2) buckets its window can touch,
+  and equi-joins on the bucket key — a plain hash shuffle join with a
+  residual filter, linear in input size and AQE/skew-aware.
+* :func:`asof_join` uses the union-sort trick: tag both sides, union,
+  and carry the build side's latest values forward with a running
+  ``last(ignorenulls)`` window per key.  One shuffle on the key; no
+  per-row probing.  This is how "latest event at or before t" scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def range_join_count(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_ts: str,
+    build_ts: str,
+    window_seconds: int,
+    probe_keys: list[str],
+    count_alias: str = "n_matches",
+) -> DataFrame:
+    """For each probe row, count build rows with
+    ``probe_ts - window <= build_ts <= probe_ts``.
+
+    Implemented as bucketed equi-join: bucket = floor(epoch / window);
+    a qualifying build row lives in the probe's bucket or the one
+    before, so the probe explodes into those two bucket keys and the
+    join is a hash join on ``bucket`` + residual range filter.
+    """
+    w = F.lit(window_seconds)
+    p = probe.select(
+        *probe_keys,
+        F.col(probe_ts).alias("__pts"),
+        F.explode(
+            F.array(
+                F.floor(F.unix_timestamp(F.col(probe_ts)) / w),
+                F.floor(F.unix_timestamp(F.col(probe_ts)) / w) - 1,
+            )
+        ).alias("__bucket"),
+    )
+    b = build.select(
+        F.col(build_ts).alias("__bts"),
+        F.floor(F.unix_timestamp(F.col(build_ts)) / w).alias("__bucket"),
+    )
+    # left join so probes with zero matches survive; the residual range
+    # predicate is applied as a conditional count, NOT a post-join filter
+    # (a filter would drop probes whose bucket candidates all miss).
+    joined = p.join(b, "__bucket", "left")
+    in_range = (F.col("__bts") <= F.col("__pts")) & (
+        F.col("__bts") >= F.col("__pts") - F.make_interval(secs=w)
+    )
+    return joined.groupBy(*probe_keys).agg(
+        F.count(F.when(in_range, F.col("__bts"))).alias(count_alias)
+    )
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    by: str,
+    probe_ts: str,
+    build_ts: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of join: for each probe row, the build row with the
+    greatest ``build_ts <= probe_ts`` (``<`` if strict) within the same
+    ``by`` key.  Build must be unique per (by, build_ts) for
+    deterministic output — pre-aggregate it if not.
+
+    Union-sort trick: one shuffle on ``by``, a running
+    ``last(..., ignorenulls=True)`` window, then keep probe rows.
+    """
+    pcols = probe.columns
+    p = probe.select(
+        F.col(by).alias("__by"),
+        F.col(probe_ts).alias("__ts"),
+        F.lit(1).alias("__is_probe"),
+        F.struct(*pcols).alias("__probe"),
+        *[F.lit(None).cast(build.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    b = build.select(
+        F.col(by).alias("__by"),
+        F.col(build_ts).alias("__ts"),
+        F.lit(0).alias("__is_probe"),
+        F.lit(None).cast(
+            p.schema["__probe"].dataType
+        ).alias("__probe"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    # ties: build rows sort before probe rows (order by __is_probe) so a
+    # build row at exactly probe_ts is visible unless strict.
+    order = [F.col("__ts").asc(), F.col("__is_probe").asc() if not strict else F.col("__is_probe").desc()]
+    w = (
+        Window.partitionBy("__by")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    carried = p.unionByName(b).select(
+        "__by",
+        "__is_probe",
+        "__probe",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__last_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("__is_probe") == 1).select(
+        *[F.col(f"__probe.{c}").alias(c) for c in pcols],
+        *[F.col(f"__last_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+    return out

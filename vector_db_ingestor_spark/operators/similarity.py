@@ -1,0 +1,244 @@
+"""Similarity search over embedding columns (north star).
+
+The reference's search path is ChromaDB HNSW (approximate,
+single-node, ``src/PDFToChromaIngester.py:228-231``).  Spark has no
+HNSW; the scalable equivalents are:
+
+* **Brute-force exact top-k** (:func:`brute_force_topk`) — score every
+  row with a JVM-side cosine expression, ``TakeOrderedAndProject``
+  keeps k per partition.  Linear scan, but embarrassingly parallel and
+  exact; right answer up to ~10^8 vectors per probe batch.
+* **Random-hyperplane LSH buckets** (:func:`rp_lsh_bucket`,
+  :func:`lsh_topk`) — sign of dot(v, h_i) for ``n_bits`` fixed
+  hyperplanes gives a bucket id; probes only score rows in their own
+  bucket (optionally multi-probe neighboring buckets).  Deterministic
+  (hyperplanes from a closed-form formula), no model fitting, and the
+  bucket join is a plain hash join — the 100 TB path.
+* **IVF (inverted file)** (:func:`ivf_build`, :func:`ivf_topk`) —
+  k-means-style centroids (a few fixed Lloyd iterations, deterministic
+  seeded init from content hashes), vectors assigned to nearest
+  centroid; probes search the ``nprobe`` nearest centroid lists.
+
+Also :func:`simjoin_lsh` — approximate all-pairs similarity self-join
+via spark.ml's BucketedRandomProjectionLSH (euclidean), the stock
+MLlib route.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_db_ingestor_spark.functions.vector import cosine_similarity, dot
+
+
+def _hyperplane(dim: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (closed form)."""
+    return [math.sin(0.7 * (bit + 1) * (i + 1) + 0.31 * bit) for i in range(dim)]
+
+
+def rp_lsh_bucket(vec: Column, dim: int, n_bits: int = 8) -> Column:
+    """Random-hyperplane (SimHash-for-cosine) bucket id in [0, 2^n_bits)."""
+    bucket = F.lit(0)
+    for b in range(n_bits):
+        h = F.array(*[F.lit(v) for v in _hyperplane(dim, b)])
+        bit = (dot(vec, h) > 0).cast("int")
+        bucket = bucket + bit * F.lit(1 << b)
+    return bucket
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    probe_vec_col: str = "query_vec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact batched top-k: broadcast the (small) probe set against the
+    (huge) embedding table, score JVM-side, window-rank per probe."""
+    scored = embeddings.crossJoin(F.broadcast(probes)).withColumn(
+        "score",
+        F.round(cosine_similarity(F.col(vec_col), F.col(probe_vec_col)), round_dp),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, "score", "rank")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    probe_vec_col: str = "query_vec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's LSH
+    bucket, then exact re-rank inside the bucket.  The bucket equi-join
+    replaces the cross join — at 100 TB this is the difference between
+    scanning everything per probe and scanning ~1/2^n_bits of it."""
+    e = embeddings.withColumn("__bucket", rp_lsh_bucket(F.col(vec_col), dim, n_bits))
+    p = probes.withColumn("__bucket", rp_lsh_bucket(F.col(probe_vec_col), dim, n_bits))
+    scored = e.join(F.broadcast(p), "__bucket").withColumn(
+        "score",
+        F.round(cosine_similarity(F.col(vec_col), F.col(probe_vec_col)), round_dp),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, "score", "rank")
+    )
+
+
+# ------------------------------------------------------------------ IVF
+
+def ivf_build(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: (assignments, centroids).
+
+    Deterministic k-means: initial centroids are the vectors whose
+    ``pmod(xxhash64(id), n_centroids*8)`` is smallest per slot (stable
+    content-seeded init, no RNG), then ``iters`` Lloyd steps, each one
+    groupBy-avg per centroid — a fully declarative DataFrame loop
+    (iters is tiny and fixed; each step is one shuffle).
+    """
+    v = embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    # deterministic init: rank rows by a content hash, take the first n
+    w = Window.orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id"))
+    cents = (
+        v.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_centroids)
+        .select((F.col("__r") - 1).alias("cid"), F.col("__v").alias("cvec"))
+    )
+    for _ in range(iters):
+        assigned = _assign(v, cents)
+        cents = (
+            assigned.groupBy("cid")
+            .agg(
+                F.array(
+                    *[F.avg(F.col("__v")[i]) for i in range(dim)]
+                ).alias("cvec")
+            )
+        )
+    assigned = _assign(v, cents)
+    return (
+        assigned.select(F.col("__id").alias(id_col), "cid"),
+        cents,
+    )
+
+
+def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", cosine_similarity(F.col("__v"), F.col("cvec"))
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__sim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "__v", "cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate top-k for one probe: search only the ``nprobe``
+    centroid lists nearest the probe vector."""
+    assignments, cents = ivf_build(embeddings, dim, n_centroids, id_col=id_col, vec_col=vec_col)
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    top_cents = (
+        cents.withColumn("__sim", cosine_similarity(F.col("cvec"), probe_col))
+        .orderBy(F.col("__sim").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .select("cid")
+    )
+    candidates = (
+        embeddings.join(assignments, id_col)
+        .join(F.broadcast(top_cents), "cid")
+    )
+    return (
+        candidates.withColumn(
+            "score", F.round(cosine_similarity(F.col(vec_col), probe_col), round_dp)
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cid", "score")
+    )
+
+
+# ------------------------------------------------- spark.ml LSH simjoin
+
+def simjoin_lsh(
+    embeddings: DataFrame,
+    threshold_l2: float = 1.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate similarity self-join via spark.ml
+    BucketedRandomProjectionLSH (euclidean distance < threshold on
+    unit-normalized vectors — rank-equivalent to cosine, mirroring the
+    reference's normalized-BGE setup where l2 ~ cosine,
+    src/PDFToChromaIngestorBgeEmbedding.py:45)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from vector_db_ingestor_spark.functions.vector import normalize
+
+    df = embeddings.select(
+        F.col(id_col),
+        array_to_vector(normalize(F.col(vec_col))).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(df)
+    pairs = model.approxSimilarityJoin(df, df, threshold_l2, distCol="l2_dist")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("l2_dist", 6).alias("l2_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )

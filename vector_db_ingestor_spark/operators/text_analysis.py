@@ -52,8 +52,9 @@ def stopword_ratio(text: Column) -> Column:
 
 
 def mean_token_len(text: Column) -> Column:
+    nonspace = F.length(F.regexp_replace(F.trim(text), "\\s+", ""))
     toks = F.split(F.trim(text), "\\s+")
-    return F.length(F.concat_ws("", toks)) / F.greatest(F.size(toks), F.lit(1))
+    return nonspace / F.greatest(F.size(toks), F.lit(1))
 
 
 def quality_score(text: Column) -> Column:

@@ -573,3 +573,482 @@ def q_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("value") - 50.0), 4).alias("value_dev"),
         F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd").alias("month_str"),
     )
+
+
+# =====================================================================
+# P0 RAG context assembly + multimodal struct + UDF surface
+# =====================================================================
+
+@query(
+    "q_context_budget",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id, text,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM documents
+        QUALIFY rank <= 10
+    ), pieces AS (
+        SELECT source, rank,
+               '[Source: ' || source || ', Chunk: ' || source || '_chunk_'
+                 || CAST(doc_id AS VARCHAR) || ']' || chr(10) || text || chr(10) AS piece
+        FROM ranked
+    ), cum AS (
+        SELECT source, rank, piece,
+               sum(length(piece)) OVER (PARTITION BY source ORDER BY rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_len
+        FROM pieces
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pieces,
+           string_agg(piece, e'\\n---\\n' ORDER BY rank) AS context,
+           CAST(length(string_agg(piece, e'\\n---\\n' ORDER BY rank)) AS INTEGER) AS context_len
+    FROM cum
+    WHERE cum_len <= 2500
+    GROUP BY source
+    """,
+)
+def q_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 greedy char-budget context assembly
+    (get_context_for_rag, src/PDFToChromaIngester.py:289-314): rank top
+    10 docs per source, format as the reference's piece template, keep
+    the prefix whose running length fits the 2500-char budget, join with
+    the reference separator."""
+    from vector_db_ingestor_spark.operators.context import format_piece
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .withColumn(
+            "piece",
+            format_piece(
+                F.col("source"),
+                F.concat(F.col("source"), F.lit("_chunk_"), F.col("doc_id")),
+                F.col("text"),
+            ),
+        )
+    )
+    return assemble_context(
+        ranked, group_col="source", rank_col="rank", piece_col="piece", budget=2500
+    ).select("source", "n_pieces", "context", "context_len")
+
+
+@query(
+    "q_multimodal_struct",
+    oracle="""
+    SELECT doc_id, lang, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(length(text) AS INTEGER) AS text_chars,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS emb_norm
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.n_chars > 200 AND e.label < 5
+    """,
+)
+def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column pattern: text + embedding carried together as
+    one struct column through a join and filter, fields projected out at
+    the end.  The struct survives Catalyst column pruning — only the
+    struct fields actually read reach the scan."""
+    from vector_db_ingestor_spark.functions.vector import l2_norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .filter((F.col("n_chars") > 200) & (F.col("label") < 5))
+        .withColumn("mm", F.struct(F.col("text"), F.col("embedding")))
+    )
+    return joined.select(
+        "doc_id",
+        "lang",
+        "label",
+        F.size(F.col("mm.embedding")).alias("dim"),
+        F.length(F.col("mm.text")).alias("text_chars"),
+        F.round(l2_norm(F.col("mm.embedding")), 6).alias("emb_norm"),
+    )
+
+
+@query(
+    "q_udf_surface",
+    oracle="""
+    SELECT vec_id,
+           'L' || CAST(label AS VARCHAR) AS label_tag,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS emb_norm
+    FROM embeddings
+    """,
+)
+def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF surface (R7-shaped): one row-at-a-time Python UDF (label tag)
+    and one Arrow-batched pandas UDF (vectorized L2 norm via numpy) —
+    the two Python extension points, both SQL-mirrorable for the oracle.
+    The pandas UDF is the pattern the embedding stage uses
+    (cf. src/PDFToChromaIngester.py:41-49)."""
+    from vector_db_ingestor_spark.functions.udfs import emb_norm_udf, label_tag_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        label_tag_udf(F.col("label")).alias("label_tag"),
+        emb_norm_udf(F.col("embedding")).alias("emb_norm"),
+    )
+
+
+# =====================================================================
+# P0 text analysis battery
+# =====================================================================
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                 / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1), 6)
+               AS stop_ratio,
+           round(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                 / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6)
+               AS mean_tok_len,
+           round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.3 * (1.0 - least(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                                    / greatest(length(text), 1), 1.0))
+               + 0.3 * least((len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                              / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1))
+                             / 0.1, 1.0), 6) AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation ratio, stopword ratio, mean token
+    length, combined deterministic [0,1] score — all JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(ta.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(ta.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        F.round(ta.mean_token_len(F.col("text")), 6).alias("mean_tok_len"),
+        ta.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@query(
+    "q_text_lang",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> list_contains(['the','and','of','to','with'], t))) AS hits_en,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> list_contains(['der','die','das','und','mit'], t))) AS hits_de,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> list_contains(['el','los','las','por','con'], t))) AS hits_es,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> list_contains(['le','les','des','et','avec'], t))) AS hits_fr
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                WHEN hits_es >= hits_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           (lang = CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                WHEN hits_es >= hits_fr THEN 'es'
+                ELSE 'fr' END) AS is_match
+    FROM scored
+    """,
+)
+def q_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit argmax with a fixed
+    priority order (en > de > es > fr on ties) — a declared
+    deterministic rule, mirrored verbatim in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+
+    def hits(words):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    h_en = hits(["the", "and", "of", "to", "with"])
+    h_de = hits(["der", "die", "das", "und", "mit"])
+    h_es = hits(["el", "los", "las", "por", "con"])
+    h_fr = hits(["le", "les", "des", "et", "avec"])
+    pred = (
+        F.when((h_en >= h_de) & (h_en >= h_es) & (h_en >= h_fr), "en")
+        .when((h_de >= h_es) & (h_de >= h_fr), "de")
+        .when(h_es >= h_fr, "es")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        (F.col("lang") == pred).alias("is_match"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(count(*) OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           ) AS BIGINT) AS fp_count
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over case/whitespace-normalized
+    text + per-fingerprint cardinality (near-exact dup detection key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = ta.fingerprint(F.col("text"))
+    w = Window.partitionBy(fp)
+    return docs.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.count("*").over(w).alias("fp_count"),
+    )
+
+
+# =====================================================================
+# P2: grouping sets
+# =====================================================================
+
+@query(
+    "q_agg_rollup_cube",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: (prio, status), (prio), () — one pass,
+    Spark expands to a union of grouping sets inside the aggregate."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# =====================================================================
+# P0 dedup family (north star)
+# =====================================================================
+
+def q_dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (shingle -> 64 minhash perms -> 16
+    bands -> bucket join).  Approximate by construction: rows-only
+    check; the est_jaccard column is deterministic (seeded xxhash64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(
+        docs, num_perm=64, bands=16, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
+QUERIES["q_dedup_minhash"] = q_dedup_minhash_impl
+
+
+def q_dedup_simhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit fingerprint, pigeonhole band
+    blocking, Hamming <= 10).  Python stage = one vectorized pandas UDF
+    for the fingerprint; blocking join is JVM-side.  Rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=10, bands=4).orderBy("id_a", "id_b")
+
+
+QUERIES["q_dedup_simhash"] = q_dedup_simhash_impl
+
+
+@query(
+    "q_dedup_ngram",
+    oracle="""
+    SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        FROM (SELECT doc_id, lang,
+                     list_distinct(list_transform(range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
+                         i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                              string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS grams
+              FROM documents) a
+        JOIN (SELECT doc_id, lang,
+                     list_distinct(list_transform(range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
+                         i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                              string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS grams
+              FROM documents) b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.2
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs, lang-blocked self-join.
+    At 100 TB the block key becomes minhash band buckets and this exact
+    computation is the verify stage on candidates only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, block_col="lang", n=2, threshold=0.2)
+
+
+@query(
+    "q_dedup_embed",
+    oracle="""
+    SELECT * FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs on a label-blocked self-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, block_col="label", threshold=0.3)
+
+
+# =====================================================================
+# P2 temporal joins + streaming-shaped window agg
+# =====================================================================
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT e.event_id, CAST(count(c.ts) AS BIGINT) AS n_clicks
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+      ON c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 5 MINUTE
+    GROUP BY e.event_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: clicks within 5 minutes before each error.
+    Implemented as a bucketed equi-join (operators/joins.py) — a hash
+    join on time buckets + residual filter, not a nested-loop join."""
+    from vector_db_ingestor_spark.operators.joins import range_join_count
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("ts")
+    return range_join_count(
+        errors, clicks, "ts", "ts", 300, ["event_id"], count_alias="n_clicks"
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.click_id AS asof_click_id
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts) c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at or before it
+    per user.  Union-sort trick (operators/joins.py): one shuffle on
+    user_id + a running last(ignorenulls) window — no per-row probing."""
+    from vector_db_ingestor_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return asof_join(
+        purchases, clicks, by="user_id", probe_ts="ts", build_ts="ts",
+        value_cols=["click_id"],
+    ).select("event_id", "user_id", F.col("asof_click_id"))
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate over the event stream, batch
+    mode (oracle parity).  The same plan runs under Structured Streaming
+    with a watermark — see streaming/windows.py and its test."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# =====================================================================
+# P2 approximate similarity search (rows-only: approximate by design)
+# =====================================================================
+
+def q_simjoin_lsh_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.ml BucketedRandomProjectionLSH approximate similarity
+    self-join on unit-normalized embeddings."""
+    from vector_db_ingestor_spark.operators.similarity import simjoin_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return simjoin_lsh(emb, threshold_l2=1.2).orderBy("id_a", "id_b")
+
+
+QUERIES["q_simjoin_lsh"] = q_simjoin_lsh_impl
+
+
+def q_ann_lsh_topk_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed approximate top-k for the fixed
+    probe (bucket equi-join instead of full scan)."""
+    from vector_db_ingestor_spark.constants import EMBEDDING_DIM
+    from vector_db_ingestor_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = spark.createDataFrame(
+        [(0, PROBE_64)], schema="query_id INT, query_vec ARRAY<DOUBLE>"
+    )
+    return lsh_topk(emb, probes, dim=EMBEDDING_DIM, k=10, n_bits=4)
+
+
+QUERIES["q_ann_lsh_topk"] = q_ann_lsh_topk_impl
+
+
+def q_ann_ivf_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic seeded k-means centroids,
+    probe searches the 4 nearest centroid lists."""
+    from vector_db_ingestor_spark.constants import EMBEDDING_DIM
+    from vector_db_ingestor_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, PROBE_64, dim=EMBEDDING_DIM, k=10, n_centroids=8, nprobe=4)
+
+
+QUERIES["q_ann_ivf"] = q_ann_ivf_impl
