@@ -1,0 +1,111 @@
+"""Golden + property tests for the chunker (reference semantics:
+``chunk_text``, src/PDFToChromaIngester.py:94-124).  These are the
+correctness gate for q_chunk_explode (not SQL-expressible)."""
+
+import pathlib
+
+import pytest
+
+from vector_db_ingestor_spark.operators.chunker import chunk_documents, chunk_text
+
+REFERENCE_CHUNKER = pathlib.Path("/root/reference/src/PDFToChromaIngester.py")
+
+
+def test_short_text_passes_through_whole():
+    # len(text) <= chunk_size -> [text], unstripped (reference quirk)
+    assert chunk_text("  short  ", chunk_size=600) == ["  short  "]
+    assert chunk_text("x" * 600, chunk_size=600) == ["x" * 600]
+
+
+def test_golden_sentence_snap():
+    t = "abc. " + "x" * 100 + ". tail words here"
+    assert chunk_text(t, chunk_size=50, overlap=10) == [
+        "abc. " + "x" * 45,
+        "x" * 50,
+        "x" * 25 + ". tail words here",
+        "re",  # stride from the snapped cut re-enters the tail (quirk kept)
+    ]
+
+
+def test_golden_no_sentence_ends():
+    t = ("word " * 50).strip()
+    out = chunk_text(t, chunk_size=60, overlap=10)
+    assert out == ["word " * 11 + "word"] * 4 + ["word " * 9 + "word"]
+
+
+def test_golden_all_end_kinds():
+    t = "A" * 45 + ". " + "B" * 45 + "! " + "C" * 30 + "? " + "D" * 60
+    assert chunk_text(t, chunk_size=50, overlap=10) == [
+        "A" * 45 + ".",
+        "A" * 8 + ". " + "B" * 40,
+        "B" * 15 + "! " + "C" * 30 + "?",
+        "C" * 8 + "? " + "D" * 40,
+        "D" * 30,
+    ]
+
+
+def test_golden_paragraph_breaks():
+    t = "para one.\n\npara two continues here with more text.\n\npara three."
+    assert chunk_text(t, chunk_size=30, overlap=10) == [
+        "para one.\n\npara two continues",
+        "continues here with more text.",
+        "more text.\n\npara three.",
+        "ee.",
+    ]
+
+
+def test_chunks_are_stripped_and_nonempty():
+    t = ("hello world. " * 100).strip()
+    for chunk in chunk_text(t, chunk_size=80, overlap=20):
+        assert chunk == chunk.strip()
+        assert chunk
+
+
+@pytest.mark.skipif(not REFERENCE_CHUNKER.exists(), reason="reference not present")
+def test_parity_with_reference_implementation():
+    """Behavioral parity with the reference's own chunk_text, extracted
+    dynamically (never vendored) from the read-only snapshot."""
+    import ast
+    import textwrap
+
+    src = REFERENCE_CHUNKER.read_text()
+    tree = ast.parse(src)
+    fn = next(
+        node
+        for node in ast.walk(tree)
+        if isinstance(node, ast.FunctionDef) and node.name == "chunk_text"
+    )
+    code = textwrap.dedent(ast.get_source_segment(src, fn))
+    ns = {"List": list}
+    exec(compile(ast.parse(code), "<reference-chunk_text>", "exec"), ns)  # noqa: S102
+    ref_chunk = ns["chunk_text"]
+
+    samples = [
+        "short",
+        "x" * 601,
+        ("alpha beta. gamma! delta? " * 60).strip(),
+        "A" * 45 + ". " + "B" * 45 + "! " + "C" * 30 + "? " + "D" * 60,
+        "p1.\n\np2 with words.\n\np3." * 20,
+        " . ".join(["seg" + str(i) for i in range(200)]),
+        "\n\n".join(["para " + "w" * (i % 37) for i in range(50)]),
+    ]
+    for text in samples:
+        for cs, ov in [(600, 50), (150, 20), (80, 10)]:
+            assert chunk_text(text, cs, ov) == ref_chunk(None, text, cs, ov), (
+                f"divergence for cs={cs} ov={ov} on {text[:40]!r}"
+            )
+
+
+def test_chunk_documents_matches_pure_python(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    rows = docs.collect()
+    expected = {
+        (r.doc_id, i, c)
+        for r in rows
+        for i, c in enumerate(chunk_text(r.text, 150, 20))
+    }
+    got = {
+        (r.doc_id, r.chunk_index, r.chunk)
+        for r in chunk_documents(docs, chunk_size=150, overlap=20).collect()
+    }
+    assert got == expected

@@ -1,0 +1,127 @@
+"""Operator-level unit tests on small inline frames (semantics that the
+DuckDB oracle cannot pin down: tie-breaks, budget edges, join corners)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from vector_db_ingestor_spark.operators.context import assemble_context
+from vector_db_ingestor_spark.operators.dedup import dedup_exact
+from vector_db_ingestor_spark.operators.joins import asof_join, range_join_count
+from vector_db_ingestor_spark.operators.topk import knn_per_group, topk_cosine
+
+
+def test_topk_tie_break_on_id(spark):
+    df = spark.createDataFrame(
+        [(3, [1.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)],
+        "vec_id INT, embedding ARRAY<DOUBLE>, label INT",
+    )
+    out = topk_cosine(df, [1.0, 0.0], k=2).select("vec_id", "rank").collect()
+    # vec 1 and 3 tie at cosine 1.0 -> lower id first
+    assert [(r.vec_id, r.rank) for r in out] == [(1, 1), (3, 2)]
+
+
+def test_knn_per_group_keeps_k(spark):
+    rows = [(i, [float(i % 5), 1.0], i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>, label INT")
+    out = knn_per_group(df, [1.0, 0.0], group_col="label", k=2)
+    counts = out.groupBy("label").count().collect()
+    assert all(r["count"] == 2 for r in counts)
+
+
+def test_context_budget_stops_at_first_overflow(spark):
+    # pieces of length 10 each (incl. newlines added by format: none here)
+    df = spark.createDataFrame(
+        [("g", 1, "a" * 10), ("g", 2, "b" * 10), ("g", 3, "c" * 10)],
+        "grp STRING, rank INT, piece STRING",
+    )
+    out = assemble_context(df, "grp", "rank", "piece", budget=25).collect()
+    assert len(out) == 1
+    assert out[0].n_pieces == 2  # third piece would make cum 30 > 25
+    assert out[0].context == "a" * 10 + "\n---\n" + "b" * 10
+
+
+def test_context_budget_exact_fit(spark):
+    df = spark.createDataFrame(
+        [("g", 1, "a" * 10), ("g", 2, "b" * 15)],
+        "grp STRING, rank INT, piece STRING",
+    )
+    out = assemble_context(df, "grp", "rank", "piece", budget=25).collect()
+    assert out[0].n_pieces == 2  # cum == budget is kept (<=, reference 308)
+
+
+def test_dedup_exact_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(5, "same"), (2, "same"), (9, "other")], "doc_id INT, text STRING"
+    )
+    kept = sorted(r.doc_id for r in dedup_exact(df).collect())
+    assert kept == [2, 9]
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_range_join_count_brute_force_parity(spark):
+    probe_rows = [(i, _ts(i)) for i in range(0, 30, 3)]
+    build_rows = [(_ts(i, 30),) for i in range(30)]
+    probe = spark.createDataFrame(probe_rows, "event_id INT, ts TIMESTAMP")
+    build = spark.createDataFrame(build_rows, "ts TIMESTAMP")
+    out = {
+        r.event_id: r.n
+        for r in range_join_count(probe, build, "ts", "ts", 300, ["event_id"], "n").collect()
+    }
+    for eid, pts in probe_rows:
+        expected = sum(
+            1
+            for (bts,) in build_rows
+            if bts <= pts and bts >= pts - dt.timedelta(seconds=300)
+        )
+        assert out[eid] == expected, eid
+    # probes with zero matches must still appear
+    assert out[0] == 0
+
+
+def test_asof_join_brute_force_parity(spark):
+    probe = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(0)), (3, 20, _ts(9))],
+        "event_id INT, user_id INT, ts TIMESTAMP",
+    )
+    build = spark.createDataFrame(
+        [(10, _ts(1), 101), (10, _ts(5), 105), (20, _ts(20), 201)],
+        "user_id INT, ts TIMESTAMP, click_id INT",
+    )
+    out = {
+        r.event_id: r.asof_click_id
+        for r in asof_join(
+            probe, build, by="user_id", probe_ts="ts", build_ts="ts",
+            value_cols=["click_id"],
+        ).collect()
+    }
+    assert out[1] == 105  # equal ts is visible (<=)
+    assert out[2] is None  # nothing at or before
+    assert out[3] is None  # other user's events invisible
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    from vector_db_ingestor_spark.operators.dedup import simhash_near_dups
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely different words entirely unrelated")],
+        "doc_id INT, text STRING",
+    )
+    out = simhash_near_dups(df, max_hamming=0, bands=4).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
+
+
+def test_minhash_identical_docs_est_one(spark):
+    from vector_db_ingestor_spark.operators.dedup import minhash_candidates
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+         (3, "z y x w v u t s")],
+        "doc_id INT, text STRING",
+    )
+    out = {(r.id_a, r.id_b): r.est_jaccard for r in minhash_candidates(df).collect()}
+    assert out[(1, 2)] == 1.0
