@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {key: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full JVM-side
+materialization, no driver collect).  The baseline context: the
+reference is a sequential single-threaded pipeline with no published
+numbers (BASELINE.md), so the bar is the driver's "within 2x of
+BASELINE at the same sf".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vector_db_ingestor_spark.queries import QUERIES  # noqa: E402
+from vector_db_ingestor_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_topk_cosine",
+    "q_knn_per_label",
+    "q_agg_group",
+    "q_agg_distinct",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_window_frame",
+    "q_sort_limit",
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_context_budget",
+    "q_doc_stats",
+    "q_scalar_fns",
+    "q_stream_tumbling",
+    "q_join_range",
+    "q_join_asof",
+    "q_chunk_explode",
+    "q_ingest_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warm the JVM + file listing with one tiny action
+    QUERIES["q_sort_limit"](spark, sf_dir).limit(1).count()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""End-to-end ingestion pipeline tests (reference EP1/EP2 parity)."""
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_ingestor_spark.embedding import HashingEmbedder
+from vector_db_ingestor_spark.pipeline import (
+    VectorCollection,
+    build_chunks,
+    ingest_directory,
+    ingest_report,
+)
+
+PDF_DIR = pathlib.Path("/root/reference/pdf_datasets")
+
+
+def test_hashing_embedder_deterministic_and_normalized():
+    e = HashingEmbedder(dim=64)
+    v1 = e.embed_one("hello world")
+    v2 = e.embed_one("hello world")
+    assert v1 == v2
+    assert sum(x * x for x in v1) == pytest.approx(1.0)
+    # passage vs query prefixes differ (BGE contract)
+    assert e.embed_one("hello", "passage") != e.embed_one("hello", "query")
+
+
+def test_build_chunks_from_synthetic_binary(spark, tmp_path):
+    # a fake "pdf" the stdlib extractor can read: uncompressed stream with Tj ops
+    body = b"stream\n" + b"(Sentence one. Sentence two! More words here? " + \
+        b"Lots of text follows and follows. ) Tj\nendstream"
+    files = spark.createDataFrame(
+        [("file:/fake/a.pdf", "a.pdf", len(body), bytearray(body))],
+        "source STRING, filename STRING, file_bytes LONG, content BINARY",
+    )
+    chunks = build_chunks(files, metadata={"category": "t"}, chunk_size=30, overlap=5)
+    rows = chunks.collect()
+    assert len(rows) > 1
+    r0 = rows[0]
+    assert r0.chunk_id == "a.pdf_chunk_0"
+    assert r0.total_chunks == len(rows)
+    assert r0.metadata["category"] == "t"
+    assert len(r0.embedding) == 64
+    assert len(r0.chunk_uid) == 64  # sha2-256 hex
+    # deterministic ids across runs
+    rows2 = build_chunks(files, metadata={"category": "t"}, chunk_size=30, overlap=5).collect()
+    assert [r.chunk_uid for r in rows2] == [r.chunk_uid for r in rows]
+
+
+@pytest.mark.skipif(not PDF_DIR.exists(), reason="reference corpus not present")
+def test_ingest_directory_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "collection")
+    report = ingest_directory(
+        spark, str(PDF_DIR), out, metadata={"category": "airline_docs"}
+    )
+    rows = {r.filename: r for r in report.collect()}
+    assert len(rows) == 8  # all 8 pdfs accounted for (R17)
+    assert any(r.status == "ok" for r in rows.values())
+    coll = VectorCollection(spark, out)
+    assert coll.count() > 50
+
+    hits = coll.search("baggage allowance", n_results=3)
+    got = hits.collect()
+    assert len(got) == 3
+    assert [r.rank for r in got] == [1, 2, 3]
+
+    ctx = coll.context_for_rag("interline baggage", max_context_length=800)
+    assert 0 < len(ctx) <= 800
+    assert ctx.startswith("[Source: ")
+
+    # R15 input validation (src/RagWorkflow.py:30-32)
+    with pytest.raises(ValueError):
+        coll.search("   ")
+
+
+def test_append_lifecycle(spark, tmp_path):
+    out = str(tmp_path / "coll2")
+    df = spark.createDataFrame([(1, "x")], "a INT, b STRING")
+    coll = VectorCollection(spark, out)
+    coll.overwrite(df)
+    coll.append(df)
+    assert coll.count() == 2
+    coll.overwrite(df)
+    assert coll.count() == 1
+
+
+def test_metadata_filtered_search(spark, tmp_path):
+    e = HashingEmbedder()
+    texts = [("alpha beta gamma", "cat1"), ("alpha beta gamma", "cat2")]
+    rows = [
+        (
+            f"uid{i}", f"f{i}_chunk_0", f"src{i}", f"f{i}.pdf", 0, 1, t,
+            {"category": c}, e.embed_one(t),
+        )
+        for i, (t, c) in enumerate(texts)
+    ]
+    schema = (
+        "chunk_uid STRING, chunk_id STRING, source STRING, filename STRING, "
+        "chunk_index INT, total_chunks INT, text STRING, "
+        "metadata MAP<STRING,STRING>, embedding ARRAY<DOUBLE>"
+    )
+    out = str(tmp_path / "coll3")
+    coll = VectorCollection(spark, out)
+    coll.overwrite(spark.createDataFrame(rows, schema))
+    hits = coll.search("alpha beta", n_results=5, filter_metadata={"category": "cat2"})
+    got = hits.collect()
+    assert [r.chunk_uid for r in got] == ["uid1"]

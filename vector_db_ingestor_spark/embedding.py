@@ -1,0 +1,109 @@
+"""Pluggable embedding stage (reference R7).
+
+The reference registers a SentenceTransformer embedding function on the
+Chroma collection — MiniLM plain (``src/PDFToChromaIngester.py:41-49``)
+or BGE with ``"passage: "``/``"query: "`` prefixes and L2 normalization
+(``src/PDFToChromaIngestorBgeEmbedding.py:41-46,173,195``).  Here the
+embedder is an explicit column transform:
+
+* :class:`HashingEmbedder` — deterministic offline stand-in: token
+  n-grams hashed into ``dim`` buckets with +-1 signs (feature-hashing /
+  random-projection style), L2-normalized.  No model weights, identical
+  results everywhere, good enough to exercise every downstream operator
+  (the driver's fixtures ship pre-embedded vectors for the same
+  reason).
+* :class:`SentenceTransformerEmbedder` — the real thing when the
+  library is installed (import-gated; not available in this image).
+
+Execution model (100 TB): the embedder runs as an Arrow-batched
+iterator pandas UDF — per-executor model initialization happens once
+per task inside the iterator, batches bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``; the stage is narrow
+(no shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class HashingEmbedder:
+    """Deterministic hash-projection text embedder.
+
+    Mirrors the BGE contract: ``passage:``/``query:`` prefixes change
+    the embedding (kept so retrieval code paths stay honest) and the
+    output is unit-normalized so L2 ranking == cosine ranking
+    (cf. src/PDFToChromaIngestorBgeEmbedding.py:41-46).
+    """
+
+    def __init__(self, dim: int = 64, ngram: int = 3):
+        self.dim = dim
+        self.ngram = ngram
+
+    def embed_one(self, text: str, prefix: str = "passage") -> list[float]:
+        v = np.zeros(self.dim, dtype=np.float64)
+        s = f"{prefix}: {text or ''}".lower()
+        for i in range(max(len(s) - self.ngram + 1, 1)):
+            gram = s[i : i + self.ngram]
+            h = hashlib.blake2b(gram.encode("utf-8"), digest_size=8).digest()
+            idx = int.from_bytes(h[:4], "big") % self.dim
+            sign = 1.0 if h[4] & 1 else -1.0
+            v[idx] += sign
+        n = math.sqrt(float(np.dot(v, v)))
+        if n > 0:
+            v /= n
+        return [float(x) for x in v]
+
+    def udf(self, prefix: str = "passage"):
+        dim, ngram = self.dim, self.ngram
+
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def _embed(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            # per-task init happens here once (model load for real
+            # embedders); batches stream through via Arrow
+            embedder = HashingEmbedder(dim, ngram)
+            for series in batch_iter:
+                yield series.map(lambda t: embedder.embed_one(t, prefix))
+
+        return _embed
+
+    def embed_col(self, text: Column, prefix: str = "passage") -> Column:
+        return self.udf(prefix)(text)
+
+
+class SentenceTransformerEmbedder:
+    """Real model embedder (import-gated; mirrors reference R7)."""
+
+    def __init__(self, model_name: str = "BAAI/bge-small-en-v1.5", dim: int = 384):
+        try:
+            import sentence_transformers  # noqa: F401
+        except ImportError as e:  # pragma: no cover - not in this image
+            raise ImportError(
+                "sentence-transformers is not installed in this environment; "
+                "use HashingEmbedder for offline runs"
+            ) from e
+        self.model_name = model_name
+        self.dim = dim
+
+    def udf(self, prefix: str = "passage"):  # pragma: no cover - needs model
+        model_name = self.model_name
+
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def _embed(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            from sentence_transformers import SentenceTransformer
+
+            model = SentenceTransformer(model_name)  # once per task
+            for series in batch_iter:
+                texts = [f"{prefix}: {t}" for t in series.fillna("")]
+                vecs = model.encode(texts, normalize_embeddings=True)
+                yield pd.Series([[float(x) for x in v] for v in vecs])
+
+        return _embed

@@ -251,25 +251,39 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram sets on a blocked self-join.
+    """Exact Jaccard over word n-gram sets.
 
-    Blocking (default: same ``lang``) bounds the candidate set; at
-    100 TB swap the block key for minhash band buckets
-    (:func:`minhash_candidates`) and use this only as the verify stage.
+    NOT a pairwise array-ops join: intersection sizes come from the
+    explode -> self-join on (block, gram) -> groupBy-count pattern, and
+    ``|A u B| = |A| + |B| - |A n B|``.  Everything is hash joins and
+    hash aggregation (JVM-side, AQE/skew-aware) — no quadratic
+    per-pair array scanning.  Pairs sharing zero grams can never reach
+    any positive threshold, so restricting to gram-sharing pairs is
+    exact.  At 100 TB, cap hot-gram buckets (stopword-like shingles)
+    with a document-frequency filter or move to minhash candidates
+    (:func:`minhash_candidates`) + this as the verify stage.
     """
     sh = df.select(
         F.col(id_col).alias("gid"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
         word_shingles(F.col(text_col), n).alias("grams"),
     )
-    a = sh.selectExpr("gid as id_a", "blk", "grams as grams_a")
-    b = sh.selectExpr("gid as id_b", "blk", "grams as grams_b")
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
-    jac = inter / union
-    return (
-        a.join(b, "blk")
+    sizes = sh.select("gid", F.size("grams").alias("sz"))
+    toks = sh.select("gid", "blk", F.explode("grams").alias("gram"))
+    x = toks.selectExpr("gid as id_a", "blk", "gram")
+    y = toks.selectExpr("gid as id_b", "blk", "gram")
+    inter = (
+        x.join(y, ["blk", "gram"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.selectExpr("gid as id_a", "sz as sz_a")
+    sz_b = sizes.selectExpr("gid as id_b", "sz as sz_b")
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -1,0 +1,222 @@
+"""End-to-end ingestion pipeline + collection API — reference parity
+for EP1/EP2 (SURVEY §3) as one lazy DataFrame chain.
+
+Reference flow (``ingest_directory`` -> ``ingest_pdf`` -> chunk ->
+metadata -> embed -> ``collection.add``, src/PDFToChromaIngester.py:126-223):
+a sequential per-file loop with per-file error capture.  Here the whole
+ingest is a single narrow plan — binaryFile scan -> extract UDF ->
+chunk UDF + posexplode -> metadata projections -> embedding UDF ->
+parquet write — parallel over files, with these deliberate deltas
+(SURVEY §7 risk register):
+
+* ids are deterministic ``sha2(filename || chunk_index || chunk)``
+  instead of ``uuid4`` (src/PDFToChromaIngester.py:170) so re-runs,
+  tests, and the oracle are stable;
+* ALL chunks are written — the canonical copy's ``[0:2]`` truncation
+  (src/PDFToChromaIngester.py:190-192) is a debug bug its three clones
+  don't share, and is not reproduced;
+* per-file failure becomes a ``status`` column in the ingest report
+  (R17, src/PDFToChromaIngester.py:370-378) instead of a bool dict.
+
+Scale notes: ``total_chunks`` is the only non-narrow step (a per-file
+window — reuses the extraction partitioning, no extra shuffle since we
+partition by file path on read).  The write partitions by ingest batch
+at 100 TB (partitionBy on a batch/date column); here files are small so
+the default layout is kept.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_db_ingestor_spark.embedding import HashingEmbedder
+from vector_db_ingestor_spark.operators.chunker import chunk_udf
+from vector_db_ingestor_spark.operators.context import SEPARATOR, format_piece
+from vector_db_ingestor_spark.operators.topk import topk_cosine
+from vector_db_ingestor_spark.sources.pdf import extract_text_udf, scan_pdfs
+
+CHUNK_SCHEMA_COLS = (
+    "chunk_uid",
+    "chunk_id",
+    "source",
+    "filename",
+    "chunk_index",
+    "total_chunks",
+    "text",
+    "metadata",
+    "embedding",
+)
+
+
+def build_chunks(
+    files: DataFrame,
+    metadata: dict[str, str] | None = None,
+    chunk_size: int = 600,
+    overlap: int = 50,
+    embedder: HashingEmbedder | None = None,
+) -> DataFrame:
+    """files(source, filename, content) -> chunk records.
+
+    Mirrors ingest_pdf's metadata assembly (src/PDFToChromaIngester.py:144-170):
+    file-level {source, filename, total_chunks} + chunk-level
+    {chunk_index, chunk_id} + caller metadata, plus the embedding col.
+    """
+    embedder = embedder or HashingEmbedder()
+    extracted = files.withColumn("doc_text", extract_text_udf(F.col("content"))).drop(
+        "content"
+    )
+    chunks = (
+        extracted.filter(F.length(F.trim("doc_text")) > 0)
+        .withColumn("chunks", chunk_udf(chunk_size, overlap)(F.col("doc_text")))
+        .select(
+            "source",
+            "filename",
+            F.posexplode("chunks").alias("chunk_index", "text"),
+        )
+    )
+    w_file = Window.partitionBy("source")
+    meta_map = F.create_map(
+        *[x for k, v in (metadata or {}).items() for x in (F.lit(k), F.lit(str(v)))]
+    ) if metadata else F.create_map().cast("map<string,string>")
+    return (
+        chunks.withColumn("total_chunks", F.count("*").over(w_file))
+        .withColumn(
+            "chunk_id",
+            F.concat("filename", F.lit("_chunk_"), F.col("chunk_index")),
+        )
+        .withColumn(
+            "chunk_uid",
+            F.sha2(F.concat_ws("\x01", "filename", "chunk_index", "text"), 256),
+        )
+        .withColumn("metadata", meta_map)
+        .withColumn("embedding", embedder.embed_col(F.col("text"), "passage"))
+        .select(*CHUNK_SCHEMA_COLS)
+    )
+
+
+def ingest_report(files: DataFrame, chunks: DataFrame) -> DataFrame:
+    """R17: per-file status + summary-friendly counts
+    (src/PDFToChromaIngester.py:370-378)."""
+    per_file = chunks.groupBy("source").agg(F.count("*").alias("n_chunks"))
+    return (
+        files.select("source", "filename")
+        .join(per_file, "source", "left")
+        .select(
+            "source",
+            "filename",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.when(F.coalesce("n_chunks", F.lit(0)) > 0, "ok")
+            .otherwise("no_text_extracted")
+            .alias("status"),
+        )
+    )
+
+
+class VectorCollection:
+    """The reference's *collection* as a partitioned parquet table
+    (SURVEY §1.4): overwrite lifecycle = mode("overwrite")
+    (src/PDFToChromaIngester.py:29-33,51-66), add = mode("append")
+    (src/PDFToChromaIngester.py:189-193), count = df.count()
+    (src/PDFToChromaIngester.py:237-247), plus the search/RAG query
+    path (R10/R11/R14)."""
+
+    def __init__(self, spark: SparkSession, path: str, embedder: HashingEmbedder | None = None):
+        self.spark = spark
+        self.path = path
+        self.embedder = embedder or HashingEmbedder()
+
+    # ------------------------------------------------------------- sink
+    def overwrite(self, chunks: DataFrame) -> None:
+        chunks.write.mode("overwrite").parquet(self.path)
+
+    def append(self, chunks: DataFrame) -> None:
+        chunks.write.mode("append").parquet(self.path)
+
+    # ------------------------------------------------------------- scan
+    def df(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def count(self) -> int:
+        return self.df().count()
+
+    def stats(self) -> DataFrame:
+        """get_collection_stats (src/PDFToChromaIngester.py:237-247)."""
+        return self.df().agg(
+            F.count("*").alias("total_chunks"),
+            F.countDistinct("filename").alias("n_files"),
+            F.avg(F.length("text")).alias("avg_chunk_chars"),
+        )
+
+    # ------------------------------------------------------------ query
+    def search(
+        self,
+        query: str,
+        n_results: int = 5,
+        filter_metadata: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """search_documents / search_for_rag
+        (src/PDFToChromaIngester.py:225-235,250-287): embed the query
+        (``query:`` prefix, src/PDFToChromaIngestorBgeEmbedding.py:195),
+        optional metadata pre-filter, exact top-k cosine."""
+        if not query or not query.strip():
+            # R15 input validation (src/RagWorkflow.py:30-32)
+            raise ValueError("query must be a non-empty string")
+        probe = self.embedder.embed_one(query, prefix="query")
+        df = self.df()
+        predicate = None
+        if filter_metadata:
+            for k, v in filter_metadata.items():
+                cond = F.col("metadata")[k] == str(v)
+                predicate = cond if predicate is None else (predicate & cond)
+        return topk_cosine(
+            df,
+            probe,
+            k=n_results,
+            predicate=predicate,
+            id_col="chunk_uid",
+            vec_col="embedding",
+        )
+
+    def context_for_rag(
+        self,
+        query: str,
+        max_context_length: int = 4000,
+        n_results: int = 10,
+        filter_metadata: dict[str, str] | None = None,
+    ) -> str:
+        """get_context_for_rag (src/PDFToChromaIngester.py:289-314):
+        top-10 retrieval, piece formatting, greedy char budget, join."""
+        from vector_db_ingestor_spark.operators.context import assemble_context
+
+        hits = self.search(query, n_results, filter_metadata).withColumn(
+            "piece", format_piece(F.col("filename"), F.col("chunk_id"), F.col("text"))
+        ).withColumn("grp", F.lit(1))
+        out = assemble_context(
+            hits, group_col="grp", rank_col="rank", piece_col="piece",
+            budget=max_context_length,
+        ).collect()
+        return out[0].context if out else ""
+
+
+def ingest_directory(
+    spark: SparkSession,
+    directory: str,
+    collection_path: str,
+    metadata: dict[str, str] | None = None,
+    mode: str = "overwrite",
+    chunk_size: int = 600,
+    overlap: int = 50,
+    embedder: HashingEmbedder | None = None,
+) -> DataFrame:
+    """EP1 end-to-end (src/PDFToChromaIngester.py:207-223 + 126-205):
+    scan -> extract -> chunk -> enrich -> embed -> write; returns the
+    ingest report DataFrame."""
+    files = scan_pdfs(spark, directory)
+    chunks = build_chunks(files, metadata, chunk_size, overlap, embedder)
+    coll = VectorCollection(spark, collection_path, embedder)
+    if mode == "overwrite":
+        coll.overwrite(chunks)
+    else:
+        coll.append(chunks)
+    return ingest_report(files, coll.df().select("source", "filename"))

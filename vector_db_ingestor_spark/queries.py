@@ -1052,3 +1052,68 @@ def q_ann_ivf_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_ann_ivf"] = q_ann_ivf_impl
+
+
+# =====================================================================
+# P0 ingestion pipeline + multimodal plumbing (rows-only: UDF-backed)
+# =====================================================================
+
+def q_ingest_pipeline_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference EP1 ingest chain (extract -> chunk -> enrich ->
+    embed, src/PDFToChromaIngester.py:126-205) driven over fixture
+    documents wrapped as synthetic single-stream PDFs: exercises the
+    stdlib PDF extractor, chunker, metadata projections, deterministic
+    ids and the embedding pandas UDF in one plan.  Rows-only check
+    (UDF-backed, not SQL-expressible)."""
+    from vector_db_ingestor_spark.pipeline import build_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.select(
+        F.concat(F.lit("mem://"), F.col("doc_id")).alias("source"),
+        F.concat(F.col("source"), F.lit("_"), F.col("doc_id"), F.lit(".pdf")).alias(
+            "filename"
+        ),
+        F.col("n_chars").alias("file_bytes"),
+        F.to_binary(
+            F.concat(F.lit("stream\n("), F.col("text"), F.lit(") Tj\nendstream")),
+            F.lit("utf-8"),
+        ).alias("content"),
+    )
+    chunks = build_chunks(files, metadata={"category": "fixture"}, chunk_size=200, overlap=30)
+    return chunks.select(
+        "chunk_uid", "filename", "chunk_index", "total_chunks",
+        F.length("text").alias("chunk_chars"), F.size("embedding").alias("emb_dim"),
+    )
+
+
+QUERIES["q_ingest_pipeline"] = q_ingest_pipeline_impl
+
+
+def q_multimodal_features_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing over fixture data: text bytes
+    as opaque binary content, deterministic stub decode to a fixed-dim
+    feature vector via mapInPandas (multimodal/binary_ops.py).
+    Rows-only check."""
+    from vector_db_ingestor_spark.multimodal.binary_ops import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("modality"),
+        F.to_binary(F.col("text"), F.lit("utf-8")).alias("content"),
+        F.named_struct(
+            F.lit("width"), F.lit(0), F.lit("height"), F.lit(0),
+            F.lit("sample_rate"), F.lit(0), F.lit("duration_ms"),
+            F.col("n_chars").cast("int"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id", "modality", "feat_dim",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x), 6).alias(
+            "feat_energy"
+        ),
+    )
+
+
+QUERIES["q_multimodal_features"] = q_multimodal_features_impl
