@@ -1117,3 +1117,187 @@ def q_multimodal_features_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_multimodal_features"] = q_multimodal_features_impl
+
+
+# =====================================================================
+# Extended coverage: exact quantiles, pivot, SQL surface, streaming-
+# shaped session/sliding windows (batch mode for oracle parity; the
+# same plans run under Structured Streaming — streaming/windows.py)
+# =====================================================================
+
+@query(
+    "q_agg_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS price_q25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS price_q50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS price_q75,
+           round(median(l_quantity), 4) AS qty_median,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``).  Exact percentile is a
+    sort-based agg; at 100 TB prefer ``approx_percentile`` (t-digest,
+    one pass, mergeable map-side) — kept exact here for the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("price_q25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("price_q50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("price_q75"),
+        F.round(F.median("l_quantity"), 4).alias("qty_median"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o,
+           round(sum(l_extendedprice) FILTER (WHERE l_linestatus = 'F'), 2) AS price_f,
+           round(sum(l_extendedprice) FILTER (WHERE l_linestatus = 'O'), 2) AS price_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation).  Explicit pivot values keep
+    the plan a single hash-agg pass — no value-discovery job, no second
+    shuffle; semantically identical to SQL FILTERed aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_price").alias("price_f"),
+        F.col("O_price").alias("price_o"),
+    )
+
+
+@query(
+    "q_sql_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API surface: TPC-H Q3 shape (shipping priority) via
+    ``spark.sql`` over registered views — same Catalyst plan as the
+    DataFrame API (filters pushed below the joins into both scans, the
+    customer side broadcast under AQE, top-10 as TakeOrderedAndProject)."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, sess_no
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute gap, strict merge: a gap of
+    exactly 30 min starts a new session — window end is exclusive).
+    Oracle is the classic gaps-and-islands rewrite.  Batch mode here;
+    the identical plan streams with a watermark (streaming/windows.py
+    ``session_windows``)."""
+    from vector_db_ingestor_spark.streaming.windows import session_windows
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_windows(ev, gap="30 minutes", key_col="user_id")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+        SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS ws,
+               event_type, value
+        FROM events, range(2) t(k)
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h window counts per event type; each event fans out
+    to exactly window/slide = 2 windows (the oracle materializes that
+    fan-out with range(2)).  Batch mode; streams unchanged."""
+    from vector_db_ingestor_spark.streaming.windows import sliding_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_counts(ev, window="2 hours", slide="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

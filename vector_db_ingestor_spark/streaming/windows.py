@@ -50,6 +50,69 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window per-type counts/sums (each event lands in
+    window/slide overlapping windows); batch and streaming alike.
+
+    At scale the fan-out factor is window/slide — keep it small (2 here)
+    so the pre-aggregation stays map-side; for large ratios aggregate to
+    slide-granularity buckets first, then roll buckets into windows.
+    """
+    src = events
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-key session windows: events closer than ``gap`` merge into
+    one session (Spark's merge is strict — a gap of exactly ``gap``
+    starts a new session, since window end is exclusive).
+
+    Batch mode this is a shuffle on ``key_col`` + sort-merge of
+    overlapping intervals; under Structured Streaming the same plan runs
+    with state bounded by the watermark.
+    """
+    src = events
+    if watermark is not None:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_events_from_parquet(
     spark: SparkSession, path: str, ts_is_nanos: bool = True
 ) -> DataFrame:
@@ -61,6 +124,77 @@ def stream_events_from_parquet(
     if ts_is_nanos:
         src = src.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     return src
+
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count /
+    value total, kept in ``applyInPandasWithState`` state across
+    micro-batches (the "custom stateful operator" path for semantics the
+    built-in windowed aggs can't express).
+
+    State per key is two scalars — O(distinct users) memory, partitioned
+    by the groupBy hash, so state scales horizontally with executors.
+    Batch-mode fallback (a non-streaming input) computes the same totals
+    with a plain aggregation, so tests can assert parity.
+    """
+    import pandas as pd  # local import: keep module import light
+
+    out_schema = "user_id LONG, n_events LONG, total_value DOUBLE"
+    state_schema = "n LONG, total DOUBLE"
+
+    if not events.isStreaming:
+        return (
+            events.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+
+    def update(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )
+
+
+def run_stateful_stream_demo(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Drive the stateful running-totals operator over the fixture files
+    (update-mode memory sink keeps the latest emit per user)."""
+    stream = stream_events_from_parquet(spark, events_dir)
+    totals = stateful_running_totals(stream)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_stateful_demo")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode appends one row per key per batch; keep the last emit
+    return spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY n_events DESC) AS rn
+            FROM stream_stateful_demo
+        ) WHERE rn = 1
+        """
+    )
 
 
 def run_windowed_stream_demo(
