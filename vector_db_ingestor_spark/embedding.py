@@ -47,15 +47,28 @@ class HashingEmbedder:
     def __init__(self, dim: int = 64, ngram: int = 3):
         self.dim = dim
         self.ngram = ngram
+        # gram -> (bucket, sign) memo: n-gram cardinality is tiny
+        # relative to corpus chars, so caching turns millions of
+        # per-character blake2b calls into dict lookups (~10x on the
+        # ingest bench) with bit-identical output.
+        self._memo: dict[str, tuple[int, float]] = {}
+
+    def _bucket(self, gram: str) -> tuple[int, float]:
+        hit = self._memo.get(gram)
+        if hit is None:
+            h = hashlib.blake2b(gram.encode("utf-8"), digest_size=8).digest()
+            hit = (
+                int.from_bytes(h[:4], "big") % self.dim,
+                1.0 if h[4] & 1 else -1.0,
+            )
+            self._memo[gram] = hit
+        return hit
 
     def embed_one(self, text: str, prefix: str = "passage") -> list[float]:
         v = np.zeros(self.dim, dtype=np.float64)
         s = f"{prefix}: {text or ''}".lower()
         for i in range(max(len(s) - self.ngram + 1, 1)):
-            gram = s[i : i + self.ngram]
-            h = hashlib.blake2b(gram.encode("utf-8"), digest_size=8).digest()
-            idx = int.from_bytes(h[:4], "big") % self.dim
-            sign = 1.0 if h[4] & 1 else -1.0
+            idx, sign = self._bucket(s[i : i + self.ngram])
             v[idx] += sign
         n = math.sqrt(float(np.dot(v, v)))
         if n > 0:

@@ -47,13 +47,15 @@ def chunk_text(text: str, chunk_size: int = 600, overlap: int = 50) -> list[str]
     while start < n:
         end = start + chunk_size
         if end < n:
-            best_break = -1
-            for i in range(end - overlap, end):
-                for ending in SENTENCE_ENDS:
-                    if text[i : i + len(ending)] == ending:
-                        best_break = i + len(ending)
-            if best_break != -1:
-                end = best_break
+            # Reference scans every i in [end-overlap, end) x every
+            # ending, keeping the LAST match (src/PDFToChromaIngester.py:110-114).
+            # All four endings are length 2, so that is exactly the max
+            # rfind over the window text[end-overlap : end+1] — four
+            # C-level scans instead of overlap*4 Python slices.
+            window = text[end - overlap : end + 1]
+            best = max(window.rfind(e) for e in SENTENCE_ENDS)
+            if best != -1:
+                end = end - overlap + best + 2
         piece = text[start:end].strip()
         if piece:
             chunks.append(piece)
@@ -71,7 +73,12 @@ def chunk_udf(chunk_size: int = 600, overlap: int = 50):
                 lambda t: chunk_text(t, chunk_size, overlap) if t is not None else []
             )
 
-    return _chunk
+    # The function is pure; the marker is an optimizer fence.  Without
+    # it, InferFiltersFromGenerate + filter pushdown drag the inferred
+    # size(chunks)>0 predicate (and the whole UDF chain feeding it)
+    # below the ingest repartition exchange, so extract+chunk run TWICE
+    # — once pre-shuffle on the unbalanced input, once post-shuffle.
+    return _chunk.asNondeterministic()
 
 
 def chunk_documents(

@@ -18,23 +18,33 @@ parquet write — parallel over files, with these deliberate deltas
 * per-file failure becomes a ``status`` column in the ingest report
   (R17, src/PDFToChromaIngester.py:370-378) instead of a bool dict.
 
-Scale notes: ``total_chunks`` is the only non-narrow step (a per-file
-window — reuses the extraction partitioning, no extra shuffle since we
-partition by file path on read).  The write partitions by ingest batch
-at 100 TB (partitionBy on a batch/date column); here files are small so
-the default layout is kept.
+Scale notes: the plan is fully narrow — ``total_chunks`` is
+``size(chunks)`` taken from the chunker's array *before* ``posexplode``
+(reference semantics is ``len(chunks)`` per file,
+src/PDFToChromaIngester.py:145-150), so no per-file window and no
+shuffle anywhere in the ingest.  PDF blobs are non-splittable and
+wildly variable in CPU cost, so the file scan is round-robin
+repartitioned to the cluster parallelism before the extract UDF —
+one bounded shuffle of raw bytes buys straggler-free CPU stages.  The
+write partitions by ingest batch at 100 TB (partitionBy on a
+batch/date column); here files are small so the default layout is
+kept.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from typing import Iterator
+
+import pandas as pd
+
 from vector_db_ingestor_spark.embedding import HashingEmbedder
-from vector_db_ingestor_spark.operators.chunker import chunk_udf
+from vector_db_ingestor_spark.operators.chunker import chunk_text
 from vector_db_ingestor_spark.operators.context import SEPARATOR, format_piece
 from vector_db_ingestor_spark.operators.topk import topk_cosine
-from vector_db_ingestor_spark.sources.pdf import extract_text_udf, scan_pdfs
+from vector_db_ingestor_spark.sources.pdf import extract_pdf_text, scan_pdfs
 
 CHUNK_SCHEMA_COLS = (
     "chunk_uid",
@@ -55,33 +65,68 @@ def build_chunks(
     chunk_size: int = 600,
     overlap: int = 50,
     embedder: HashingEmbedder | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """files(source, filename, content) -> chunk records.
 
     Mirrors ingest_pdf's metadata assembly (src/PDFToChromaIngester.py:144-170):
     file-level {source, filename, total_chunks} + chunk-level
     {chunk_index, chunk_id} + caller metadata, plus the embedding col.
+
+    The chain extract -> chunk -> enrich -> embed is one narrow stage;
+    ``num_partitions`` (default: cluster parallelism) rebalances the
+    non-splittable file blobs across CPUs first.
     """
     embedder = embedder or HashingEmbedder()
-    extracted = files.withColumn("doc_text", extract_text_udf(F.col("content"))).drop(
-        "content"
+    if num_partitions is None:
+        num_partitions = files.sparkSession.sparkContext.defaultParallelism
+    dim, ngram = embedder.dim, embedder.ngram
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Fused extract -> chunk -> explode -> embed kernel: ONE Python
+        # round-trip instead of three chained ArrowEvalPython nodes, so
+        # document text and chunk arrays never ping-pong JVM<->Python.
+        emb = HashingEmbedder(dim, ngram)  # per-task init (model load)
+        for pdf in batches:
+            out: dict[str, list] = {
+                "source": [], "filename": [], "total_chunks": [],
+                "chunk_index": [], "text": [], "embedding": [],
+            }
+            for source, filename, content in zip(
+                pdf["source"], pdf["filename"], pdf["content"]
+            ):
+                text = extract_pdf_text(bytes(content)) if content is not None else ""
+                # empty/whitespace extraction -> no chunks, file shows
+                # up only in the ingest report
+                # (src/PDFToChromaIngester.py:130-138)
+                chunks = chunk_text(text, chunk_size, overlap)
+                total = len(chunks)  # len(chunks) per file (:145-150)
+                for i, piece in enumerate(chunks):
+                    if not piece.strip():
+                        continue
+                    out["source"].append(source)
+                    out["filename"].append(filename)
+                    out["total_chunks"].append(total)
+                    out["chunk_index"].append(i)
+                    out["text"].append(piece)
+                    out["embedding"].append(emb.embed_one(piece, "passage"))
+            if out["source"]:  # empty frame's array col trips Arrow
+                yield pd.DataFrame(out)
+
+    chunks = files.select("source", "filename", "content").repartition(
+        num_partitions
+    ).mapInPandas(
+        fused,
+        schema=(
+            "source string, filename string, total_chunks int, "
+            "chunk_index int, text string, embedding array<double>"
+        ),
     )
-    chunks = (
-        extracted.filter(F.length(F.trim("doc_text")) > 0)
-        .withColumn("chunks", chunk_udf(chunk_size, overlap)(F.col("doc_text")))
-        .select(
-            "source",
-            "filename",
-            F.posexplode("chunks").alias("chunk_index", "text"),
-        )
-    )
-    w_file = Window.partitionBy("source")
     meta_map = F.create_map(
         *[x for k, v in (metadata or {}).items() for x in (F.lit(k), F.lit(str(v)))]
     ) if metadata else F.create_map().cast("map<string,string>")
     return (
-        chunks.withColumn("total_chunks", F.count("*").over(w_file))
-        .withColumn(
+        chunks.withColumn(
             "chunk_id",
             F.concat("filename", F.lit("_chunk_"), F.col("chunk_index")),
         )
@@ -90,7 +135,6 @@ def build_chunks(
             F.sha2(F.concat_ws("\x01", "filename", "chunk_index", "text"), 256),
         )
         .withColumn("metadata", meta_map)
-        .withColumn("embedding", embedder.embed_col(F.col("text"), "passage"))
         .select(*CHUNK_SCHEMA_COLS)
     )
 

@@ -205,7 +205,13 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chunk_explode_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4 chunker as 1->N explosion (rows-only check: the last-match
     sentence snapping is not SQL-expressible; golden pytest instead)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # small parquet arrives as one split; rebalance so the Arrow
+        # UDF stage uses every core (at scale the scan is already wide)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return chunk_documents(docs, chunk_size=150, overlap=20).select(
         "doc_id", "chunk_index", "chunk"
     )

@@ -145,9 +145,16 @@ def extract_pdf_text(data: bytes) -> str:
 # ---------------------------------------------------------------------
 
 @F.pandas_udf(T.StringType())
-def extract_text_udf(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+def _extract_text_udf(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for series in batch_iter:
         yield series.map(lambda b: extract_pdf_text(bytes(b)) if b is not None else "")
+
+
+# Pure function; nondeterministic marker = optimizer fence so filters
+# referencing the extracted text are never pushed below the ingest
+# repartition (which would re-run extraction on both sides of the
+# exchange — see chunker.chunk_udf).
+extract_text_udf = _extract_text_udf.asNondeterministic()
 
 
 def scan_pdfs(spark: SparkSession, directory: str, glob: str = "*.pdf") -> DataFrame:
