@@ -43,7 +43,9 @@ def rp_lsh_bucket(vec: Column, dim: int, n_bits: int = 8) -> Column:
     """Random-hyperplane (SimHash-for-cosine) bucket id in [0, 2^n_bits)."""
     bucket = F.lit(0)
     for b in range(n_bits):
-        h = F.array(*[F.lit(v) for v in _hyperplane(dim, b)])
+        # one ArrayType literal per plane (not dim scalar literals):
+        # keeps the expression tree O(n_bits), not O(n_bits * dim)
+        h = F.lit(_hyperplane(dim, b))
         bit = (dot(vec, h) > 0).cast("int")
         bucket = bucket + bit * F.lit(1 << b)
     return bucket
@@ -109,6 +111,66 @@ def lsh_topk(
 
 # ------------------------------------------------------------------ IVF
 
+def _assign_cid(vec: Column, centroids: list[list[float]]) -> Column:
+    """cid of the nearest centroid, as a narrow array expression.
+
+    ``transform`` over a literal array-of-centroids computes all sims in
+    one pass; ``array_position(sims, array_max(sims))`` is argmax with
+    first-wins (= lowest-cid) tie-break.  No crossJoin, no window, no
+    shuffle — assignment stays inside the scan stage, which is what
+    makes a Lloyd step at 100 TB one map + one small hash-agg.
+    """
+    cents_col = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    sims = F.transform(cents_col, lambda c: cosine_similarity(vec, c))
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train IVF centroids: deterministic seeded k-means, driver-held
+    model state.
+
+    Init = the ``n_centroids`` vectors with smallest content hash
+    (``TakeOrderedAndProject`` — no global-sort shuffle, no RNG).  Each
+    Lloyd step assigns narrowly (:func:`_assign_cid`) and reduces
+    per-element sums in ONE hash aggregation; the resulting
+    ``n_centroids x dim`` floats come back to the driver and re-enter
+    the next step as literals — the iterative plan never grows, unlike
+    chaining DataFrames across iterations (lineage explosion).  At
+    100 TB train on a deterministic sample (e.g. ``pmod(xxhash64(id),
+    100)=0``) and assign the full table once — same code path.
+    """
+    v = embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    init = (
+        v.orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(r["__v"]) for r in init]
+    for _ in range(iters):
+        sums = (
+            v.withColumn("cid", _assign_cid(F.col("__v"), centroids))
+            .groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = {r["cid"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in sums}
+        # empty clusters keep their previous centroid (deterministic)
+        centroids = [new.get(cid, c) for cid, c in enumerate(centroids)]
+    return centroids
+
+
 def ivf_build(
     embeddings: DataFrame,
     dim: int,
@@ -117,51 +179,17 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
-    """Build an IVF index: (assignments, centroids).
-
-    Deterministic k-means: initial centroids are the vectors whose
-    ``pmod(xxhash64(id), n_centroids*8)`` is smallest per slot (stable
-    content-seeded init, no RNG), then ``iters`` Lloyd steps, each one
-    groupBy-avg per centroid — a fully declarative DataFrame loop
-    (iters is tiny and fixed; each step is one shuffle).
-    """
-    v = embeddings.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    """Build an IVF index: (assignments, centroids) DataFrames."""
+    centroids = ivf_train(embeddings, dim, n_centroids, iters, id_col, vec_col)
+    assignments = embeddings.select(
+        F.col(id_col),
+        _assign_cid(F.col(vec_col).cast("array<double>"), centroids).alias("cid"),
     )
-    # deterministic init: rank rows by a content hash, take the first n
-    w = Window.orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id"))
-    cents = (
-        v.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_centroids)
-        .select((F.col("__r") - 1).alias("cid"), F.col("__v").alias("cvec"))
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], schema="cid INT, cvec ARRAY<DOUBLE>"
     )
-    for _ in range(iters):
-        assigned = _assign(v, cents)
-        cents = (
-            assigned.groupBy("cid")
-            .agg(
-                F.array(
-                    *[F.avg(F.col("__v")[i]) for i in range(dim)]
-                ).alias("cvec")
-            )
-        )
-    assigned = _assign(v, cents)
-    return (
-        assigned.select(F.col("__id").alias(id_col), "cid"),
-        cents,
-    )
-
-
-def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
-    scored = v.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", cosine_similarity(F.col("__v"), F.col("cvec"))
-    )
-    w = Window.partitionBy("__id").orderBy(F.col("__sim").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__id", "__v", "cid")
-    )
+    return assignments, cents
 
 
 def ivf_topk(
@@ -176,23 +204,33 @@ def ivf_topk(
     round_dp: int = 6,
 ) -> DataFrame:
     """Approximate top-k for one probe: search only the ``nprobe``
-    centroid lists nearest the probe vector."""
-    assignments, cents = ivf_build(embeddings, dim, n_centroids, id_col=id_col, vec_col=vec_col)
-    probe_col = F.array(*[F.lit(float(x)) for x in probe])
-    top_cents = (
-        cents.withColumn("__sim", cosine_similarity(F.col("cvec"), probe_col))
-        .orderBy(F.col("__sim").desc(), F.col("cid").asc())
-        .limit(nprobe)
-        .select("cid")
-    )
-    candidates = (
-        embeddings.join(assignments, id_col)
-        .join(F.broadcast(top_cents), "cid")
-    )
+    centroid lists nearest the probe vector.
+
+    The probe's centroid shortlist is computed driver-side from the
+    trained model (tiny), so the query plan is a single narrow scan
+    with an ``isin`` filter + ``TakeOrderedAndProject`` — at 100 TB
+    this prunes (1 - nprobe/n_centroids) of the data before scoring,
+    and with the collection written partitioned/bucketed by ``cid``
+    the pruning happens at the file level.
+    """
+    centroids = ivf_train(embeddings, dim, n_centroids, iters=2, id_col=id_col, vec_col=vec_col)
+    pv = [float(x) for x in probe]
+
+    def cos(a: list[float], b: list[float]) -> float:
+        s = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return s / (na * nb) if na and nb else 0.0
+
+    shortlist = sorted(
+        range(len(centroids)), key=lambda i: (-cos(centroids[i], pv), i)
+    )[:nprobe]
+    probe_col = F.lit(pv)
+    vec = F.col(vec_col).cast("array<double>")
     return (
-        candidates.withColumn(
-            "score", F.round(cosine_similarity(F.col(vec_col), probe_col), round_dp)
-        )
+        embeddings.withColumn("cid", _assign_cid(vec, centroids))
+        .filter(F.col("cid").isin(shortlist))
+        .withColumn("score", F.round(cosine_similarity(vec, probe_col), round_dp))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
         .select(id_col, "cid", "score")
