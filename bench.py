@@ -43,6 +43,11 @@ HEADLINE = [
     "q_join_asof",
     "q_chunk_explode",
     "q_ingest_pipeline",
+    "q_sql_tpch_q1",
+    "q_sql_tpch_q3",
+    "q_subquery_correlated",
+    "q_join_skew_salted",
+    "q_token_freq",
 ]
 
 

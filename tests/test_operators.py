@@ -125,3 +125,28 @@ def test_minhash_identical_docs_est_one(spark):
     )
     out = {(r.id_a, r.id_b): r.est_jaccard for r in minhash_candidates(df).collect()}
     assert out[(1, 2)] == 1.0
+
+
+def test_salted_join_equals_plain_join(spark):
+    from vector_db_ingestor_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(100)], "rid INT, k INT, v DOUBLE"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b")], "k INT, name STRING")
+    plain = {tuple(r) for r in big.join(small, "k").select("rid", "k", "v", "name").collect()}
+    salted = {
+        tuple(r)
+        for r in salted_join(big, small, "k", n_salts=4)
+        .select("rid", "k", "v", "name")
+        .collect()
+    }
+    assert salted == plain
+    # hot-key rows spread across several salts (the point of salting)
+    n_salt_values = (
+        big.withColumn("s", F.pmod(F.xxhash64("rid", "k", "v"), F.lit(4)))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n_salt_values > 1

@@ -124,3 +124,36 @@ def asof_join(
         *[F.col(f"__last_{c}").alias(f"asof_{c}") for c in value_cols],
     )
     return out
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join, result-identical to ``big.join(small, key, how)``.
+
+    For a shuffle join whose key distribution is skewed (one hot key
+    lands an entire reducer), salt the big side into ``n_salts``
+    sub-keys with a deterministic hash of the whole row, and replicate
+    the small side once per salt via ``explode(sequence(...))`` — the
+    hot key's rows now spread over ``n_salts`` reducers.  Results are
+    exactly the plain join's (salt is a join-key refinement on
+    replicated rows, never a filter).
+
+    At 100 TB prefer AQE's skew-join splitting when it triggers
+    (``spark.sql.adaptive.skewJoin``); explicit salting is for the
+    cases AQE can't fix: skewed *aggregations* downstream of the join
+    or storage-partitioned inputs AQE won't re-split.  ``n_salts``
+    should be about (hot-key rows / target partition rows); the small
+    side pays an n_salts x replication, so keep it for genuinely small
+    dimensions.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("__salt", salt.cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(s, [key, "__salt"], how).drop("__salt")

@@ -1307,3 +1307,143 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+# =====================================================================
+# SQL surface widening: full TPC-H Q1, correlated subquery; skew-salted
+# join (result-identical to the plain join, verified by the oracle);
+# exact token frequency (text analysis)
+# =====================================================================
+
+@query(
+    "q_sql_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) through the SQL surface: the filter
+    reaches the parquet scan as a pushed predicate, the aggregation is
+    partial (map-side) then final — one shuffle of 6 tiny groups."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice > 2 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders at >2x their customer's mean.
+    Catalyst decorrelates into an aggregate + equi-join — same shape
+    a hand-written window/join would produce, declared declaratively."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o_totalprice > 2 * (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT l.l_orderkey, l.l_partkey, p.p_brand,
+           round(l.l_quantity, 2) AS qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 25
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact->dim join (operators/joins.py salted_join):
+    8-way salt on the fact side, dim replicated 8x — result-identical
+    to the plain join, which is exactly what the oracle verifies."""
+    from vector_db_ingestor_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 25)
+        .select("p_partkey", "p_brand")
+    )
+    joined = salted_join(
+        li, p.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", n_salts=8
+    )
+    return joined.select(
+        "l_orderkey", "l_partkey", "p_brand", F.round("l_quantity", 2).alias("qty")
+    )
+
+
+@query(
+    "q_token_freq",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 50
+    """,
+)
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide token frequency, top 50 (text analysis).
+    explode -> hash-agg -> TakeOrderedAndProject: the heavy shuffle is
+    the (token, partial-count) pairs after map-side combine, and the
+    global sort collapses into a per-partition top-k + driver merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
