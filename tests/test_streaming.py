@@ -28,3 +28,42 @@ def test_stream_batch_parity(spark, sf_dir, tmp_path):
     }
     assert b == s
     assert len(b) > 0
+
+
+def test_stream_ingest_directory(spark, tmp_path):
+    import pathlib
+    import shutil
+
+    src_dir = tmp_path / "pdfs"
+    src_dir.mkdir()
+    for name in ("doc_a.pdf", "doc_b.pdf"):
+        body = (
+            b"stream\n(Sentence one about refunds. Sentence two follows! "
+            b"A third sentence with more words? Plenty of text here.) Tj\nendstream"
+        )
+        (src_dir / name).write_bytes(body)
+
+    from vector_db_ingestor_spark.streaming.ingest import stream_ingest_directory
+
+    out = tmp_path / "collection"
+    ckpt = tmp_path / "ckpt"
+    q = stream_ingest_directory(
+        spark, str(src_dir), str(out), str(ckpt),
+        metadata={"category": "stream"}, chunk_size=40, overlap=8,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) > 2
+    names = {r.filename for r in rows}
+    assert names == {"doc_a.pdf", "doc_b.pdf"}
+    r = rows[0]
+    assert r.metadata["category"] == "stream"
+    assert len(r.embedding) == 64
+    # exactly-once per file: draining again with the same checkpoint
+    # adds nothing
+    q2 = stream_ingest_directory(
+        spark, str(src_dir), str(out), str(ckpt),
+        metadata={"category": "stream"}, chunk_size=40, overlap=8,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == len(rows)

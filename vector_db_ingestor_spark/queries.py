@@ -1447,3 +1447,49 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(50)
     )
+
+
+@query(
+    "q_array_fns",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n,
+           round(embedding[1]::DOUBLE, 6) AS first_val,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))), 6) AS abs_sum,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INTEGER) AS n_pos,
+           round(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS max_val,
+           round(list_sum(list_transform(embedding[1:8]::DOUBLE[], x -> x * x)), 6) AS head_energy,
+           round(list_dot_product(embedding::DOUBLE[], list_reverse(embedding::DOUBLE[])), 6) AS rev_dot
+    FROM embeddings
+    """,
+)
+def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order function battery (transform, filter,
+    aggregate, zip_with, slice, reverse) — all JVM-side expressions in
+    one narrow projection; HOFs evaluate per-row with zero shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("n"),
+        F.round(F.element_at(e, 1), 6).alias("first_val"),
+        F.round(
+            F.aggregate(
+                F.transform(e, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("abs_sum"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max(e), 6).alias("max_val"),
+        F.round(
+            F.aggregate(F.slice(e, 1, 8), F.lit(0.0), lambda a, x: a + x * x), 6
+        ).alias("head_energy"),
+        F.round(
+            F.aggregate(
+                F.zip_with(e, F.reverse(e), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            6,
+        ).alias("rev_dot"),
+    )
