@@ -106,3 +106,34 @@ def test_metadata_filtered_search(spark, tmp_path):
     hits = coll.search("alpha beta", n_results=5, filter_metadata={"category": "cat2"})
     got = hits.collect()
     assert [r.chunk_uid for r in got] == ["uid1"]
+
+
+def test_bucketed_collection_join_is_shuffle_free(spark, tmp_path):
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt'")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # forbid broadcast so the assert proves bucket co-location, not AQE
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("chunk_uid"),
+            F.col("id").alias("va"),
+        )
+        b = spark.range(0, 1000).select(
+            F.sha2(F.col("id").cast("string"), 256).alias("chunk_uid"),
+            (F.col("id") * 2).alias("vb"),
+        )
+        for name, df in (("ta", a), ("tb", b)):
+            (
+                df.write.mode("overwrite").format("parquet")
+                .bucketBy(8, "chunk_uid").sortBy("chunk_uid")
+                .saveAsTable(f"bkt.{name}")
+            )
+        joined = spark.table("bkt.ta").join(spark.table("bkt.tb"), "chunk_uid")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n_shuffles == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")

@@ -171,11 +171,43 @@ class VectorCollection:
         self.embedder = embedder or HashingEmbedder()
 
     # ------------------------------------------------------------- sink
-    def overwrite(self, chunks: DataFrame) -> None:
-        chunks.write.mode("overwrite").parquet(self.path)
+    def overwrite(self, chunks: DataFrame, partition_by: list[str] | None = None) -> None:
+        """Collection overwrite (src/PDFToChromaIngester.py:29-33).
 
-    def append(self, chunks: DataFrame) -> None:
-        chunks.write.mode("append").parquet(self.path)
+        ``partition_by`` is the 100 TB layout knob: partition by an
+        ingest-batch/date column so re-ingestion overwrites only its own
+        partitions and metadata filters prune at the directory level.
+        """
+        w = chunks.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path)
+
+    def append(self, chunks: DataFrame, partition_by: list[str] | None = None) -> None:
+        w = chunks.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path)
+
+    def save_bucketed(
+        self,
+        chunks: DataFrame,
+        table: str,
+        n_buckets: int = 64,
+        bucket_col: str = "chunk_uid",
+    ) -> None:
+        """Bucketed managed-table sink: co-locates the collection on
+        ``bucket_col`` so every downstream equi-join/agg on that key
+        (chunk↔embedding enrich, dedup carry-forward, incremental
+        upsert) runs shuffle-free on the collection side.  At 100 TB
+        pick n_buckets ~ total size / target task input (e.g. 4096)."""
+        (
+            chunks.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .saveAsTable(table)
+        )
 
     # ------------------------------------------------------------- scan
     def df(self) -> DataFrame:
