@@ -72,9 +72,16 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
 
     def grams_of(t: Column) -> Column:
         idx = F.sequence(F.lit(0), F.size(t) - n)
+        # concat_ws over n element_at lookups: no per-gram array
+        # allocation (slice+array_join was ~2x slower on the bench)
         return F.array_sort(
             F.array_distinct(
-                F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, n), " "))
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                    ),
+                )
             )
         )
 
@@ -284,7 +291,12 @@ def ngram_jaccard_pairs(
         word_shingles(F.col(text_col), n).alias("grams"),
     )
     sizes = sh.select("gid", F.size("grams").alias("sz"))
-    toks = sh.select("gid", "blk", F.explode("grams").alias("gram"))
+    # join on a 64-bit gram hash, not the string: smaller shuffle rows,
+    # cheaper key compare (collisions across distinct grams of one doc
+    # pair are ~n_grams^2/2^64 — immaterial next to float rounding)
+    toks = sh.select("gid", "blk", F.explode("grams").alias("g")).select(
+        "gid", "blk", F.xxhash64("g").alias("gram")
+    )
     x = toks.selectExpr("gid as id_a", "blk", "gram")
     y = toks.selectExpr("gid as id_b", "blk", "gram")
     inter = (
