@@ -137,3 +137,28 @@ def test_bucketed_collection_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_upsert_files_replaces_only_named_files(spark, tmp_path):
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    def chunks_for(filename, texts):
+        return spark.createDataFrame(
+            [
+                (f"{filename}_{i}", f"{filename}_chunk_{i}", f"mem://{filename}",
+                 filename, i, len(texts), t, {"v": "1"}, [0.0] * 4)
+                for i, t in enumerate(texts)
+            ],
+            "chunk_uid STRING, chunk_id STRING, source STRING, filename STRING, "
+            "chunk_index INT, total_chunks INT, text STRING, "
+            "metadata MAP<STRING,STRING>, embedding ARRAY<DOUBLE>",
+        )
+
+    coll = VectorCollection(spark, str(tmp_path / "coll"))
+    coll.upsert_files(chunks_for("a.pdf", ["one", "two"]).unionByName(
+        chunks_for("b.pdf", ["three"])))
+    assert coll.count() == 3
+    # re-ingest only a.pdf with new content; b.pdf must survive
+    coll.upsert_files(chunks_for("a.pdf", ["ONE"]))
+    rows = {(r.filename, r.text) for r in coll.df().collect()}
+    assert rows == {("a.pdf", "ONE"), ("b.pdf", "three")}

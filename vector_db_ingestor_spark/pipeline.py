@@ -189,6 +189,26 @@ class VectorCollection:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path)
 
+    def upsert_files(self, chunks: DataFrame) -> None:
+        """File-granular re-ingest: replace exactly the files present in
+        ``chunks``, leave every other file's chunks untouched.
+
+        The collection is laid out partitioned by ``filename`` and the
+        write uses dynamic partition overwrite — only partitions that
+        appear in ``chunks`` are replaced, no delete+rewrite of the
+        whole collection (the reference's only refresh story is
+        drop-and-recreate, src/PDFToChromaIngester.py:29-33).  At
+        100 TB partition by (ingest_date, filename-bucket) instead of
+        raw filename to bound partition count.
+        """
+        spark = chunks.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            chunks.write.mode("overwrite").partitionBy("filename").parquet(self.path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
     def save_bucketed(
         self,
         chunks: DataFrame,

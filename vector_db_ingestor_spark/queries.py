@@ -1493,3 +1493,125 @@ def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rev_dot"),
     )
+
+
+@query(
+    "q_window_range",
+    oracle="""
+    SELECT event_id, user_id, round(value, 2) AS value,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY value
+               RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW), 2) AS near_sum,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY value
+               RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING) AS BIGINT) AS near_n
+    FROM events
+    """,
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed windows (value-distance frames, not row counts) —
+    complements q_window_frame's ROWS frames.  Non-integral range
+    boundaries are SQL-syntax-only (the pythonic ``rangeBetween`` takes
+    long offsets), so this goes through the SQL surface."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id, user_id, round(value, 2) AS value,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY value
+                   RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW), 2) AS near_sum,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY value
+                   RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING) AS near_n
+        FROM events
+        """
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): one scan expanded to
+    the three groupings, aggregated in a single shuffle."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query(
+    "q_string_fns",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]+', '#') AS name_masked,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           split_part(c_name, '#', 1) AS name_head,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS seg_dist,
+           reverse(c_mktsegment) AS seg_rev,
+           CAST(strpos(c_name, '1') AS INTEGER) AS pos_one
+    FROM customer
+    """,
+)
+def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string battery: regexp_replace / lpad / split_part /
+    levenshtein / reverse / instr — all codegen'd builtins."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_dist"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.instr("c_name", "1").alias("pos_one"),
+    )
+
+
+@query(
+    "q_json_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           list_sort(json_keys(props)) AS keys
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON -> MapType round-trip: parse events.props into
+    map<string,int>, then map_keys / element_at — the open-ended
+    metadata pattern (reference's schemaless metadata dicts,
+    src/PDFToChromaIngester.py:145-150) done with typed map columns."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("m", m)
+        .select(
+            "event_id",
+            F.element_at("m", "k").alias("k_val"),
+            F.size(F.map_keys("m")).alias("n_keys"),
+            F.array_sort(F.map_keys("m")).alias("keys"),
+        )
+    )
