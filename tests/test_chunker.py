@@ -5,6 +5,8 @@ correctness gate for q_chunk_explode (not SQL-expressible)."""
 import pathlib
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from vector_db_ingestor_spark.operators.chunker import chunk_documents, chunk_text
 
@@ -109,3 +111,40 @@ def test_chunk_documents_matches_pure_python(spark, sf_dir):
         for r in chunk_documents(docs, chunk_size=150, overlap=20).collect()
     }
     assert got == expected
+
+
+# -- property: optimized boundary scan == reference's naive scan -------
+
+def _naive_chunk(text, chunk_size, overlap):
+    """Verbatim port of the reference scan loop
+    (src/PDFToChromaIngester.py:94-124) used as the property oracle."""
+    if len(text) <= chunk_size:
+        return [text]
+    chunks, start, n = [], 0, len(text)
+    while start < n:
+        end = start + chunk_size
+        if end < n:
+            best = -1
+            for i in range(end - overlap, end):
+                for ending in (". ", "! ", "? ", "\n\n"):
+                    if text[i : i + len(ending)] == ending:
+                        best = i + len(ending)
+            if best != -1:
+                end = best
+        piece = text[start:end].strip()
+        if piece:
+            chunks.append(piece)
+        start = end - overlap
+    return chunks
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet=" .!?\nabcdef", max_size=400),
+    st.integers(min_value=12, max_value=80),
+    st.integers(min_value=2, max_value=11),
+)
+def test_chunk_text_matches_reference_scan(text, chunk_size, overlap):
+    assert chunk_text(text, chunk_size, overlap) == _naive_chunk(
+        text, chunk_size, overlap
+    )

@@ -351,3 +351,41 @@ def embedding_near_dups(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The 100 TB near-dup pipeline: MinHash LSH candidates -> exact
+    Jaccard verify on candidates only.
+
+    :func:`ngram_jaccard_pairs` is exact but inherently quadratic in
+    gram-sharing pairs; this caps the verify stage at the LSH candidate
+    set (|candidates| ~ linear in corpus size for a sane band config).
+    Verification here IS pairwise array ops — array_intersect/union per
+    candidate row — which is the right tool once the pair set is small;
+    recall is bounded by the band collision probability, precision is
+    exact (every emitted pair's jaccard is true).
+    """
+    cands = minhash_candidates(df, text_col, id_col, num_perm, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("gid"),
+        word_shingles(F.col(text_col), shingle_n).alias("grams"),
+    )
+    a = sh.selectExpr("gid as id_a", "grams as grams_a")
+    b = sh.selectExpr("gid as id_b", "grams as grams_b")
+    jac = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
+        F.array_union("grams_a", "grams_b")
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1615,3 +1615,18 @@ def q_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.map_keys("m")).alias("keys"),
         )
     )
+
+
+def q_dedup_minhash_verified_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup at scale: MinHash LSH candidate generation +
+    exact Jaccard verification restricted to candidates (rows-only:
+    candidate recall is probabilistic; emitted jaccards are exact)."""
+    from vector_db_ingestor_spark.operators.dedup import minhash_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_verified_pairs(
+        docs, threshold=0.2, num_perm=64, bands=16, shingle_n=2
+    )
+
+
+QUERIES["q_dedup_minhash_verified"] = q_dedup_minhash_verified_impl
