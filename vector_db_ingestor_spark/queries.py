@@ -1630,3 +1630,136 @@ def q_dedup_minhash_verified_impl(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 QUERIES["q_dedup_minhash_verified"] = q_dedup_minhash_verified_impl
+
+
+@query(
+    "q_window_stats",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-analytic windows: ntile / percent_rank / cume_dist /
+    nth_value per priority partition."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("second_key"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS price_sd,
+           round(var_samp(l_quantity), 4) AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+           round(min(l_extendedprice), 2) AS price_min,
+           round(max(l_extendedprice), 2) AS price_max
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/corr/covar) — all
+    single-pass mergeable moments, map-side partial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+        F.round(F.min("l_extendedprice"), 2).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+    )
+
+
+@query(
+    "q_conditional_fns",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio_sub,
+           least(o_totalprice, 150000.0) AS price_capped,
+           round(greatest(o_totalprice - 100000, 0.0), 2) AS price_excess,
+           CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice) AS BIGINT) ELSE 0 END AS open_px
+    FROM orders
+    """,
+)
+def q_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression battery: CASE/when, nullif+coalesce,
+    least/greatest — pure codegen projections."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(
+            F.nullif("o_orderpriority", F.lit("1-URGENT")), F.lit("URGENT!")
+        ).alias("prio_sub"),
+        F.least("o_totalprice", F.lit(150000.0)).alias("price_capped"),
+        F.round(
+            F.greatest(F.col("o_totalprice") - 100000, F.lit(0.0)), 2
+        ).alias("price_excess"),
+        F.when(
+            F.col("o_orderstatus") == "O",
+            F.round(F.col("o_totalprice")).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")).alias("open_px"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           list_sort(array_agg(DISTINCT source)) AS sources,
+           array_agg(doc_id ORDER BY n_chars DESC, doc_id)[1:3] AS top3_longest
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates with deterministic ordering: sorted
+    collect_set and an ordered top-3 via sorted struct collection.
+    collect_* concentrate a group on one reducer — fine for bounded
+    groups (sources per lang); at 100 TB cap with slice() as here or
+    pre-aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.array_sort(F.collect_set("source")).alias("sources"),
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("n_chars")).alias("neg"), "doc_id"))
+                ),
+                lambda s: s.doc_id,
+            ),
+            1,
+            3,
+        ).alias("top3_longest"),
+    )
