@@ -26,3 +26,20 @@ def test_frame_sample_plan(spark):
     expected = sum(1 + (v.meta.duration_ms - 1) // 1000 for v in videos)
     assert len(rows) == expected
     assert all(r.frame_ts_ms % 1000 == 0 for r in rows)
+
+
+def test_resize_images_updates_meta_and_payload(spark):
+    from vector_db_ingestor_spark.multimodal.binary_ops import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 12)
+    out = resize_images(media, 32, 24).collect()
+    assert len(out) == 4  # a third of the synthetic rows are images
+    for r in out:
+        assert r.meta.width == 32 and r.meta.height == 24
+        assert len(r.content) == max(32 * 24 // 64, 32)
+    # deterministic across runs
+    again = resize_images(synthetic_media(spark, 12), 32, 24).collect()
+    assert [bytes(r.content) for r in again] == [bytes(r.content) for r in out]

@@ -122,3 +122,52 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Batch image resize: binary in -> binary out with updated typed
+    metadata.  Stub transform is deterministic (digest-sized payload
+    proportional to the target area) so schema/meta plumbing is real;
+    a real implementation decodes with Pillow, resizes, re-encodes —
+    same mapInPandas shape, still a narrow plan."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target_bytes = max(width * height // 64, 32)
+        for pdf in batches:
+            if not decode_stub:  # pragma: no cover - no codec libs in image
+                raise NotImplementedError(
+                    "real image resize requires Pillow; use decode_stub=True"
+                )
+            out_content = []
+            for c in pdf["content"]:
+                raw = bytes(c) if c is not None else b""
+                buf = bytearray()
+                counter = 0
+                while len(buf) < target_bytes:
+                    buf += hashlib.blake2b(
+                        raw, digest_size=64, salt=counter.to_bytes(8, "big")
+                    ).digest()
+                    counter += 1
+                out_content.append(bytes(buf[:target_bytes]))
+            meta = pd.DataFrame(
+                {
+                    "width": width,
+                    "height": height,
+                    "sample_rate": [m["sample_rate"] for m in pdf["meta"]],
+                    "duration_ms": [m["duration_ms"] for m in pdf["meta"]],
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "content": out_content,
+                    "meta": meta.to_dict("records"),
+                }
+            )
+
+    return media.filter(F.col("modality") == "image").mapInPandas(
+        op, schema=MEDIA_SCHEMA
+    )

@@ -1763,3 +1763,40 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("top3_longest"),
     )
+
+
+def q_multimodal_frames_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (multimodal north star): 1->N frame
+    timestamps exploded JVM-side from typed metadata; the decode of
+    selected frames would be a second mapInPandas pass.  Rows-only."""
+    from vector_db_ingestor_spark.multimodal.binary_ops import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.to_binary(F.col("text"), F.lit("utf-8")).alias("content"),
+        F.named_struct(
+            F.lit("width"), F.lit(640), F.lit("height"), F.lit(480),
+            F.lit("sample_rate"), F.lit(0),
+            F.lit("duration_ms"), (F.col("n_chars") * 10).cast("int"),
+        ).alias("meta"),
+    )
+    frames = frame_sample_plan(media, every_ms=500)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_ts_ms").alias("last_frame_ms"),
+    )
+
+
+QUERIES["q_multimodal_frames"] = q_multimodal_frames_impl
+
+
+# closed-form oracle: frames at 0,500,...,<= duration-1 where
+# duration = n_chars*10  =>  n = (duration-1)//500 + 1
+ORACLE_SQL["q_multimodal_frames"] = """
+    SELECT doc_id AS media_id,
+           CAST((n_chars * 10 - 1) // 500 + 1 AS BIGINT) AS n_frames,
+           CAST(((n_chars * 10 - 1) // 500) * 500 AS INTEGER) AS last_frame_ms
+    FROM documents
+"""
