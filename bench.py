@@ -48,6 +48,13 @@ HEADLINE = [
     "q_subquery_correlated",
     "q_join_skew_salted",
     "q_token_freq",
+    "q_dedup_minhash_verified",
+    "q_ann_lsh_topk",
+    "q_ann_ivf",
+    "q_array_fns",
+    "q_text_quality",
+    "q_multimodal_features",
+    "q_stream_session",
 ]
 
 
