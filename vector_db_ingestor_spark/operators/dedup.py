@@ -91,17 +91,27 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------- minhash LSH
 
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
-    """num_perm minhash values via seeded xxhash64 over the shingle set.
+    """num_perm minhash values, all JVM-side.
 
-    min(xxhash64(shingle, seed)) per seed — the classic "K independent
-    hash functions" construction, all JVM-side.
+    Classic K-hash construction with the standard one-string-hash
+    optimization: each shingle string is xxhash64'd ONCE, and the K
+    "independent" functions re-hash that 8-byte value with K seeds —
+    min(xxhash64(xxhash64(s), seed)) per seed.  Hashing a long is far
+    cheaper than hashing the string K times, and the composition stays
+    uniform and deterministic.  The base-hash array is bound through a
+    lambda variable so it is computed once, not once per seed.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed))))
-            for seed in range(num_perm)
-        ]
-    )
+
+    def sig_of(h: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(F.transform(h, lambda x: F.xxhash64(x, F.lit(seed))))
+                for seed in range(num_perm)
+            ]
+        )
+
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    return F.element_at(F.transform(F.array(base), sig_of), 1)
 
 
 def minhash_candidates(
