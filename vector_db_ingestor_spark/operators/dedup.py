@@ -300,30 +300,32 @@ def ngram_jaccard_pairs(
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
         word_shingles(F.col(text_col), n).alias("grams"),
     )
-    sizes = sh.select("gid", F.size("grams").alias("sz"))
     # join on a 64-bit gram hash, not the string: smaller shuffle rows,
     # cheaper key compare (collisions across distinct grams of one doc
-    # pair are ~n_grams^2/2^64 — immaterial next to float rounding)
-    toks = sh.select("gid", "blk", F.explode("grams").alias("g")).select(
-        "gid", "blk", F.xxhash64("g").alias("gram")
-    )
-    x = toks.selectExpr("gid as id_a", "blk", "gram")
-    y = toks.selectExpr("gid as id_b", "blk", "gram")
+    # pair are ~n_grams^2/2^64 — immaterial next to float rounding).
+    # The set size rides along with every gram row (constant per gid,
+    # min() in the agg), so no separate sizes branch re-computing the
+    # shingles and no post-aggregation joins — one exchange (reused on
+    # both join sides) + one pair aggregation is the whole plan.
+    toks = sh.select(
+        "gid", "blk", F.size("grams").alias("sz"), F.explode("grams").alias("g")
+    ).select("gid", "blk", "sz", F.xxhash64("g").alias("gram"))
+    x = toks.selectExpr("gid as id_a", "blk", "gram", "sz as sz_a")
+    y = toks.selectExpr("gid as id_b", "blk", "gram", "sz as sz_b")
     inter = (
         x.join(y, ["blk", "gram"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
     )
-    sz_a = sizes.selectExpr("gid as id_a", "sz as sz_a")
-    sz_b = sizes.selectExpr("gid as id_b", "sz as sz_b")
     jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-    return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # ------------------------------------------------- embedding near-dup
