@@ -34,3 +34,23 @@ def emb_norm_udf(s: pd.Series) -> pd.Series:
             6,
         )
     )
+
+
+# ------------------------------------------------------------- UDTF
+
+def tokenize_udtf():
+    """Python UDTF (Spark 4 table function surface): text -> (pos,
+    token) rows, called via LATERAL in SQL.  The 1->N shape the
+    reference only had as the chunker (R4); registered by
+    q_udtf_tokens.  Arrow-batched like scalar pandas UDFs."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, token STRING")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.lower().strip().split()):
+                yield i + 1, tok
+
+    return Tokenize

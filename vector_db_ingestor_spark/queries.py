@@ -1832,3 +1832,104 @@ def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+@query(
+    "q_udtf_tokens",
+    oracle="""
+    SELECT doc_id, CAST(i AS INTEGER) AS pos, tok AS token
+    FROM (
+        SELECT doc_id,
+               unnest(toks) AS tok,
+               unnest(range(1, len(toks) + 1)) AS i
+        FROM (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        )
+    )
+    WHERE tok <> ''
+    """,
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: LATERAL table-function call producing
+    (pos, token) per document — the modern 1->N API next to the
+    chunker's pandas-UDF+posexplode."""
+    from vector_db_ingestor_spark.functions.udfs import tokenize_udtf
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("tokenize", tokenize_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL tokenize(d.text) t
+        WHERE t.token <> ''
+        """
+    )
+
+
+@query(
+    "q_sql_tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (order priority line counts): join +
+    conditional counts with an inter-table date predicate (fixtures
+    carry no shipmode/commitdate; return flag stands in)."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "q_sql_tpch_q14",
+    oracle="""
+    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): fact->dim join (part broadcasts
+    under AQE) + conditional revenue ratio."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-02-01'
+        """
+    )
