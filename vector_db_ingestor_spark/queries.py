@@ -1933,3 +1933,77 @@ def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate < TIMESTAMP '1996-02-01'
         """
     )
+
+
+@query(
+    "q_time_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hr FROM bounds
+    ), agg AS (
+        SELECT date_trunc('hour', ts) AS hr, event_type,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           t.event_type,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+           coalesce(a.total, 0.0) AS total_value
+    FROM spine s
+    CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    LEFT JOIN agg a ON a.hr = s.hr AND a.event_type = t.event_type
+    """,
+)
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (hypertable-style): a dense time spine
+    generated with sequence()+explode, cross-joined with the (tiny)
+    type dimension, left-joined to the aggregates, nulls filled.
+    The spine is O(hours) — driver-free, broadcast-size; the only big
+    shuffle is the hourly pre-aggregation, which is the minimum any
+    rollup pays."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(agg, ["hr", "event_type"], "left")
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("total", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM nation n CROSS JOIN region r
+    WHERE n.n_regionkey <> r.r_regionkey
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (small x small; BroadcastNestedLoopJoin) with
+    a non-equi residual predicate."""
+    n = load_table(spark, sf_dir, "nation").select("n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_name", "r_regionkey")
+    return (
+        n.crossJoin(r)
+        .filter(F.col("n_regionkey") != F.col("r_regionkey"))
+        .select("n_name", "r_name")
+    )
