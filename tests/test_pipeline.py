@@ -162,3 +162,28 @@ def test_upsert_files_replaces_only_named_files(spark, tmp_path):
     coll.upsert_files(chunks_for("a.pdf", ["ONE"]))
     rows = {(r.filename, r.text) for r in coll.df().collect()}
     assert rows == {("a.pdf", "ONE"), ("b.pdf", "three")}
+
+
+
+def test_text_sources_roundtrip(spark, tmp_path):
+    from vector_db_ingestor_spark.sources.text import (
+        scan_csv,
+        scan_jsonl,
+        scan_text_files,
+    )
+
+    (tmp_path / "docs.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "s0"}\n'
+        '{"doc_id": 2, "text": "gamma", "lang": "de", "source": "s1"}\n'
+    )
+    (tmp_path / "docs.csv").write_text(
+        "doc_id,text,lang,source\n1,alpha beta,en,s0\n2,gamma,de,s1\n"
+    )
+    (tmp_path / "a.txt").write_text("plain text body. second sentence.")
+
+    jl = scan_jsonl(spark, str(tmp_path / "docs.jsonl"))
+    cv = scan_csv(spark, str(tmp_path / "docs.csv"))
+    assert {tuple(r) for r in jl.collect()} == {tuple(r) for r in cv.collect()}
+    tx = scan_text_files(spark, str(tmp_path)).collect()
+    assert len(tx) == 1 and tx[0].filename == "a.txt"
+    assert tx[0].text.startswith("plain text body")
