@@ -2007,3 +2007,46 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_regionkey") != F.col("r_regionkey"))
         .select("n_name", "r_name")
     )
+
+
+@query(
+    "q_grouped_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           round(CASE WHEN stddev_samp(value) OVER w > 0
+                      THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+                 END, 6) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map custom operator (applyInPandas): per-user z-score of
+    event values computed with whole-group pandas semantics — the
+    escape hatch for per-group logic window functions can't express
+    (model scoring, per-group fits).  This particular statistic IS
+    window-expressible, which is exactly what makes it oracle-checkable;
+    the operator shape (one shuffle on the group key, Arrow batch per
+    group) is what transfers.  Skewed groups are the 100 TB caveat: a
+    whole group must fit one task, so key by bounded entities (users),
+    never by hot categories."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)
+        mean = pdf["value"].mean()
+        z = (
+            np.round((pdf["value"] - mean) / sd, 6)
+            if pd.notna(sd) and sd > 0
+            else pd.Series([np.nan] * len(pdf), index=pdf.index)
+        )
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id LONG, user_id LONG, zscore DOUBLE"
+    )
