@@ -307,9 +307,17 @@ def ngram_jaccard_pairs(
     # min() in the agg), so no separate sizes branch re-computing the
     # shingles and no post-aggregation joins — one exchange (reused on
     # both join sides) + one pair aggregation is the whole plan.
-    toks = sh.select(
-        "gid", "blk", F.size("grams").alias("sz"), F.explode("grams").alias("g")
-    ).select("gid", "blk", "sz", F.xxhash64("g").alias("gram"))
+    toks = (
+        sh.select(
+            "gid", "blk", F.size("grams").alias("sz"), F.explode("grams").alias("g")
+        )
+        .select("gid", "blk", "sz", F.xxhash64("g").alias("gram"))
+        # pre-partition on the join key: both self-join sides hang off
+        # the SAME exchange (ReusedExchange), so tokenize+shingle+hash
+        # runs ONCE over the corpus instead of once per side — and the
+        # join itself needs no further shuffle
+        .repartition("blk", "gram")
+    )
     x = toks.selectExpr("gid as id_a", "blk", "gram", "sz as sz_a")
     y = toks.selectExpr("gid as id_b", "blk", "gram", "sz as sz_b")
     inter = (
