@@ -158,6 +158,9 @@ def minhash_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
+    # shared exchange: both self-join sides reuse one shuffle stage, so
+    # shingling + signatures compute once over the corpus
+    banded = banded.repartition("band_idx", "band_hash")
     left = banded.select(
         F.col("mh_id").alias("id_a"),
         F.col("sig").alias("sig_a"),
@@ -261,6 +264,7 @@ def simhash_near_dups(
             )
         ).alias("band_idx", "band_val"),
     )
+    banded = banded.repartition("band_idx", "band_val")  # shared exchange
     left = banded.selectExpr("sh_id as id_a", "fp as fp_a", "band_idx", "band_val")
     right = banded.selectExpr("sh_id as id_b", "fp as fp_b", "band_idx", "band_val")
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
