@@ -2050,3 +2050,35 @@ def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         zscore, schema="event_id LONG, user_id LONG, zscore DOUBLE"
     )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(count(s.s_suppkey) AS BIGINT) AS n_suppliers,
+           round(coalesce(sum(s.s_acctbal), 0.0), 2) AS total_acctbal
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way dimension join (region <- nation <- supplier, TPC-H
+    Q5 fragment): both dims broadcast; covers the supplier table and
+    mixed inner/left chains under join reordering."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        r.join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
+        .join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias(
+                "total_acctbal"
+            ),
+        )
+    )

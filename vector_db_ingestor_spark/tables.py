@@ -40,6 +40,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view (for spark.sql use)."""
+    """Register every fixture table as a temp view (for spark.sql use).
+
+    Memoized per (session, sf_dir): many SQL-surface queries call this
+    and re-registering ten views per query is pure analyzer overhead.
+    """
+    key = "_vdb_registered_sf_dir"
+    registry = getattr(spark, key, None)
+    if registry == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    try:
+        setattr(spark, key, sf_dir)
+    except AttributeError:  # pragma: no cover - slotted session impls
+        pass
