@@ -90,10 +90,30 @@ def chunk_documents(
     """1->N chunk explosion: each input row yields (chunk_index, chunk).
 
     Mirrors ``ingest_pdf``'s chunk loop (``src/PDFToChromaIngester.py:141,155-170``)
-    as a narrow, shuffle-free plan: pandas-UDF chunk -> posexplode.
+    as a narrow, shuffle-free plan: a mapInPandas kernel that emits the
+    exploded rows directly — the chunk arrays never round-trip through
+    Arrow, and there is no separate Generate(posexplode) node.
     """
-    chunks = df.withColumn("chunks", chunk_udf(chunk_size, overlap)(F.col(text_col)))
-    return chunks.select(
-        *[c for c in df.columns if c != text_col],
-        F.posexplode("chunks").alias("chunk_index", "chunk"),
-    )
+    import pandas as pd  # local: keep module import light
+
+    carry = [c for c in df.columns if c != text_col]
+    carry_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != text_col)
+    out_schema = f"{carry_schema}, chunk_index int, chunk string" if carry else "chunk_index int, chunk string"
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {c: [] for c in carry}
+            out["chunk_index"] = []
+            out["chunk"] = []
+            for row_i in range(len(pdf)):
+                t = pdf[text_col].iloc[row_i]
+                pieces = chunk_text(t, chunk_size, overlap) if t is not None else []
+                for i, piece in enumerate(pieces):
+                    for c in carry:
+                        out[c].append(pdf[c].iloc[row_i])
+                    out["chunk_index"].append(i)
+                    out["chunk"].append(piece)
+            if out["chunk"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, schema=out_schema)
