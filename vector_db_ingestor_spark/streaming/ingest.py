@@ -85,3 +85,50 @@ def stream_ingest_directory(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_dedup(
+    spark: SparkSession,
+    directory: str,
+    collection_path: str,
+    checkpoint_path: str,
+    metadata: dict[str, str] | None = None,
+    chunk_size: int = 600,
+    overlap: int = 50,
+    embedder: HashingEmbedder | None = None,
+    glob: str = "*.pdf",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming ingest with content-level dedup at the sink.
+
+    The file source already gives exactly-once *per file*; this adds
+    exactly-once *per chunk content*: each micro-batch anti-joins its
+    chunks against the collection on the deterministic ``chunk_uid``
+    (sha2 of filename+index+text) before appending, so re-ingesting
+    renamed/duplicated documents adds nothing.  foreachBatch is the
+    escape hatch because the sink needs to read its own output; the
+    anti-join is an equi-join on the content hash — broadcast the batch
+    side (micro-batches are bounded by ``maxFilesPerTrigger``), or with
+    the collection bucketed on ``chunk_uid`` (save_bucketed) it is
+    co-located and shuffle-free at any size.
+    """
+    files = stream_pdf_files(spark, directory, glob, max_files_per_trigger)
+    chunks = build_chunks(files, metadata, chunk_size, overlap, embedder)
+
+    def merge(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            existing = sess.read.parquet(collection_path).select("chunk_uid")
+        except Exception:  # first batch: nothing written yet
+            existing = None
+        fresh = batch_df.dropDuplicates(["chunk_uid"])
+        if existing is not None:
+            fresh = fresh.join(existing, "chunk_uid", "left_anti")
+        fresh.write.mode("append").parquet(collection_path)
+
+    return (
+        chunks.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
