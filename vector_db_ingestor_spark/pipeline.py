@@ -316,3 +316,9 @@ def ingest_directory(
     else:
         coll.append(chunks)
     return ingest_report(files, coll.df().select("source", "filename"))
+
+
+def list_collections(spark: SparkSession, database: str | None = None):
+    """R16 catalog op (client.list_collections, src/RagWorkflow.py:26):
+    collections are tables/views in the Spark catalog."""
+    return spark.catalog.listTables(database) if database else spark.catalog.listTables()

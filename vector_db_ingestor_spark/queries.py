@@ -2082,3 +2082,31 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_string_fns2",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER) AS vowel_runs,
+           translate(lang, 'aeiou', 'AEIOU') AS lang_t,
+           repeat(lang, 2) AS lang2,
+           left(text, 12) AS head12,
+           right(source, 2) AS tail2
+    FROM documents
+    """,
+)
+def q_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery: regex capture groups, extract_all counts,
+    translate / repeat / left / right."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"src([0-9]+)", 1).alias("src_num"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[aeiou]+"), 0)).alias("vowel_runs"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_t"),
+        F.repeat("lang", 2).alias("lang2"),
+        F.left("text", F.lit(12)).alias("head12"),
+        F.right("source", F.lit(2)).alias("tail2"),
+    )
