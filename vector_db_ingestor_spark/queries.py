@@ -2110,3 +2110,92 @@ def q_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.left("text", F.lit(12)).alias("head12"),
         F.right("source", F.lit(2)).alias("tail2"),
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, round(val, 2) AS val
+    FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber,
+                        l_quantity AS qty, l_extendedprice AS price, l_tax AS tax
+                 FROM lineitem WHERE l_orderkey < 100)
+        ON qty, price, tax
+        INTO NAME metric VALUE val
+    )
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (inverse of q_pivot): wide measure columns to
+    (metric, value) rows — a JVM-side Expand node, one row in, three
+    out, no shuffle."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_quantity").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_tax").alias("tax"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"], ["qty", "price", "tax"], "metric", "v"
+    ).select("l_orderkey", "l_linenumber", "metric", F.round("v", 2).alias("val"))
+
+
+@query(
+    "q_date_fns",
+    oracle="""
+    SELECT event_id,
+           CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           last_day(CAST(ts AS DATE)) AS month_end,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(quarter(ts) AS INTEGER) AS qtr,
+           CAST(ts + INTERVAL 2 MONTH AS DATE) AS plus2m,
+           CAST(ts + INTERVAL 10 DAY AS DATE) AS plus10d
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime battery: week truncation, month end, day-of-week
+    (aligned to Spark's 1=Sunday convention), quarter, interval adds."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return ev.select(
+        "event_id",
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+        F.last_day(F.col("ts").cast("date")).alias("month_end"),
+        F.dayofweek("ts").alias("dow"),
+        F.quarter("ts").alias("qtr"),
+        F.add_months(F.col("ts").cast("date"), 2).alias("plus2m"),
+        F.date_add(F.col("ts").cast("date"), 10).alias("plus10d"),
+    )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
+    FROM (SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS p
+          FROM orders WHERE o_orderkey < 60) a
+    JOIN (SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS p
+          FROM orders WHERE o_orderkey < 60) b
+      ON a.p IS NOT DISTINCT FROM b.p AND a.o_orderkey < b.o_orderkey
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+    match each other, unlike plain equi-joins which drop them."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 60)
+        .select(
+            "o_orderkey", F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("p")
+        )
+    )
+    a = o.selectExpr("o_orderkey as key_a", "p as pa")
+    b = o.selectExpr("o_orderkey as key_b", "p as pb")
+    return (
+        a.join(b, a.pa.eqNullSafe(b.pb) & (a.key_a < b.key_b))
+        .select("key_a", "key_b")
+    )
