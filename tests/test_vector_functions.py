@@ -65,3 +65,27 @@ def test_float_arrays_upcast(spark):
     (out,) = df.select(dot("v", "v").alias("d")).collect()
     f = np.float64(np.float32(0.1)) ** 2 + np.float64(np.float32(0.2)) ** 2
     assert out.d == pytest.approx(float(f), rel=1e-12)
+
+
+def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
+    from vector_db_ingestor_spark.constants import EMBEDDING_DIM, PROBE_64
+    from vector_db_ingestor_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        lsh_topk_multiprobe,
+    )
+    from vector_db_ingestor_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = spark.createDataFrame(
+        [(0, PROBE_64)], schema="query_id INT, query_vec ARRAY<DOUBLE>"
+    )
+    exact = {r.vec_id for r in brute_force_topk(emb, probes, k=10).collect()}
+    single = {r.vec_id for r in lsh_topk(emb, probes, EMBEDDING_DIM, k=10, n_bits=4).collect()}
+    multi = {r.vec_id for r in lsh_topk_multiprobe(emb, probes, EMBEDDING_DIM, k=10, n_bits=4).collect()}
+    assert len(exact) == 10
+    # multiprobe candidates are a superset of the single bucket, so its
+    # recall can only improve; the absolute number stays low on this
+    # fixture (near-random synthetic vectors have weak LSH locality)
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi & exact) >= 1

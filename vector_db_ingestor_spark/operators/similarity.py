@@ -280,3 +280,45 @@ def simjoin_lsh(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def lsh_topk_multiprobe(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    probe_vec_col: str = "query_vec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each probe searches its own bucket plus
+    every bucket at Hamming distance 1 (one hyperplane flip).
+
+    Recall recovers most of what single-bucket LSH loses at bucket
+    boundaries for (n_bits + 1)x more candidate rows per probe — still
+    ~(n_bits+1)/2^n_bits of a full scan.  The probe side (tiny) is the
+    one exploded, the big table is bucketed once; the join stays a
+    broadcast hash join on the bucket id.
+    """
+    e = embeddings.withColumn("__bucket", rp_lsh_bucket(F.col(vec_col), dim, n_bits))
+    base = probes.withColumn("__b0", rp_lsh_bucket(F.col(probe_vec_col), dim, n_bits))
+    flips = F.array(F.lit(0), *[F.lit(1 << b) for b in range(n_bits)])
+    p = base.withColumn(
+        "__bucket", F.explode(F.transform(flips, lambda m: F.col("__b0").bitwiseXOR(m)))
+    ).drop("__b0")
+    scored = e.join(F.broadcast(p), "__bucket").withColumn(
+        "score",
+        F.round(cosine_similarity(F.col(vec_col), F.col(probe_vec_col)), round_dp),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.dropDuplicates([probe_id_col, id_col])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, "score", "rank")
+    )

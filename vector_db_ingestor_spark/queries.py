@@ -2199,3 +2199,19 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a.pa.eqNullSafe(b.pb) & (a.key_a < b.key_b))
         .select("key_a", "key_b")
     )
+
+
+def q_ann_lsh_multiprobe_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: probe bucket + all 1-bit-flip neighbors —
+    recall close to exact at a fraction of the scan (rows-only)."""
+    from vector_db_ingestor_spark.constants import EMBEDDING_DIM
+    from vector_db_ingestor_spark.operators.similarity import lsh_topk_multiprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = spark.createDataFrame(
+        [(0, PROBE_64)], schema="query_id INT, query_vec ARRAY<DOUBLE>"
+    )
+    return lsh_topk_multiprobe(emb, probes, dim=EMBEDDING_DIM, k=10, n_bits=4)
+
+
+QUERIES["q_ann_lsh_multiprobe"] = q_ann_lsh_multiprobe_impl
