@@ -2215,3 +2215,32 @@ def q_ann_lsh_multiprobe_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_ann_lsh_multiprobe"] = q_ann_lsh_multiprobe_impl
+
+
+@query(
+    "q_bitwise_fns",
+    oracle="""
+    SELECT user_id,
+           CAST(bit_and(event_id & 255) AS BIGINT) AS mask_and,
+           CAST(bit_or(event_id & 255) AS BIGINT) AS mask_or,
+           CAST(bit_xor(event_id & 255) AS BIGINT) AS mask_xor,
+           CAST(min(event_id << 2) AS BIGINT) AS min_shl,
+           CAST(max(event_id >> 3) AS BIGINT) AS max_shr,
+           CAST(sum(bit_count(CAST(event_id AS BIGINT))) AS BIGINT) AS popcount_sum
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_bitwise_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery: &, shifts, bit_count scalar ops and
+    bit_and/bit_or/bit_xor aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = F.col("event_id").bitwiseAND(F.lit(255))
+    return ev.groupBy("user_id").agg(
+        F.bit_and(masked).alias("mask_and"),
+        F.bit_or(masked).alias("mask_or"),
+        F.bit_xor(masked).alias("mask_xor"),
+        F.min(F.shiftleft("event_id", 2)).alias("min_shl"),
+        F.max(F.shiftright("event_id", 3)).alias("max_shr"),
+        F.sum(F.bit_count("event_id")).alias("popcount_sum"),
+    )
