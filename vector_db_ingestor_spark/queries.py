@@ -2244,3 +2244,31 @@ def q_bitwise_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.shiftright("event_id", 3)).alias("max_shr"),
         F.sum(F.bit_count("event_id")).alias("popcount_sum"),
     )
+
+
+@query(
+    "q_predicates_like",
+    oracle="""
+    SELECT c_custkey,
+           c_name LIKE '%1%' AS has_one,
+           c_mktsegment ILIKE 'bui%' AS is_building_i,
+           regexp_matches(c_name, '[0-9]{2}$') AS ends_2digits,
+           starts_with(c_mktsegment, 'HOUSE') AS seg_house,
+           ends_with(c_name, '0') AS name_ends0,
+           contains(c_mktsegment, 'MACH') AS seg_mach
+    FROM customer
+    """,
+)
+def q_predicates_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-predicate battery: LIKE / ILIKE / regex match /
+    starts_with / ends_with / contains as boolean projections."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_name").like("%1%").alias("has_one"),
+        F.col("c_mktsegment").ilike("bui%").alias("is_building_i"),
+        F.col("c_name").rlike("[0-9]{2}$").alias("ends_2digits"),
+        F.startswith("c_mktsegment", F.lit("HOUSE")).alias("seg_house"),
+        F.endswith("c_name", F.lit("0")).alias("name_ends0"),
+        F.contains("c_mktsegment", F.lit("MACH")).alias("seg_mach"),
+    )
