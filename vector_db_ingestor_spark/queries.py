@@ -2272,3 +2272,38 @@ def q_predicates_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.endswith("c_name", F.lit("0")).alias("name_ends0"),
         F.contains("c_mktsegment", F.lit("MACH")).alias("seg_mach"),
     )
+
+
+@query(
+    "q_math_fns",
+    oracle="""
+    SELECT event_id,
+           round(sqrt(abs(value)), 6) AS sq,
+           round(pow(value, 2), 4) AS sqr,
+           round(exp(value / 100.0), 6) AS ex,
+           round(ln(abs(value) + 1.0), 6) AS lg,
+           round(log10(abs(value) + 1.0), 6) AS lg10,
+           CAST(ceil(value) AS BIGINT) AS cl,
+           CAST(floor(value) AS BIGINT) AS fl,
+           CAST(sign(value - 50.0) AS INTEGER) AS sgn,
+           CAST(value % 7 AS DOUBLE) AS md
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery: sqrt/pow/exp/ln/log10/ceil/floor/sign/mod — IEEE
+    doubles on both engines, rounded to common precision."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.sqrt(F.abs(v)), 6).alias("sq"),
+        F.round(F.pow(v, 2), 4).alias("sqr"),
+        F.round(F.exp(v / 100.0), 6).alias("ex"),
+        F.round(F.log(F.abs(v) + 1.0), 6).alias("lg"),
+        F.round(F.log10(F.abs(v) + 1.0), 6).alias("lg10"),
+        F.ceil(v).alias("cl"),
+        F.floor(v).alias("fl"),
+        F.signum(v - 50.0).cast("int").alias("sgn"),
+        (v % 7).cast("double").alias("md"),
+    )
