@@ -150,3 +150,46 @@ def test_salted_join_equals_plain_join(spark):
         .count()
     )
     assert n_salt_values > 1
+
+
+def test_salted_join_left_matches_and_right_rejected(spark):
+    from vector_db_ingestor_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(50)], "rid INT, k INT, v DOUBLE"
+    )
+    small = spark.createDataFrame([(0, "a"), (9, "unmatched")], "k INT, name STRING")
+    plain = {
+        tuple(r)
+        for r in big.join(small, "k", "left").select("rid", "k", "v", "name").collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_join(big, small, "k", n_salts=4, how="left")
+        .select("rid", "k", "v", "name")
+        .collect()
+    }
+    assert salted == plain
+    # right/full would emit unmatched small-side rows once per salt copy
+    import pytest
+
+    for bad in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", n_salts=4, how=bad)
+
+
+def test_word_shingles_short_doc_yields_empty(spark):
+    from vector_db_ingestor_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d")], "doc_id INT, text STRING"
+    )
+    rows = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", word_shingles(F.col("text"), 3).alias("g")).collect()
+    }
+    # docs with < 3 tokens produce an empty gram set, not an ANSI
+    # element_at fault from a descending sequence
+    assert rows[1] == []
+    assert rows[2] == []
+    assert rows[3] == ["a b c", "b c d"]

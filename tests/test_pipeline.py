@@ -48,6 +48,27 @@ def test_build_chunks_from_synthetic_binary(spark, tmp_path):
     assert [r.chunk_uid for r in rows2] == [r.chunk_uid for r in rows]
 
 
+def test_build_chunks_honors_embedder_subclass(spark):
+    from vector_db_ingestor_spark.embedding import HashingEmbedder
+
+    class MarkerEmbedder(HashingEmbedder):
+        def embed_one(self, text, prefix="passage"):
+            v = [0.0] * self.dim
+            v[0] = 42.0
+            return v
+
+    body = b"stream\n(Enough words to make at least one chunk here.) Tj\nendstream"
+    files = spark.createDataFrame(
+        [("file:/fake/m.pdf", "m.pdf", len(body), bytearray(body))],
+        "source STRING, filename STRING, file_bytes LONG, content BINARY",
+    )
+    rows = build_chunks(files, embedder=MarkerEmbedder(dim=8)).collect()
+    assert rows, "expected chunks"
+    # the subclass's embed_one must run inside the fused kernel — a
+    # silently substituted base HashingEmbedder would fail this
+    assert all(r.embedding[0] == 42.0 and len(r.embedding) == 8 for r in rows)
+
+
 @pytest.mark.skipif(not PDF_DIR.exists(), reason="reference corpus not present")
 def test_ingest_directory_end_to_end(spark, tmp_path):
     out = str(tmp_path / "collection")

@@ -75,14 +75,26 @@ class HashingEmbedder:
             v /= n
         return [float(x) for x in v]
 
+    def task_factory(self):
+        """Zero-arg constructor for per-task instantiation inside UDFs.
+
+        Captures ``type(self)`` so subclasses that override
+        ``embed_one`` stay in effect on executors; a subclass with
+        extra constructor state should override this to capture it.
+        The memo cache is deliberately rebuilt per task (it is a pure
+        performance cache, not model state).
+        """
+        cls, dim, ngram = type(self), self.dim, self.ngram
+        return lambda: cls(dim, ngram)
+
     def udf(self, prefix: str = "passage"):
-        dim, ngram = self.dim, self.ngram
+        make = self.task_factory()
 
         @F.pandas_udf(T.ArrayType(T.DoubleType()))
         def _embed(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
             # per-task init happens here once (model load for real
             # embedders); batches stream through via Arrow
-            embedder = HashingEmbedder(dim, ngram)
+            embedder = make()
             for series in batch_iter:
                 yield series.map(lambda t: embedder.embed_one(t, prefix))
 

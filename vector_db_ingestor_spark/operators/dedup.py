@@ -74,7 +74,7 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
         idx = F.sequence(F.lit(0), F.size(t) - n)
         # concat_ws over n element_at lookups: no per-gram array
         # allocation (slice+array_join was ~2x slower on the bench)
-        return F.array_sort(
+        grams = F.array_sort(
             F.array_distinct(
                 F.transform(
                     idx,
@@ -83,6 +83,12 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
                     ),
                 )
             )
+        )
+        # docs with < n tokens: sequence(0, size-n) would descend through
+        # negative indices and element_at would fault under ANSI mode —
+        # such docs have no n-gram, so yield an empty set instead.
+        return F.when(F.size(t) >= n, grams).otherwise(
+            F.array().cast("array<string>")
         )
 
     return F.element_at(F.transform(F.array(toks), grams_of), 1)

@@ -133,15 +133,19 @@ def salted_join(
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-salted equi-join, result-identical to ``big.join(small, key, how)``.
+    """Skew-salted equi-join, result-identical to ``big.join(small, key, how)``
+    for ``how`` in {'inner', 'left', 'left_semi', 'left_anti'}.
 
     For a shuffle join whose key distribution is skewed (one hot key
     lands an entire reducer), salt the big side into ``n_salts``
     sub-keys with a deterministic hash of the whole row, and replicate
     the small side once per salt via ``explode(sequence(...))`` — the
-    hot key's rows now spread over ``n_salts`` reducers.  Results are
-    exactly the plain join's (salt is a join-key refinement on
-    replicated rows, never a filter).
+    hot key's rows now spread over ``n_salts`` reducers.  For
+    big-side-preserving joins the salt is a join-key refinement on
+    replicated rows, never a filter, so results are exactly the plain
+    join's.  Small-side-preserving joins ('right', 'full') are
+    rejected: an unmatched small-side row exists once per salt copy and
+    would be emitted ``n_salts`` times instead of once.
 
     At 100 TB prefer AQE's skew-join splitting when it triggers
     (``spark.sql.adaptive.skewJoin``); explicit salting is for the
@@ -151,6 +155,13 @@ def salted_join(
     side pays an n_salts x replication, so keep it for genuinely small
     dimensions.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "semi",
+               "left_anti", "anti", "leftsemi", "leftanti", "leftouter"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not identity-preserving under "
+            "small-side replication; use one of inner/left/left_semi/left_anti"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     b = big.withColumn("__salt", salt.cast("int"))
     s = small.withColumn(

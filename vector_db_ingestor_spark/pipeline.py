@@ -80,13 +80,13 @@ def build_chunks(
     embedder = embedder or HashingEmbedder()
     if num_partitions is None:
         num_partitions = files.sparkSession.sparkContext.defaultParallelism
-    dim, ngram = embedder.dim, embedder.ngram
+    make_embedder = embedder.task_factory()
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Fused extract -> chunk -> explode -> embed kernel: ONE Python
         # round-trip instead of three chained ArrowEvalPython nodes, so
         # document text and chunk arrays never ping-pong JVM<->Python.
-        emb = HashingEmbedder(dim, ngram)  # per-task init (model load)
+        emb = make_embedder()  # per-task init (model load)
         for pdf in batches:
             out: dict[str, list] = {
                 "source": [], "filename": [], "total_chunks": [],

@@ -20,6 +20,7 @@ is stateless (no watermark needed).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -119,7 +120,14 @@ def stream_ingest_dedup(
         sess = batch_df.sparkSession
         try:
             existing = sess.read.parquet(collection_path).select("chunk_uid")
-        except Exception:  # first batch: nothing written yet
+        except AnalysisException as e:
+            # Only a genuinely-missing collection means "first batch".
+            # Any other read failure (permissions, corrupt footer) must
+            # propagate — swallowing it would silently disable the
+            # content-level anti-join and append duplicates.
+            cls = getattr(e, "getCondition", lambda: None)() or ""
+            if "PATH_NOT_FOUND" not in cls and "PATH_NOT_FOUND" not in str(e):
+                raise
             existing = None
         fresh = batch_df.dropDuplicates(["chunk_uid"])
         if existing is not None:
