@@ -89,3 +89,32 @@ def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
     # fixture (near-random synthetic vectors have weak LSH locality)
     assert len(multi & exact) >= len(single & exact)
     assert len(multi & exact) >= 1
+
+
+def test_ivf_build_query_decoupled(spark, tmp_path):
+    from vector_db_ingestor_spark.operators import similarity as S
+    from vector_db_ingestor_spark.constants import EMBEDDING_DIM, PROBE_64
+    from vector_db_ingestor_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_idx")
+    S.ivf_write(emb, path, dim=EMBEDDING_DIM, n_centroids=4, iters=1)
+    indexed, centroids = S.ivf_read(spark, path)
+    assert len(centroids) == 4 and len(centroids[0]) == EMBEDDING_DIM
+    # the collection scan must not pick up the _centroids sidecar
+    assert "cvec" not in indexed.columns and "cid" in indexed.columns
+
+    # query path must NEVER train: poison ivf_train for the duration
+    real_train = S.ivf_train
+    S.ivf_train = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("query path called ivf_train")
+    )
+    try:
+        out = S.ivf_topk(indexed, centroids, PROBE_64, k=5, nprobe=2).collect()
+    finally:
+        S.ivf_train = real_train
+    assert len(out) == 5
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    shortlist = set(S.ivf_shortlist(centroids, PROBE_64, 2))
+    assert {r.cid for r in out} <= shortlist

@@ -192,28 +192,50 @@ def ivf_build(
     return assignments, cents
 
 
-def ivf_topk(
+def ivf_write(
     embeddings: DataFrame,
-    probe: list[float],
+    path: str,
     dim: int,
-    k: int = 10,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_dp: int = 6,
-) -> DataFrame:
-    """Approximate top-k for one probe: search only the ``nprobe``
-    centroid lists nearest the probe vector.
-
-    The probe's centroid shortlist is computed driver-side from the
-    trained model (tiny), so the query plan is a single narrow scan
-    with an ``isin`` filter + ``TakeOrderedAndProject`` — at 100 TB
-    this prunes (1 - nprobe/n_centroids) of the data before scoring,
-    and with the collection written partitioned/bucketed by ``cid``
-    the pruning happens at the file level.
+) -> list[list[float]]:
+    """BUILD TIME: train centroids and persist the collection
+    partitioned by ``cid``, so query-time ``nprobe`` pruning is file
+    skipping (``PartitionFilters`` on the scan, not a post-scan
+    filter).  The centroid model (n_centroids x dim floats — tiny) is
+    stored as a ``_centroids`` parquet inside the index directory;
+    the leading underscore makes Spark's reader skip it when scanning
+    the collection itself.
     """
-    centroids = ivf_train(embeddings, dim, n_centroids, iters=2, id_col=id_col, vec_col=vec_col)
+    centroids = ivf_train(embeddings, dim, n_centroids, iters, id_col, vec_col)
+    vec = F.col(vec_col).cast("array<double>")
+    (
+        embeddings.withColumn("cid", _assign_cid(vec, centroids))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], schema="cid INT, cvec ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    return centroids
+
+
+def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Open a persisted IVF index: (cid-partitioned collection, centroid
+    model).  The collection scan skips the ``_centroids`` sidecar."""
+    indexed = spark.read.parquet(path)
+    rows = spark.read.parquet(path + "/_centroids").orderBy("cid").collect()
+    return indexed, [list(r.cvec) for r in rows]
+
+
+def ivf_shortlist(
+    centroids: list[list[float]], probe: list[float], nprobe: int
+) -> list[int]:
+    """Driver-side: the ``nprobe`` centroid ids nearest the probe."""
     pv = [float(x) for x in probe]
 
     def cos(a: list[float], b: list[float]) -> float:
@@ -222,14 +244,38 @@ def ivf_topk(
         nb = math.sqrt(sum(x * x for x in b))
         return s / (na * nb) if na and nb else 0.0
 
-    shortlist = sorted(
-        range(len(centroids)), key=lambda i: (-cos(centroids[i], pv), i)
-    )[:nprobe]
-    probe_col = F.lit(pv)
+    return sorted(range(len(centroids)), key=lambda i: (-cos(centroids[i], pv), i))[
+        :nprobe
+    ]
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    probe: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """QUERY TIME: approximate top-k for one probe over a prebuilt
+    index — NO training, NO full-table pass.
+
+    ``indexed`` carries a ``cid`` column (from :func:`ivf_read` /
+    :func:`ivf_build`); ``centroids`` is the driver-held model.  The
+    probe's centroid shortlist is computed driver-side (tiny), so the
+    plan is a single scan with ``cid IN (...)`` +
+    ``TakeOrderedAndProject``.  With the collection written
+    ``partitionBy("cid")`` (:func:`ivf_write`) the ``isin`` lands in
+    ``PartitionFilters`` — (1 - nprobe/n_centroids) of a 100 TB
+    collection is never read at all.
+    """
+    shortlist = ivf_shortlist(centroids, probe, nprobe)
+    probe_col = F.lit([float(x) for x in probe])
     vec = F.col(vec_col).cast("array<double>")
     return (
-        embeddings.withColumn("cid", _assign_cid(vec, centroids))
-        .filter(F.col("cid").isin(shortlist))
+        indexed.filter(F.col("cid").isin(shortlist))
         .withColumn("score", F.round(cosine_similarity(vec, probe_col), round_dp))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
