@@ -193,3 +193,23 @@ def test_word_shingles_short_doc_yields_empty(spark):
     assert rows[1] == []
     assert rows[2] == []
     assert rows[3] == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_df_cap_contract(spark, sf_dir):
+    from vector_db_ingestor_spark.operators.dedup import ngram_jaccard_pairs
+    from vector_db_ingestor_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    exact = {tuple(r) for r in ngram_jaccard_pairs(
+        docs, block_col="lang", n=2, threshold=0.2).collect()}
+    # generous cap (no gram in the fixture exceeds it for a true pair):
+    # capped result is IDENTICAL — every reported jaccard is exact
+    generous = {tuple(r) for r in ngram_jaccard_pairs(
+        docs, block_col="lang", n=2, threshold=0.2, max_df=n_docs).collect()}
+    assert generous == exact
+    # tight cap: only drops pairs (recall contract), never adds or
+    # changes a jaccard value
+    tight = {tuple(r) for r in ngram_jaccard_pairs(
+        docs, block_col="lang", n=2, threshold=0.2, max_df=3).collect()}
+    assert tight <= exact

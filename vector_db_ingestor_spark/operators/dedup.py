@@ -292,6 +292,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = "lang",
     n: int = 2,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets.
 
@@ -301,15 +302,27 @@ def ngram_jaccard_pairs(
     hash aggregation (JVM-side, AQE/skew-aware) — no quadratic
     per-pair array scanning.  Pairs sharing zero grams can never reach
     any positive threshold, so restricting to gram-sharing pairs is
-    exact.  At 100 TB, cap hot-gram buckets (stopword-like shingles)
-    with a document-frequency filter or move to minhash candidates
-    (:func:`minhash_candidates`) + this as the verify stage.
+    exact.
+
+    ``max_df`` is the hot-gram cap for scale: a gram occurring in more
+    than ``max_df`` documents (a stopword-like shingle) contributes
+    ~df^2/2 join rows — the one place this plan can go quadratic.  With
+    the cap, candidate pairs are generated from *rare* grams only, then
+    verified with an exact array-intersection over the pair's FULL gram
+    sets, so every reported jaccard is still exact.  Recall contract:
+    the only pairs missed are those whose shared grams are ALL hot
+    (each in > max_df docs) — for near-dup thresholds those are
+    boilerplate-only overlaps, and any pair sharing one rare gram is
+    still found.  ``max_df=None`` keeps the fully-exact single-pass
+    plan (the verify-stage role, cf. :func:`minhash_verified_pairs`).
     """
     sh = df.select(
         F.col(id_col).alias("gid"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
         word_shingles(F.col(text_col), n).alias("grams"),
     )
+    if max_df is not None:
+        return _ngram_jaccard_capped(sh, threshold, max_df)
     # join on a 64-bit gram hash, not the string: smaller shuffle rows,
     # cheaper key compare (collisions across distinct grams of one doc
     # pair are ~n_grams^2/2^64 — immaterial next to float rounding).
@@ -346,38 +359,117 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _ngram_jaccard_capped(sh: DataFrame, threshold: float, max_df: int) -> DataFrame:
+    """Candidates from rare grams (df <= max_df), exact verify on full
+    gram sets.  See :func:`ngram_jaccard_pairs` for the recall contract.
+    """
+    toks = sh.select(
+        "gid", "blk", F.explode("grams").alias("g")
+    ).select("gid", "blk", F.xxhash64("g").alias("gram"))
+    # The hot-gram list itself is tiny by definition (few grams exceed
+    # max_df), so compute it with a hash agg and remove via broadcast
+    # anti-join — the token stream is shuffled ONCE (repartition on the
+    # self-join key; both sides reuse the exchange), not re-sorted for
+    # a window.  Grams are distinct per doc, so count(*) == df.
+    hot = (
+        toks.groupBy("blk", "gram")
+        .count()
+        .filter(F.col("count") > max_df)
+        .select("blk", "gram")
+    )
+    rare = toks.repartition("blk", "gram").join(
+        F.broadcast(hot), ["blk", "gram"], "left_anti"
+    )
+    cand = (
+        rare.selectExpr("gid as id_a", "blk", "gram")
+        .join(rare.selectExpr("gid as id_b", "blk", "gram"), ["blk", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = sh.select(F.col("gid").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = sh.select(F.col("gid").alias("id_b"), F.col("grams").alias("grams_b"))
+    n_inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    n_union = F.size("grams_a") + F.size("grams_b") - n_inter
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(n_inter / n_union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ------------------------------------------------- embedding near-dup
 
 def embedding_near_dups(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
     threshold: float = 0.9,
+    dim: int | None = None,
+    n_bits: int = 8,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold.
 
-    Blocked self-join (same ``label`` here; random-projection LSH
-    buckets at scale — see operators/similarity.py) + JVM-side cosine.
+    Default blocking is random-hyperplane LSH buckets with 1-bit
+    multiprobe (:func:`~vector_db_ingestor_spark.operators.similarity.
+    rp_lsh_bucket`): candidates are pairs whose n_bits-bit signatures
+    are at Hamming distance <= 1, generated by exploding ONE side of
+    the self-join into its (n_bits + 1) probe buckets and hash-joining
+    on the bucket id — candidate volume stays ~linear in corpus size,
+    unlike any fixed-column blocking where a low-cardinality block goes
+    quadratic within the block (the 100 TB failure mode of label
+    blocking).  Exact cosine verify runs on candidates only.  Each
+    qualifying pair is emitted exactly once: the flip mask matching a
+    pair's signature xor is unique.
+
+    ``block_col`` forces equality blocking on an explicit column
+    instead — the small-scale / verify-stage variant; it requires
+    domain knowledge that near-dups can't cross blocks.
     """
-    cols = [F.col(id_col), F.col(vec_col)]
-    if block_col:
-        cols.append(F.col(block_col))
-    e = embeddings.select(*cols)
-    a = e.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
-    )
-    b = e.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
-    )
     cos = F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6)
+    if block_col is not None:
+        e = embeddings.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+        a = e.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("vec_a"),
+            F.col(block_col).alias("blk"),
+        )
+        b = e.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vec_b"),
+            F.col(block_col).alias("blk"),
+        )
+        joined = a.join(b, "blk")
+    else:
+        if dim is None:
+            raise ValueError("embedding_near_dups: dim is required for LSH blocking")
+        from vector_db_ingestor_spark.operators.similarity import rp_lsh_bucket
+
+        e = embeddings.select(F.col(id_col), F.col(vec_col)).withColumn(
+            "__bkt", rp_lsh_bucket(F.col(vec_col), dim, n_bits)
+        )
+        flips = F.array(F.lit(0), *[F.lit(1 << b) for b in range(n_bits)])
+        a = e.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("vec_a"),
+            F.explode(
+                F.transform(flips, lambda m: F.col("__bkt").bitwiseXOR(m))
+            ).alias("__bkt"),
+        )
+        b = e.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vec_b"),
+            F.col("__bkt"),
+        )
+        joined = a.join(b, "__bkt")
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

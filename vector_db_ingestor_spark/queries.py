@@ -905,23 +905,53 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, block_col="lang", n=2, threshold=0.2)
 
 
-@query(
-    "q_dedup_embed",
-    oracle="""
+def _lsh_bucket_sql(vec_expr: str, dim: int, n_bits: int) -> str:
+    """DuckDB expression reproducing rp_lsh_bucket bit-for-bit: the
+    hyperplanes are closed-form literals, so the approximate op gets an
+    EXACT oracle."""
+    from vector_db_ingestor_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for bit in range(n_bits):
+        lit = "[" + ", ".join(repr(x) for x in _hyperplane(dim, bit)) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0"
+            f" THEN {1 << bit} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _dedup_embed_oracle(dim: int = 64, n_bits: int = 8, threshold: float = 0.3) -> str:
+    masks = ", ".join(str(1 << b) for b in range(n_bits))
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               {_lsh_bucket_sql("embedding::DOUBLE[]", dim, n_bits)} AS bkt
+        FROM embeddings
+    )
     SELECT * FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-    ) WHERE cosine >= 0.3
-    """,
-)
+        FROM e a JOIN e b
+          ON a.vec_id < b.vec_id
+         AND (a.bkt = b.bkt OR xor(a.bkt, b.bkt) IN ({masks}))
+    ) WHERE cosine >= {threshold}
+    """
+
+
+@query("q_dedup_embed", oracle=_dedup_embed_oracle())
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs on a label-blocked self-join."""
+    """Embedding-cosine near-dup pairs, LSH-bucket blocked (random
+    hyperplanes + 1-bit multiprobe) with exact cosine verify on
+    candidates — the 100 TB blocking strategy, oracle-verified exactly
+    because the hyperplanes are closed-form literals DuckDB can
+    evaluate too."""
+    from vector_db_ingestor_spark.constants import EMBEDDING_DIM
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dups(emb, block_col="label", threshold=0.3)
+    return embedding_near_dups(emb, threshold=0.3, dim=EMBEDDING_DIM, n_bits=8)
 
 
 # =====================================================================
