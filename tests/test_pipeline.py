@@ -48,6 +48,42 @@ def test_build_chunks_from_synthetic_binary(spark, tmp_path):
     assert [r.chunk_uid for r in rows2] == [r.chunk_uid for r in rows]
 
 
+def test_search_accepts_query_list(spark, tmp_path):
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    body = (
+        b"stream\n(Spark processes data at scale. Chroma stores embeddings. "
+        b"Retrieval augmented generation needs context. ) Tj\nendstream"
+    )
+    files = spark.createDataFrame(
+        [("file:/fake/a.pdf", "a.pdf", len(body), bytearray(body))],
+        "source STRING, filename STRING, file_bytes LONG, content BINARY",
+    )
+    coll = VectorCollection(spark, str(tmp_path / "coll"))
+    coll.overwrite(build_chunks(files, chunk_size=40, overlap=5))
+
+    queries = ["spark scale", "chroma embeddings", "rag context"]
+    hits = coll.search(queries, n_results=2).collect()
+    by_query = {}
+    for r in hits:
+        by_query.setdefault(r.query_idx, []).append(r)
+    # every query gets its own ranked hits, tagged with its text
+    assert set(by_query) == {0, 1, 2}
+    for i, q in enumerate(queries):
+        ranks = sorted(r.rank for r in by_query[i])
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert all(r.query_text == q for r in by_query[i])
+    # single-string path unchanged
+    single = coll.search("spark scale", n_results=2).collect()
+    assert [r.chunk_uid for r in single] == [
+        r.chunk_uid for r in sorted(by_query[0], key=lambda r: r.rank)
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        coll.search(["ok", "  "])
+
+
 def test_build_chunks_honors_embedder_subclass(spark):
     from vector_db_ingestor_spark.embedding import HashingEmbedder
 

@@ -18,6 +18,14 @@ EMBEDDING_DIM = 64
 #: Fixed probe vector used by q_topk_cosine / q_knn_per_label.
 PROBE_64: list[float] = [round(math.sin(i + 1.0), 6) for i in range(EMBEDDING_DIM)]
 
+#: Probe batch for q_topk_batch (Chroma query_texts is a list): the
+#: base probe plus two deterministic variants.
+PROBE_BATCH: list[list[float]] = [
+    PROBE_64,
+    list(reversed(PROBE_64)),
+    [round(math.cos(i + 1.0), 6) for i in range(EMBEDDING_DIM)],
+]
+
 
 def probe_sql_literal(probe: list[float] | None = None) -> str:
     """Render the probe as a DuckDB DOUBLE[] literal."""

@@ -67,6 +67,46 @@ def topk_cosine(
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def topk_cosine_batch(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    predicate: Column | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_idx",
+    probe_vec_col: str = "query_vec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Batched R10 (Chroma ``query_texts`` is a LIST,
+    ``src/PDFToChromaIngester.py:228-231``): N probes answered by ONE
+    scan of the collection.
+
+    The probe set is tiny → broadcast; scoring is a JVM cosine against
+    each probe; per-probe ranking is a window on the probe id.  All
+    passthrough columns survive (unlike
+    :func:`~vector_db_ingestor_spark.operators.similarity.
+    brute_force_topk`, which returns ids only).  One scan + one window
+    shuffle regardless of probe count — at 100 TB, batching 100 queries
+    costs ~1 scan, not 100.
+    """
+    scored = embeddings
+    if predicate is not None:
+        scored = scored.filter(predicate)
+    scored = scored.crossJoin(F.broadcast(probes)).withColumn(
+        "score",
+        F.round(cosine_similarity(F.col(vec_col), F.col(probe_vec_col)), round_dp),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.drop(vec_col, probe_vec_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_per_group(
     embeddings: DataFrame,
     probe: list[float],

@@ -245,31 +245,74 @@ class VectorCollection:
         )
 
     # ------------------------------------------------------------ query
+    def _metadata_predicate(self, filter_metadata: dict[str, str] | None):
+        predicate = None
+        if filter_metadata:
+            for k, v in filter_metadata.items():
+                cond = F.col("metadata")[k] == str(v)
+                predicate = cond if predicate is None else (predicate & cond)
+        return predicate
+
     def search(
         self,
-        query: str,
+        query: str | list[str],
         n_results: int = 5,
         filter_metadata: dict[str, str] | None = None,
     ) -> DataFrame:
         """search_documents / search_for_rag
         (src/PDFToChromaIngester.py:225-235,250-287): embed the query
         (``query:`` prefix, src/PDFToChromaIngestorBgeEmbedding.py:195),
-        optional metadata pre-filter, exact top-k cosine."""
+        optional metadata pre-filter, exact top-k cosine.
+
+        Chroma's ``query_texts`` is a list; passing a list here routes
+        through :meth:`search_batch` and returns per-query ranked hits
+        with ``query_idx``/``query_text`` columns.
+        """
+        if isinstance(query, (list, tuple)):
+            return self.search_batch(list(query), n_results, filter_metadata)
         if not query or not query.strip():
             # R15 input validation (src/RagWorkflow.py:30-32)
             raise ValueError("query must be a non-empty string")
         probe = self.embedder.embed_one(query, prefix="query")
-        df = self.df()
-        predicate = None
-        if filter_metadata:
-            for k, v in filter_metadata.items():
-                cond = F.col("metadata")[k] == str(v)
-                predicate = cond if predicate is None else (predicate & cond)
         return topk_cosine(
-            df,
+            self.df(),
             probe,
             k=n_results,
-            predicate=predicate,
+            predicate=self._metadata_predicate(filter_metadata),
+            id_col="chunk_uid",
+            vec_col="embedding",
+        )
+
+    def search_batch(
+        self,
+        queries: list[str],
+        n_results: int = 5,
+        filter_metadata: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Multi-query search (Chroma ``query_texts`` list parity,
+        ``src/PDFToChromaIngester.py:228-231``): all queries answered by
+        ONE scan of the collection via a broadcast probe set
+        (:func:`~vector_db_ingestor_spark.operators.topk.
+        topk_cosine_batch`)."""
+        from vector_db_ingestor_spark.operators.topk import topk_cosine_batch
+
+        if not queries:
+            raise ValueError("queries must be a non-empty list")
+        for q in queries:
+            if not q or not q.strip():
+                raise ValueError("every query must be a non-empty string")
+        probes = self.spark.createDataFrame(
+            [
+                (i, q, self.embedder.embed_one(q, prefix="query"))
+                for i, q in enumerate(queries)
+            ],
+            "query_idx INT, query_text STRING, query_vec ARRAY<DOUBLE>",
+        )
+        return topk_cosine_batch(
+            self.df(),
+            probes,
+            k=n_results,
+            predicate=self._metadata_predicate(filter_metadata),
             id_col="chunk_uid",
             vec_col="embedding",
         )

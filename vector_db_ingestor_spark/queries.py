@@ -148,6 +148,49 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "score", "rank")
 
 
+def _topk_batch_oracle(k: int = 5) -> str:
+    from vector_db_ingestor_spark.constants import PROBE_BATCH
+
+    probes = " UNION ALL ".join(
+        f"SELECT {i} AS query_idx, {probe_sql_literal(p)} AS qv"
+        for i, p in enumerate(PROBE_BATCH)
+    )
+    return f"""
+    WITH p AS ({probes})
+    SELECT query_idx, vec_id, score, rank FROM (
+        SELECT query_idx, vec_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_idx
+                   ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM (
+            SELECT p.query_idx, e.vec_id,
+                   round(list_dot_product(e.embedding::DOUBLE[], p.qv)
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(p.qv, p.qv))), 6) AS score
+            FROM embeddings e CROSS JOIN p
+        )
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q_topk_batch", oracle=_topk_batch_oracle())
+def q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-probe exact top-k (Chroma query_texts list parity,
+    src/PDFToChromaIngester.py:228-231): 3 probes, ONE collection scan,
+    per-probe window rank."""
+    from vector_db_ingestor_spark.constants import PROBE_BATCH
+    from vector_db_ingestor_spark.operators.topk import topk_cosine_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(PROBE_BATCH)],
+        "query_idx INT, query_vec ARRAY<DOUBLE>",
+    )
+    return topk_cosine_batch(emb, probes, k=5).select(
+        "query_idx", "vec_id", "score", "rank"
+    )
+
+
 @query(
     "q_knn_per_label",
     oracle=f"""
