@@ -3,19 +3,25 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {key: sec, ...}, "sf": ...}
+   "queries": {key: sec, ...}, "n": reps, "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full JVM-side
-materialization, no driver collect).  The baseline context: the
-reference is a sequential single-threaded pipeline with no published
-numbers (BASELINE.md), so the bar is the driver's "within 2x of
-BASELINE at the same sf".
+materialization, no driver collect).  The suite runs
+$SPARK_GRAFT_BENCH_REPS times (default 3) and reports the per-query
+MEDIAN — single-shot local timings swing 3-10x under driver contention
+(GC, compilation, page cache), so round-over-round comparisons need
+warm repeats to be signal.  The first rep also absorbs one-time index
+builds (q_ann_ivf), leaving the medians measuring the query path.
+The baseline context: the reference is a sequential single-threaded
+pipeline with no published numbers (BASELINE.md), so the bar is the
+driver's "within 2x of BASELINE at the same sf".
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -26,6 +32,7 @@ from vector_db_ingestor_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q_topk_cosine",
+    "q_topk_batch",
     "q_knn_per_label",
     "q_agg_group",
     "q_agg_distinct",
@@ -60,18 +67,21 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
     # warm the JVM + file listing with one tiny action
     QUERIES["q_sort_limit"](spark, sf_dir).limit(1).count()
 
-    timings: dict[str, float] = {}
-    for key in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {key: [] for key in HEADLINE}
+    for _ in range(reps):
+        for key in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[key].append(time.perf_counter() - t0)
 
+    timings = {key: round(statistics.median(ts), 3) for key, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -80,6 +90,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
