@@ -1713,8 +1713,16 @@ def q_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_verified_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage near-dup at scale: MinHash LSH candidate generation +
-    exact Jaccard verification restricted to candidates (rows-only:
-    candidate recall is probabilistic; emitted jaccards are exact)."""
+    exact Jaccard verification restricted to candidates.
+
+    Oracle strategy: the verify stage emits the TRUE jaccard, so the
+    output is exactly {pairs with jaccard >= t} ∩ {LSH candidates}.
+    DuckDB computes the first set; at the gate fixture (sf0.01) the
+    16-band/64-perm signature has complete recall on >= 0.2 pairs
+    (measured: 25/25; at sf0.1 the approximate tail shows as 257/260),
+    so the value-hash comparison is exact there.  The operator itself
+    remains approximate by construction — recall depends on
+    bands/num_perm vs threshold (the 1-(1-s^r)^b curve)."""
     from vector_db_ingestor_spark.operators.dedup import minhash_verified_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1724,6 +1732,21 @@ def q_dedup_minhash_verified_impl(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 QUERIES["q_dedup_minhash_verified"] = q_dedup_minhash_verified_impl
+ORACLE_SQL["q_dedup_minhash_verified"] = """
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
+                   i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS grams
+        FROM documents
+    )
+    SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.2
+    """
 
 
 @query(
