@@ -213,3 +213,61 @@ def test_ngram_jaccard_df_cap_contract(spark, sf_dir):
     tight = {tuple(r) for r in ngram_jaccard_pairs(
         docs, block_col="lang", n=2, threshold=0.2, max_df=3).collect()}
     assert tight <= exact
+
+
+def test_aqe_skew_join_splits_and_matches_salted(spark):
+    """100 TB join story: AQE splits the hot partition at runtime
+    (SortMergeJoin(skew=true) in the executed plan) and explicit
+    salting produces the identical result — the two mitigations agree.
+    """
+    from vector_db_ingestor_spark.operators.joins import salted_join
+
+    conf = spark.conf
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+
+        # one hot key with 300k rows vs 50 cold keys with 300 each
+        big = (
+            spark.range(300_000)
+            .select(F.lit(0).cast("long").alias("k"), F.col("id").alias("rid"))
+            .unionAll(
+                spark.range(15_000).select(
+                    (F.col("id") % 50 + 1).cast("long").alias("k"),
+                    (F.col("id") + 1_000_000).alias("rid"),
+                )
+            )
+        )
+        small = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(51)], "k LONG, name STRING"
+        )
+        plain = big.join(small, "k")
+        plain_rows = plain.collect()
+        plan = (
+            plain._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "skew=true" in plan, plan
+        salted_rows = salted_join(big, small, "k", n_salts=8).collect()
+        assert len(salted_rows) == len(plain_rows) == 315_000
+        assert {tuple(r) for r in salted_rows} == {tuple(r) for r in plain_rows}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
