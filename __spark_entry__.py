@@ -27,6 +27,15 @@ from vector_db_ingestor_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # follow in their original registration order.
 _DRIVER_FIRST = [
     "q_topk_batch",
+    "q_sql_tpch_q5",
+    "q_event_funnel",
+    "q_gaps_islands",
+    "q_retention_cohort",
+    "q_regexp_fns",
+    "q_agg_conditional",
+    "q_histogram",
+    "q_docs_clean_pipeline",
+    "q_array_set_fns",
     "q_grouping_sets",
     "q_string_fns",
     "q_json_map",

@@ -2424,3 +2424,352 @@ def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(v - 50.0).cast("int").alias("sgn"),
         (v % 7).cast("double").alias("md"),
     )
+
+
+# =====================================================================
+# P2 analytics battery round 2: multiway SQL, event analytics,
+# corpus-cleaning composite
+# =====================================================================
+
+@query(
+    "q_sql_tpch_q5",
+    oracle="""
+    SELECT n_name, round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-table star join with a
+    same-nation customer/supplier correlation.  region->nation is a
+    broadcast chain; AQE picks broadcast vs shuffle for the fact-side
+    joins; aggregation is map-side partial on n_name."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n_name, round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """)
+
+
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           (p.first_purchase_ts IS NOT NULL
+            AND p.first_purchase_ts <= s.signup_ts + INTERVAL 7 DAY) AS converted_7d
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: first signup per user, first purchase at or
+    after it, 7-day conversion flag.  Two small grouped aggregates +
+    one equi-join — no window over the raw stream, so the heavy table
+    is touched twice with pushed event_type filters and aggregated
+    before anything joins."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return s.join(p, "user_id", "left").select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        (
+            F.col("first_purchase_ts").isNotNull()
+            & (F.col("first_purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+        ).alias("converted_7d"),
+    )
+
+
+@query(
+    "q_gaps_islands",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS island
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, island, count(*) AS run_len
+        FROM seq GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS max_run,
+           CAST(sum(run_len) AS BIGINT) AS n_events
+    FROM runs GROUP BY user_id, event_type
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user via the classic double-row_number difference; both windows
+    share one shuffle on user_id (the second partitions by a superset
+    key)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    runs = seq.groupBy("user_id", "event_type", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return runs.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_runs"),
+        F.max("run_len").alias("max_run"),
+        F.sum("run_len").alias("n_events"),
+    )
+
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week, e.ts) / 7.0) AS INTEGER) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, activity
+    counted per week offset.  The first-seen table is tiny (one row per
+    user) -> broadcast back onto the stream; distinct-count shuffles on
+    (cohort, offset)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("cohort_week")) / 7.0
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "q_regexp_fns",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k_val,
+           len(regexp_extract_all(props, '[0-9]')) AS n_digits,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+           regexp_matches(props, '^\\{"k": [0-9]+\\}$') AS well_formed
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def q_regexp_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery over the JSON props payload: capture-group
+    extract, per-char match count, global replace, full-string match —
+    all JVM regex, no UDFs."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("int").alias("k_val"),
+        F.size(F.regexp_extract_all("props", F.lit("([0-9])"), 1)).alias("n_digits"),
+        F.regexp_replace("props", "[0-9]+", "#").alias("masked"),
+        F.col("props").rlike(r'^\{"k": [0-9]+\}$').alias("well_formed"),
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
+           round(CAST(sum(value) FILTER (WHERE event_type = 'purchase') AS DOUBLE), 4) AS purchase_total,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER-clause semantics): one pass over
+    the stream computes per-user click/error counts and purchase
+    revenue — the idiomatic replacement for N filtered self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 4
+        ).alias("purchase_total"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) * 50 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS avg_value,
+           round(CAST(min(value) AS DOUBLE), 6) AS min_value,
+           round(CAST(max(value) AS DOUBLE), 6) AS max_value
+    FROM events
+    GROUP BY bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a groupBy on the bucket expression —
+    the distributed equivalent of width_bucket; one partial-aggregated
+    shuffle regardless of bucket count."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("value") / 50.0) * 50).cast("bigint")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+@query(
+    "q_docs_clean_pipeline",
+    oracle="""
+    WITH metrics AS (
+        SELECT doc_id, lang, source, text,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               round(CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                     / len(text), 6) AS punct_ratio
+        FROM documents
+        WHERE len(text) > 0
+    ),
+    filtered AS (
+        SELECT * FROM metrics
+        WHERE lang IN ('en', 'de', 'es')
+          AND n_tokens BETWEEN 5 AND 2000
+          AND punct_ratio < 0.2
+    )
+    SELECT doc_id, lang, source, n_tokens, punct_ratio
+    FROM filtered
+    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+)
+def q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning composite (the training-data pre-processing
+    shape): quality metrics -> language + length + punctuation filters
+    -> exact dedup keeping the lowest doc_id.  All built-in
+    expressions; the only shuffle is the dedup window, partitioned by
+    full text (uniform-hash key)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    punct_ratio = F.round(
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+        ).cast("double")
+        / F.length("text"),
+        6,
+    )
+    metrics = docs.select(
+        "doc_id", "lang", "source", "text",
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+    )
+    filtered = metrics.filter(
+        F.col("lang").isin("en", "de", "es")
+        & F.col("n_tokens").between(5, 2000)
+        & (F.col("punct_ratio") < 0.2)
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_tokens", "punct_ratio")
+    )
+
+
+@query(
+    "q_array_set_fns",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id,
+               list_transform(embedding[1:8],  x -> CAST(floor(x * 100) AS INTEGER)) AS ia,
+               list_transform(embedding[5:12], x -> CAST(floor(x * 100) AS INTEGER)) AS ib
+        FROM embeddings
+    )
+    SELECT vec_id,
+           list_sort(list_distinct(list_concat(ia, ib))) AS u,
+           list_sort(list_distinct(list_intersect(ia, ib))) AS i,
+           list_sort(list_distinct(list_filter(ia, x -> NOT list_contains(ib, x)))) AS d,
+           list_contains(ia, 0) AS has_zero,
+           len(list_distinct(ia)) AS n_distinct_a
+    FROM t
+    """,
+)
+def q_array_set_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-algebra battery: union / intersect / except /
+    contains / distinct-count on integerized embedding slices (floor
+    avoids cross-engine round-half ambiguity; results sorted so set
+    order is canonical)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    to_int = lambda c: F.transform(c, lambda x: F.floor(x * 100).cast("int"))  # noqa: E731
+    t = emb.select(
+        "vec_id",
+        to_int(F.slice(e, 1, 8)).alias("ia"),
+        to_int(F.slice(e, 5, 8)).alias("ib"),
+    )
+    return t.select(
+        "vec_id",
+        F.array_sort(F.array_union("ia", "ib")).alias("u"),
+        F.array_sort(F.array_intersect("ia", "ib")).alias("i"),
+        F.array_sort(F.array_except("ia", "ib")).alias("d"),
+        F.array_contains("ia", 0).alias("has_zero"),
+        F.size(F.array_distinct("ia")).alias("n_distinct_a"),
+    )
