@@ -28,6 +28,8 @@ from vector_db_ingestor_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 _DRIVER_FIRST = [
     "q_topk_batch",
     "q_sql_tpch_q5",
+    "q_sql_tpch_q10",
+    "q_sql_tpch_q18",
     "q_event_funnel",
     "q_gaps_islands",
     "q_retention_cohort",

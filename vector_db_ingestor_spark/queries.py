@@ -2773,3 +2773,85 @@ def q_array_set_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("ia", 0).alias("has_zero"),
         F.size(F.array_distinct("ia")).alias("n_distinct_a"),
     )
+
+
+@query(
+    "q_sql_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): fact-fact join filtered on
+    both scans, nation broadcast, top-20 revenue customers as
+    TakeOrderedAndProject (deterministic c_custkey tie-break added —
+    revenue ties would be oracle-unstable otherwise)."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_name,
+               round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue,
+               round(c_acctbal, 2) AS c_acctbal, n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """)
+
+
+@query(
+    "q_sql_tpch_q18",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(CAST(qty AS DOUBLE), 2) AS total_qty
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 50
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): HAVING-filtered aggregate
+    subquery joined back to orders/customer — the aggregate runs FIRST
+    so only qualifying orderkeys join; top-25 via
+    TakeOrderedAndProject with an orderkey tie-break."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice,
+               round(CAST(qty AS DOUBLE), 2) AS total_qty
+        FROM (
+            SELECT l_orderkey, sum(l_quantity) AS qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 50
+        ) big
+        JOIN orders   ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 25
+    """)
