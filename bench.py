@@ -56,8 +56,14 @@ HEADLINE = [
     "q_join_skew_salted",
     "q_token_freq",
     "q_dedup_minhash_verified",
+    "q_dedup_embed",
     "q_ann_lsh_topk",
     "q_ann_ivf",
+    "q_sql_tpch_q5",
+    "q_sql_tpch_q10",
+    "q_docs_clean_pipeline",
+    "q_event_funnel",
+    "q_gaps_islands",
     "q_array_fns",
     "q_text_quality",
     "q_multimodal_features",
