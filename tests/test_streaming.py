@@ -92,3 +92,157 @@ def test_stream_ingest_dedup_skips_duplicate_content(spark, tmp_path):
     q2 = stream_ingest_dedup(spark, str(src), out, ck2, chunk_size=40, overlap=8)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stateful_running_totals_across_microbatches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    with the fixture split into two files (maxFilesPerTrigger=1 -> two
+    batches), the final emitted totals equal the batch aggregation."""
+    import pyspark.sql.functions as F
+
+    from vector_db_ingestor_spark.streaming.windows import (
+        stateful_running_totals,
+        stream_events_from_parquet,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    stream_dir = tmp_path / "events_split"
+    # two files => two micro-batches; deterministic split on event_id
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(stream_dir / "f0")
+    )
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(stream_dir / "f1")
+    )
+
+    src = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir) + "/*/")
+    )
+    totals = stateful_running_totals(src)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_totals_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 2, "expected at least two micro-batches"
+
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY n_events DESC) AS rn
+                FROM stateful_totals_test
+            ) WHERE rn = 1
+            """
+        ).collect()
+    }
+    expected = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in stateful_running_totals(events).collect()
+    }
+    assert final == expected
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark: an event
+    arriving after its window's watermark has passed is dropped, so the
+    closed window's count excludes it."""
+    import os
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from vector_db_ingestor_spark.streaming.windows import tumbling_counts
+
+    stream_dir = tmp_path / "late_events"
+    stream_dir.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+                  "value DOUBLE, props STRING"
+        )
+        sub = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.parquet(str(sub))
+        part = next(p for p in os.listdir(sub) if p.endswith(".parquet"))
+        dest = stream_dir / name
+        (sub / part).rename(dest)
+        os.utime(dest, (mtime, mtime))
+
+    import datetime as dt
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    base = _time.time()
+    # batch 0: three events in the 10:00 window, then 11:00 advances the
+    # watermark to 10:50 (> 10:10), closing the 10:00 window
+    write_file(
+        "f0.parquet",
+        [
+            (1, ts(10, 1), 1, "click", 1.0, "{}"),
+            (2, ts(10, 3), 1, "click", 1.0, "{}"),
+            (3, ts(10, 7), 2, "click", 1.0, "{}"),
+            (4, ts(11, 0), 1, "click", 1.0, "{}"),
+        ],
+        base - 90,
+    )
+    # batch 1: plain event — the 10:00 window is emitted and evicted
+    # here (the input-side late filter lags the eviction watermark by
+    # one batch, so the drop is only guaranteed from the NEXT batch on)
+    write_file(
+        "f1.parquet",
+        [(9, ts(11, 5), 2, "click", 1.0, "{}")],
+        base - 60,
+    )
+    # batch 2: one LATE event for the closed 10:00 window (dropped) and
+    # one fresh event at 12:00 advancing the watermark past 11:00
+    write_file(
+        "f2.parquet",
+        [
+            (5, ts(10, 2), 3, "click", 99.0, "{}"),
+            (6, ts(12, 0), 2, "click", 1.0, "{}"),
+        ],
+        base - 30,
+    )
+
+    src = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(stream_dir))
+    )
+    agg = tumbling_counts(src, window="10 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_events_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM late_events_test").collect()
+    }
+    # the 10:00 window was emitted with the 3 on-time events only: the
+    # late event_id=5 (99.0 value) never entered it
+    assert out[ts(10, 0)] == (3, 3.0)

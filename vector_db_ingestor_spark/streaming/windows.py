@@ -122,7 +122,9 @@ def stream_events_from_parquet(
     schema = EVENTS_SCHEMA.replace("ts TIMESTAMP", "ts LONG") if ts_is_nanos else EVENTS_SCHEMA
     src = spark.readStream.schema(schema).parquet(path)
     if ts_is_nanos:
-        src = src.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div: float division rounds some int64 nanos up 1us
+        # (53-bit mantissa), diverging from batch load_table / DuckDB
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return src
 
 
