@@ -271,3 +271,20 @@ def test_aqe_skew_join_splits_and_matches_salted(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_dedup_clusters_known_graph(spark):
+    from vector_db_ingestor_spark.operators.dedup import dedup_clusters
+
+    # components: chain 1-2-3, triangle 10-11-12 (with redundant edge),
+    # pair 20-21, singletons 30 and 31
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a LONG, id_b LONG",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12, 20, 21, 30, 31]], "doc_id LONG"
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20, 30: 30, 31: 31}

@@ -511,3 +511,68 @@ def minhash_verified_pairs(
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------- duplicate clusters
+
+def dedup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Resolve pairwise near-dup edges into duplicate CLUSTERS:
+    (id, cluster_id) where cluster_id is the minimum id in the
+    connected component; singletons map to themselves.  This is the
+    step that turns any pair-producing dedup (minhash / simhash /
+    ngram / embedding) into "keep one representative per group".
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node adopts the smallest label among itself and its
+    neighbors.  Converges in O(component diameter) rounds — near-dup
+    components are short chains, so a handful of rounds in practice
+    (``max_iters`` is a cycle-safety bound, not an accuracy knob: the
+    fixpoint is exact).  Each round is one equi-join + one partial
+    hash-agg; ``localCheckpoint`` cuts the growing lineage so the plan
+    stays O(1) per round (same driver-held-iteration discipline as
+    ``ivf_train``).  At 100 TB scale-out, the round count can be
+    reduced with the large-star/small-star transform (Kiveris et al.,
+    "Connected Components in MapReduce"), which this converges to for
+    the fixture sizes without the extra machinery.
+    """
+    ids = nodes.select(F.col(id_col).alias("__node")).distinct()
+    edges = (
+        pairs.selectExpr("id_a AS __u", "id_b AS __v")
+        .unionByName(pairs.selectExpr("id_b AS __u", "id_a AS __v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = ids.select("__node", F.col("__node").alias("__label")).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["__v"] == labels["__node"])
+            .groupBy("__u")
+            .agg(F.min("__label").alias("__nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["__node"] == nbr_min["__u"], "left")
+            .select(
+                "__node",
+                F.least(
+                    F.col("__label"), F.coalesce("__nbr_label", F.col("__label"))
+                ).alias("__label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.__node") == F.col("o.__node"))
+            .filter(F.col("n.__label") != F.col("o.__label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("__node").alias(id_col), F.col("__label").alias("cluster_id")
+    )

@@ -2855,3 +2855,57 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_totalprice DESC, o_orderkey ASC
         LIMIT 25
     """)
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+            FROM (SELECT doc_id, lang,
+                         list_distinct(list_transform(range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
+                             i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                                  string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS grams
+                  FROM documents) a
+            JOIN (SELECT doc_id, lang,
+                         list_distinct(list_transform(range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
+                             i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                                  string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS grams
+                  FROM documents) b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.2
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+    GROUP BY d.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup pairs (exact lang-blocked
+    bigram jaccard >= 0.2) -> connected components via min-label
+    propagation -> (doc_id, cluster_id = min id in component).  The
+    oracle computes the same components with a recursive-CTE transitive
+    closure — exact equality, including singletons."""
+    from vector_db_ingestor_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_col="lang", n=2, threshold=0.2)
+    return dedup_clusters(pairs, docs, id_col="doc_id")
