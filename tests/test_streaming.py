@@ -246,3 +246,85 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the 10:00 window was emitted with the 3 on-time events only: the
     # late event_id=5 (99.0 value) never entered it
     assert out[ts(10, 0)] == (3, 3.0)
+
+
+def test_dedup_stream_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    horizon are dropped across micro-batches; state does not grow with
+    history."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from vector_db_ingestor_spark.streaming.windows import dedup_stream
+
+    stream_dir = tmp_path / "dup_events"
+    stream_dir.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+                  "value DOUBLE, props STRING"
+        )
+        sub = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.parquet(str(sub))
+        part = next(p for p in os.listdir(sub) if p.endswith(".parquet"))
+        dest = stream_dir / name
+        (sub / part).rename(dest)
+        os.utime(dest, (mtime, mtime))
+
+    def ts(m, s=0):
+        return dt.datetime(2024, 1, 1, 10, m, s)
+
+    base = _time.time()
+    # batch 0: event 1 twice (same batch), event 2 once
+    write_file(
+        "f0.parquet",
+        [
+            (1, ts(0), 1, "click", 1.0, "{}"),
+            (1, ts(0), 1, "click", 1.0, "{}"),
+            (2, ts(1), 1, "click", 1.0, "{}"),
+        ],
+        base - 60,
+    )
+    # batch 1: event 1 AGAIN within the watermark horizon (dropped),
+    # new event 3
+    write_file(
+        "f1.parquet",
+        [
+            (1, ts(2), 1, "click", 1.0, "{}"),
+            (3, ts(3), 1, "click", 1.0, "{}"),
+        ],
+        base - 30,
+    )
+
+    src = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    deduped = dedup_stream(src, keys=["event_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = [r.event_id for r in spark.sql(
+        "SELECT event_id FROM dedup_stream_test ORDER BY event_id").collect()]
+    assert out == [1, 2, 3]
+
+    # batch-mode fallback keeps the oracle-checkable shape
+    batch = spark.createDataFrame(
+        [(1, ts(0), 1, "click", 1.0, "{}"), (1, ts(2), 1, "click", 1.0, "{}")],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    assert dedup_stream(batch).count() == 1

@@ -113,6 +113,33 @@ def session_windows(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes its event time, so state is
+    O(keys per watermark horizon) instead of O(all keys ever) — the
+    difference between a dedup that runs forever and one that OOMs.
+
+    Guarantees: duplicates arriving within the watermark horizon of the
+    first occurrence are dropped; a duplicate arriving later than the
+    horizon may re-emit (at-least-once dedup).  For exactly-once
+    content-level dedup against ALL history, use the
+    ``stream_ingest_dedup`` sink-side anti-join instead — this operator
+    is the in-flight, infinite-stream half of that story.
+
+    Works on batch inputs too (plain dropDuplicates) so the oracle can
+    check the batch shape.
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_events_from_parquet(
     spark: SparkSession, path: str, ts_is_nanos: bool = True
 ) -> DataFrame:
