@@ -38,6 +38,7 @@ _DRIVER_FIRST = [
     "q_histogram",
     "q_docs_clean_pipeline",
     "q_dedup_clusters",
+    "q_split_train",
     "q_array_set_fns",
     "q_grouping_sets",
     "q_string_fns",

@@ -1,0 +1,59 @@
+"""Hash-based sampling/splitting: deterministic, partition-invariant,
+disjoint-by-construction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_ingestor_spark.operators.sampling import (
+    sample_by_hash,
+    sample_stratified,
+    split_by_hash,
+)
+
+
+def test_sample_by_hash_deterministic_and_partition_invariant(spark):
+    df = spark.range(10_000).select(F.col("id").cast("string").alias("k"))
+    s1 = {r.k for r in sample_by_hash(df, "k", 0.1).collect()}
+    s2 = {r.k for r in sample_by_hash(df.repartition(17), "k", 0.1).collect()}
+    assert s1 == s2, "sample must not depend on partitioning"
+    # rate lands near the target (hash uniformity)
+    assert 0.08 < len(s1) / 10_000 < 0.12
+    # nested fractions: a 5% sample is a subset of the 10% sample
+    s_small = {r.k for r in sample_by_hash(df, "k", 0.05).collect()}
+    assert s_small <= s1
+    with pytest.raises(ValueError):
+        sample_by_hash(df, "k", 1.5)
+
+
+def test_sample_stratified_rates(spark, sf_dir):
+    from vector_db_ingestor_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_stratified(
+        docs, "lang", {"en": 1.0, "de": 0.5}, key_col="doc_id"
+    )
+    by_lang = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("en") == totals["en"]          # keep-all stratum
+    assert 0 < by_lang.get("de", 0) < totals["de"]     # partial stratum
+    assert "fr" not in by_lang                          # default 0.0
+
+
+def test_split_by_hash_disjoint_exhaustive_stable(spark):
+    df = spark.range(5_000).select(F.col("id").cast("string").alias("k"))
+    split = split_by_hash(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 5_000              # exhaustive
+    assert counts["train"] > counts["val"]
+    # membership survives appends: the same key gets the same split in
+    # a differently-sized input
+    bigger = spark.range(10_000).select(F.col("id").cast("string").alias("k"))
+    m1 = {r.k: r.split for r in split.collect()}
+    m2 = {r.k: r.split for r in split_by_hash(bigger, "k",
+          {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert all(m2[k] == v for k, v in m1.items())
+    # different salts decorrelate decisions over the same keys
+    alt = {r.k: r.split for r in split_by_hash(df, "k",
+          {"train": 0.8, "val": 0.1, "test": 0.1}, salt="other").collect()}
+    assert any(alt[k] != v for k, v in m1.items())

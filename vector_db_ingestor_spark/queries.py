@@ -2909,3 +2909,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, block_col="lang", n=2, threshold=0.2)
     return dedup_clusters(pairs, docs, id_col="doc_id")
+
+
+def q_split_train_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split by disjoint hash ranges over doc_id:
+    deterministic, partition-invariant, membership survives appends
+    (rows-only: xxhash64 has no DuckDB equivalent, and the operator's
+    determinism/disjointness/stability contracts are pinned in
+    tests/test_sampling.py)."""
+    from vector_db_ingestor_spark.operators.sampling import split_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        split_by_hash(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+QUERIES["q_split_train"] = q_split_train_impl
