@@ -113,7 +113,11 @@ def test_ingest_directory_end_to_end(spark, tmp_path):
     )
     rows = {r.filename: r for r in report.collect()}
     assert len(rows) == 8  # all 8 pdfs accounted for (R17)
-    assert any(r.status == "ok" for r in rows.values())
+    # full extraction parity: every reference PDF yields text (the
+    # stdlib CID/Type0 engine covers what the Flate extractor cannot)
+    assert all(r.status == "ok" for r in rows.values()), {
+        f: r.status for f, r in rows.items()
+    }
     coll = VectorCollection(spark, out)
     assert coll.count() > 50
 
