@@ -26,6 +26,9 @@ from vector_db_ingestor_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # key accumulates a driver-verified row across rounds; the remaining keys
 # follow in their original registration order.
 _DRIVER_FIRST = [
+    "q_pii_redact",
+    "q_text_repetition",
+    "q_contamination",
     "q_topk_batch",
     "q_sql_tpch_q5",
     "q_sql_tpch_q10",

@@ -1,0 +1,111 @@
+"""SentenceTransformerEmbedder wrapper-contract tests (reference R7).
+
+The real model (BAAI/bge-small-en-v1.5) is not in this image, so these
+tests pin the *wrapper semantics* against a fake ``sentence_transformers``
+module injected into ``sys.modules``: the ``passage:``/``query:`` prefix
+asymmetry, null handling, the ``normalize_embeddings=True`` flag, and
+once-per-task model construction — the exact contract of
+src/PDFToChromaIngestorBgeEmbedding.py:41-46,173,195.  The pandas_udf's
+inner kernel is exercised directly (``udf().func``) because the fake
+module only exists in this process, not in Spark's python workers; the
+kernel is byte-identical to what workers run.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class _FakeModel:
+    """Deterministic stand-in recording the wrapper's calls."""
+
+    constructed: list[str] = []
+    encode_kwargs: list[dict] = []
+    seen_texts: list[list[str]] = []
+
+    def __init__(self, model_name: str):
+        _FakeModel.constructed.append(model_name)
+        self.dim = 8
+
+    def encode(self, texts, **kwargs):
+        _FakeModel.encode_kwargs.append(kwargs)
+        _FakeModel.seen_texts.append(list(texts))
+        out = []
+        for t in texts:
+            # deterministic per-text vector; normalized iff the flag is
+            # passed, mirroring sentence-transformers' behavior
+            rng = np.frombuffer(
+                (t.encode("utf-8") + b"\0" * 64)[:64], dtype=np.uint8
+            ).astype(np.float64)[: self.dim] + 1.0
+            if kwargs.get("normalize_embeddings"):
+                rng = rng / np.linalg.norm(rng)
+            out.append(rng)
+        return np.stack(out)
+
+
+@pytest.fixture()
+def fake_st(monkeypatch):
+    mod = types.ModuleType("sentence_transformers")
+    mod.SentenceTransformer = _FakeModel
+    monkeypatch.setitem(sys.modules, "sentence_transformers", mod)
+    _FakeModel.constructed = []
+    _FakeModel.encode_kwargs = []
+    _FakeModel.seen_texts = []
+    return mod
+
+
+def _run_kernel(emb, prefix, batches):
+    """Invoke the pandas_udf's inner iterator kernel as a worker would."""
+    kernel = emb.udf(prefix).func
+    return [list(s) for out in kernel(iter(batches)) for s in out]
+
+
+def test_import_gate_without_library():
+    from vector_db_ingestor_spark.embedding import SentenceTransformerEmbedder
+
+    if "sentence_transformers" in sys.modules:  # pragma: no cover
+        pytest.skip("real library present")
+    with pytest.raises(ImportError, match="HashingEmbedder"):
+        SentenceTransformerEmbedder()
+
+
+def test_wrapper_contract_with_fake_model(fake_st):
+    from vector_db_ingestor_spark.embedding import SentenceTransformerEmbedder
+
+    emb = SentenceTransformerEmbedder(model_name="fake/model", dim=8)
+    vecs = _run_kernel(
+        emb,
+        "passage",
+        [pd.Series(["alpha doc", None]), pd.Series(["charlie doc"])],
+    )
+    assert len(vecs) == 3
+    # L2 normalization requested from the model (BGE contract)
+    assert all(kw.get("normalize_embeddings") is True for kw in _FakeModel.encode_kwargs)
+    # prefixing: every text sent to the model carries "passage: ";
+    # nulls become empty strings, not NaN (fillna before prefixing)
+    flat = [t for batch in _FakeModel.seen_texts for t in batch]
+    assert flat == ["passage: alpha doc", "passage: ", "passage: charlie doc"]
+    # output is plain python floats, unit-norm
+    for v in vecs:
+        assert len(v) == 8
+        assert all(isinstance(x, float) for x in v)
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+    # one kernel invocation -> the model was constructed exactly once
+    # per task even across multiple Arrow batches
+    assert _FakeModel.constructed == ["fake/model"]
+
+
+def test_query_vs_passage_prefix_asymmetry(fake_st):
+    from vector_db_ingestor_spark.embedding import SentenceTransformerEmbedder
+
+    emb = SentenceTransformerEmbedder(model_name="fake/model", dim=8)
+    vq = _run_kernel(emb, "query", [pd.Series(["same text"])])[0]
+    vp = _run_kernel(emb, "passage", [pd.Series(["same text"])])[0]
+    seen = {t for batch in _FakeModel.seen_texts for t in batch}
+    assert seen == {"query: same text", "passage: same text"}
+    assert vq != vp

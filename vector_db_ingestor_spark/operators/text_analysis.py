@@ -22,7 +22,7 @@ rollups shuffle once on the report key.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: shared with the SQL oracle: a BPE-ish token pattern — runs of
@@ -74,6 +74,114 @@ def fingerprint(text: Column) -> Column:
     """md5 of lowercased, whitespace-collapsed, trimmed text."""
     normalized = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
     return F.md5(normalized)
+
+
+#: PII patterns — shared verbatim with the SQL oracle (Java regex and
+#: RE2 agree on these constructs: classes, bounded repeats, \b, \d).
+EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_REGEX = "\\b\\d{3}-\\d{4}\\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails and phone numbers from a text column, keeping
+    per-row match counts for the cleaning report.
+
+    A training-data necessity the reference lacks entirely: raw corpora
+    carry contact strings that must not reach model training.  Pure JVM
+    regex projections — narrow, shuffle-free, whole-stage-codegen'd, so
+    the scrub rides along with whatever scan/filter stage already
+    touches the text (zero extra passes at 100 TB).  Spark's
+    ``regexp_replace`` is global by default, matching DuckDB's ``'g'``
+    flag for the oracle.
+    """
+    c = F.col(text_col)
+    return df.select(
+        *df.columns,
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_REGEX), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_REGEX), 0)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_REGEX, "[EMAIL]"), PHONE_REGEX, "[PHONE]"
+        ).alias(out_col),
+    )
+
+
+def repetition_stats(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition profile: token totals, distinct counts,
+    the dominant token, and a repetition ratio in [0, 1).
+
+    High within-doc repetition is a standard low-quality signal
+    (boilerplate, keyword stuffing, degenerate generations).  Plan:
+    explode tokens -> hash-agg (id, token) counts -> window rank for
+    the deterministic top token -> per-doc rollup.  The window and the
+    final groupBy both hash-partition on ``id_col``, so the three
+    stages ride ONE exchange; token counting is partial-aggregated
+    map-side before it.  Top-token tie-break: highest count, then
+    lexicographically smallest token.
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("token"),
+    )
+    counts = toks.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max(F.when(F.col("rn") == 1, F.col("token"))).alias("top_token"),
+            F.max("cnt").alias("top_count"),
+        )
+        .withColumn(
+            "rep_ratio",
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 6),
+        )
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Benchmark-contamination check: for each corpus document, how many
+    distinct word n-grams it shares with the evaluation/benchmark set,
+    and how many distinct eval documents it overlaps.
+
+    The standard pre-training hygiene step (decontamination against
+    held-out benchmarks).  The eval set is small by construction, so
+    its exploded distinct grams BROADCAST; the corpus side streams
+    through a broadcast hash join — no shuffle of the 100 TB side at
+    all, and the only exchange is the final per-doc aggregation.
+    Self-matches (a benchmark doc contaminating itself) are excluded.
+    """
+    from vector_db_ingestor_spark.operators.dedup import word_shingles
+
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__g"),
+    )
+    e = eval_docs.select(
+        F.col(id_col).alias("__eid"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__g"),
+    )
+    return (
+        c.join(F.broadcast(e), "__g")
+        .filter(F.col("__cid") != F.col("__eid"))
+        .groupBy("__cid")
+        .agg(
+            F.countDistinct("__g").alias("n_shared_grams"),
+            F.countDistinct("__eid").alias("n_eval_docs"),
+        )
+        .select(F.col("__cid").alias(id_col), "n_shared_grams", "n_eval_docs")
+    )
 
 
 def doc_stats(documents: DataFrame, group_col: str = "source") -> DataFrame:

@@ -2929,3 +2929,130 @@ def q_split_train_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_split_train"] = q_split_train_impl
+
+
+# =====================================================================
+# corpus-hygiene additions (round 2): PII scrub, repetition, contamination
+# =====================================================================
+
+@query(
+    "q_pii_redact",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               substring(text, 1, 60) || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@' || source || '.example.com or call 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact_blob
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(contact_blob,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(contact_blob, '\\b\\d{3}-\\d{4}\\b')) AS n_phones,
+           regexp_replace(
+               regexp_replace(contact_blob,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\b\\d{3}-\\d{4}\\b', '[PHONE]', 'g') AS redacted
+    FROM raw
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data hygiene): emails and phone numbers
+    redacted with per-row match counts.  The synthetic corpus carries no
+    natural PII, so the query first derives a deterministic contact blob
+    from (doc_id, source) — the regex engines then have real matches to
+    find on every row, and both sides compute them exactly.  All JVM
+    regex projections; zero extra passes beyond the scan."""
+    from vector_db_ingestor_spark.operators.text_analysis import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@"),
+            F.col("source"),
+            F.lit(".example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("contact_blob"),
+    )
+    return redact_pii(raw, "contact_blob").drop("contact_blob")
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY doc_id, token
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY cnt DESC, token ASC) AS rn
+        FROM counts
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           max(CASE WHEN rn = 1 THEN token END) AS top_token,
+           CAST(max(cnt) AS BIGINT) AS top_count,
+           round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS rep_ratio
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile (low-quality / degenerate-text
+    signal): token totals, distinct counts, deterministic dominant
+    token, repetition ratio.  Explode -> map-side-combined token
+    counts; the window rank and final rollup share one hash exchange on
+    doc_id."""
+    from vector_db_ingestor_spark.operators.text_analysis import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+def _ngram_list_sql(n: int) -> str:
+    """DuckDB expression for the distinct word n-gram list of ``text``,
+    mirroring operators.dedup.word_shingles bit-for-bit."""
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    gram = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
+    return f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), i -> {gram}))"
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, unnest({_ngram_list_sql(2)}) AS g FROM documents
+    ),
+    e AS (
+        SELECT doc_id AS eval_id, unnest({_ngram_list_sql(2)}) AS g
+        FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_grams,
+           CAST(count(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+    FROM c JOIN e USING (g)
+    WHERE c.doc_id <> e.eval_id
+    GROUP BY c.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (pre-training hygiene): per corpus doc,
+    distinct word-bigrams shared with a benchmark split (doc_id % 97 =
+    0 stands in for the held-out eval set) and how many eval docs it
+    touches.  Eval grams broadcast — the corpus side never shuffles
+    before its final per-doc aggregation."""
+    from vector_db_ingestor_spark.operators.text_analysis import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_report(docs, eval_docs, n=2)
