@@ -42,6 +42,7 @@ HEADLINE = [
     "q_sort_limit",
     "q_dedup_exact",
     "q_dedup_ngram",
+    "q_dedup_ngram_capped",
     "q_context_budget",
     "q_doc_stats",
     "q_scalar_fns",
@@ -66,6 +67,9 @@ HEADLINE = [
     "q_gaps_islands",
     "q_array_fns",
     "q_text_quality",
+    "q_pii_redact",
+    "q_text_repetition",
+    "q_contamination",
     "q_multimodal_features",
     "q_stream_session",
 ]

@@ -3056,3 +3056,43 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
     return contamination_report(docs, eval_docs, n=2)
+
+
+@query(
+    "q_dedup_ngram_capped",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
+                   i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS grams
+        FROM documents
+    ),
+    t AS (SELECT doc_id, lang, unnest(grams) AS g FROM sh),
+    df AS (SELECT lang, g, count(*) AS dfreq FROM t GROUP BY lang, g),
+    rare AS (
+        SELECT t.doc_id, t.lang, t.g FROM t JOIN df USING (lang, g)
+        WHERE df.dfreq <= 5
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rare a JOIN rare b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM (
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.grams, y.grams))), 6) AS jaccard
+        FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
+    ) WHERE jaccard >= 0.2
+    """,
+)
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-gram-capped n-gram Jaccard dedup — the 100 TB variant of
+    q_dedup_ngram: candidate pairs generated from RARE grams only
+    (document frequency <= 5), exact Jaccard verified on the full gram
+    sets of candidates.  Kills the df^2/2 join blow-up of stopword-like
+    shingles; the documented recall contract drops only pairs whose
+    every shared gram is hot (boilerplate-only overlap).  The oracle
+    mirrors the cap exactly, so this is hash-verified, not rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, block_col="lang", n=2, threshold=0.2, max_df=5)
