@@ -53,6 +53,14 @@ AUDITS: dict[str, dict] = {
     "q_gaps_islands": {"max_exchange": 1},
     "q_docs_clean_pipeline": {"pushed": True},
     "q_retention_cohort": {"broadcast": True},
+    # PII scrub is pure projections: rides the scan stage, zero shuffles
+    "q_pii_redact": {"max_exchange": 0},
+    # token agg shuffles once on (doc,token); window + final rollup
+    # share the second hash(doc) exchange
+    "q_text_repetition": {"max_exchange": 2, "partial_agg": True},
+    # eval grams broadcast; the corpus side only shuffles for its agg
+    "q_contamination": {"broadcast": True, "max_exchange": 2},
+    "q_dedup_ngram_capped": {"broadcast": True},
 }
 
 

@@ -116,11 +116,12 @@ def repetition_stats(
     High within-doc repetition is a standard low-quality signal
     (boilerplate, keyword stuffing, degenerate generations).  Plan:
     explode tokens -> hash-agg (id, token) counts -> window rank for
-    the deterministic top token -> per-doc rollup.  The window and the
-    final groupBy both hash-partition on ``id_col``, so the three
-    stages ride ONE exchange; token counting is partial-aggregated
-    map-side before it.  Top-token tie-break: highest count, then
-    lexicographically smallest token.
+    the deterministic top token -> per-doc rollup.  Two exchanges
+    total: token counting shuffles once on (id, token) after map-side
+    partial aggregation, then the window's hash(id) exchange is REUSED
+    by the final per-doc groupBy (hash(id) satisfies its clustering) —
+    the rollup adds no shuffle.  Top-token tie-break: highest count,
+    then lexicographically smallest token.
     """
     toks = documents.select(
         F.col(id_col),
