@@ -26,6 +26,8 @@ from vector_db_ingestor_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # key accumulates a driver-verified row across rounds; the remaining keys
 # follow in their original registration order.
 _DRIVER_FIRST = [
+    "q_vector_fns",
+    "q_vec_quantize",
     "q_dedup_ngram_capped",
     "q_pii_redact",
     "q_text_repetition",

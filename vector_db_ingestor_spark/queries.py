@@ -1106,7 +1106,9 @@ QUERIES["q_simjoin_lsh"] = q_simjoin_lsh_impl
 
 def q_ann_lsh_topk_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed approximate top-k for the fixed
-    probe (bucket equi-join instead of full scan)."""
+    probe (bucket equi-join instead of full scan).  Hash-verified: the
+    closed-form hyperplanes make bucketing deterministic, so the DuckDB
+    oracle reproduces candidate set and ranking exactly."""
     from vector_db_ingestor_spark.constants import EMBEDDING_DIM
     from vector_db_ingestor_spark.operators.similarity import lsh_topk
 
@@ -2320,7 +2322,9 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_multiprobe_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-k: probe bucket + all 1-bit-flip neighbors —
-    recall close to exact at a fraction of the scan (rows-only)."""
+    recall close to exact at a fraction of the scan.  Hash-verified:
+    the closed-form hyperplanes make the bucketing deterministic, so
+    the oracle reproduces it exactly."""
     from vector_db_ingestor_spark.constants import EMBEDDING_DIM
     from vector_db_ingestor_spark.operators.similarity import lsh_topk_multiprobe
 
@@ -3096,3 +3100,133 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors the cap exactly, so this is hash-verified, not rows-only."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, block_col="lang", n=2, threshold=0.2, max_df=5)
+
+
+# =====================================================================
+# round-2 additions: vector surface, quantization, LSH oracle upgrades
+# =====================================================================
+
+@query(
+    "q_vector_fns",
+    oracle=f"""
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], {_PROBE_SQL}), 6) AS dot_p,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm,
+           round(list_distance(embedding::DOUBLE[], {_PROBE_SQL}), 6) AS l2_dist,
+           {_SCORE_SQL} AS cosine,
+           round((embedding::DOUBLE[])[1]
+                 / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS unit_first
+    FROM embeddings
+    """,
+)
+def q_vector_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-function surface battery: dot product, L2 norm, L2
+    distance, cosine, and unit-normalized first component against the
+    fixed probe — every distance in functions/vector.py, all zip_with/
+    aggregate HOF expressions inside whole-stage codegen (the JVM fast
+    path the 100 TB scoring story depends on)."""
+    from vector_db_ingestor_spark.functions.vector import (
+        cosine_similarity,
+        dot,
+        l2_distance,
+        l2_norm,
+        normalize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = F.lit(PROBE_64)
+    return emb.select(
+        "vec_id",
+        F.round(dot("embedding", p), 6).alias("dot_p"),
+        F.round(l2_norm("embedding"), 6).alias("norm"),
+        F.round(l2_distance("embedding", p), 6).alias("l2_dist"),
+        F.round(cosine_similarity("embedding", p), 6).alias("cosine"),
+        F.round(F.element_at(normalize("embedding"), 1), 6).alias("unit_first"),
+    )
+
+
+@query(
+    "q_vec_quantize",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) AS max_abs
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, v, max_abs,
+               list_transform(v, x -> floor(x * 127.0 / max_abs)) AS codes
+        FROM scaled
+    )
+    SELECT vec_id,
+           round(max_abs, 6) AS scale_max,
+           CAST(len(list_filter(codes, c -> c = 0)) AS INTEGER) AS n_zero,
+           round(list_dot_product(v, list_transform(codes, c -> c * max_abs / 127.0))
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(list_transform(codes, c -> c * max_abs / 127.0),
+                                            list_transform(codes, c -> c * max_abs / 127.0)))), 6)
+               AS recon_cosine
+    FROM q
+    """,
+)
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the standard
+    4x storage/bandwidth cut for 100 TB vector collections — with the
+    per-vector scale, zero-code count, and reconstruction cosine as the
+    quality report.  floor() (not round) keeps the code assignment
+    bit-identical across engines; all HOF expressions, no Python."""
+    from vector_db_ingestor_spark.functions.vector import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    max_abs = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    with_scale = emb.select("vec_id", v.alias("v"), max_abs.alias("max_abs"))
+    codes = F.transform(
+        F.col("v"), lambda x: F.floor(x * 127.0 / F.col("max_abs"))
+    )
+    with_codes = with_scale.withColumn("codes", codes)
+    recon = F.transform(
+        F.col("codes"), lambda c: c * F.col("max_abs") / 127.0
+    )
+    return with_codes.select(
+        "vec_id",
+        F.round("max_abs", 6).alias("scale_max"),
+        F.size(F.filter("codes", lambda c: c == 0)).alias("n_zero"),
+        F.round(cosine_similarity(F.col("v"), recon), 6).alias("recon_cosine"),
+    )
+
+
+def _lsh_topk_oracle(n_bits: int, k: int, multiprobe: bool) -> str:
+    """Exact oracle for the LSH top-k queries: the hyperplanes are
+    closed-form literals, so the 'approximate' op is deterministic and
+    DuckDB can reproduce the bucket assignment bit-for-bit."""
+    probe_bkt = _lsh_bucket_sql(_PROBE_SQL, 64, n_bits)
+    if multiprobe:
+        masks = ", ".join(str(1 << b) for b in range(n_bits))
+        cond = f"(e.bkt = p.bkt OR xor(e.bkt, p.bkt) IN ({masks}))"
+    else:
+        cond = "e.bkt = p.bkt"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               {_lsh_bucket_sql("embedding::DOUBLE[]", 64, n_bits)} AS bkt
+        FROM embeddings
+    ),
+    p AS (SELECT {probe_bkt} AS bkt),
+    scored AS (
+        SELECT 0 AS query_id, e.vec_id, {_SCORE_SQL} AS score
+        FROM e, p WHERE {cond}
+    )
+    SELECT query_id, vec_id, score,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+ORACLE_SQL["q_ann_lsh_topk"] = _lsh_topk_oracle(n_bits=4, k=10, multiprobe=False)
+ORACLE_SQL["q_ann_lsh_multiprobe"] = _lsh_topk_oracle(n_bits=4, k=10, multiprobe=True)
