@@ -26,6 +26,10 @@ from vector_db_ingestor_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 # key accumulates a driver-verified row across rounds; the remaining keys
 # follow in their original registration order.
 _DRIVER_FIRST = [
+    "q_sql_tpch_q4",
+    "q_sql_tpch_q13",
+    "q_sql_tpch_q17",
+    "q_sql_tpch_q19",
     "q_vector_fns",
     "q_vec_quantize",
     "q_dedup_ngram_capped",

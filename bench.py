@@ -62,6 +62,10 @@ HEADLINE = [
     "q_ann_ivf",
     "q_sql_tpch_q5",
     "q_sql_tpch_q10",
+    "q_sql_tpch_q13",
+    "q_sql_tpch_q17",
+    "q_vector_fns",
+    "q_vec_quantize",
     "q_docs_clean_pipeline",
     "q_event_funnel",
     "q_gaps_islands",
