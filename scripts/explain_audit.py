@@ -61,6 +61,17 @@ AUDITS: dict[str, dict] = {
     # eval grams broadcast; the corpus side only shuffles for its agg
     "q_contamination": {"broadcast": True, "max_exchange": 2},
     "q_dedup_ngram_capped": {"broadcast": True},
+    # EXISTS must compile to a semi join, never a per-row subquery
+    "q_sql_tpch_q4": {"semi_join": True, "pushed": True},
+    "q_sql_tpch_q13": {"partial_agg": True},
+    # correlated scalar avg decorrelates to aggregate-then-join
+    "q_sql_tpch_q17": {"partial_agg": True, "no_nested_loop": True},
+    # disjunctive predicates stay a hash/broadcast join + residual
+    # filter, not a BroadcastNestedLoopJoin
+    "q_sql_tpch_q19": {"broadcast": True, "no_nested_loop": True},
+    # pure vector math rides the scan: zero shuffles
+    "q_vector_fns": {"max_exchange": 0},
+    "q_vec_quantize": {"max_exchange": 0},
 }
 
 
@@ -102,6 +113,12 @@ def audit(key: str, plan: str, exp: dict) -> list[tuple[str, bool, str]]:
     if exp.get("partial_agg"):
         ok = plan.count("HashAggregate") >= 2  # partial + final
         out.append(("partial-agg", ok, "map-side partial aggregation"))
+    if exp.get("semi_join"):
+        ok = "LeftSemi" in plan or "SemiJoin" in plan
+        out.append(("semi-join", ok, "EXISTS compiled to a semi join"))
+    if exp.get("no_nested_loop"):
+        ok = "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+        out.append(("no-nested-loop", ok, "no nested-loop/cartesian fallback"))
     return out
 
 
