@@ -431,18 +431,38 @@ def embedding_near_dups(
     ``block_col`` forces equality blocking on an explicit column
     instead — the small-scale / verify-stage variant; it requires
     domain knowledge that near-dups can't cross blocks.
+
+    Cost shape: cosine(a, b) is computed as dot(â, b̂) of pre-normalized
+    vectors — normalization is O(rows) in its own projection (the norm
+    is materialized as a column FIRST, so the per-element lambda only
+    does a field lookup, never re-aggregates), while the per-pair work
+    in the join (the O(candidates) part) drops from three interpreted
+    HOF aggregates to one.  Higher-order functions are interpreted, not
+    codegen'd, so per-pair expression count is the dominant constant.
     """
-    cos = F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6)
+    from vector_db_ingestor_spark.functions.vector import dot, l2_norm
+
+    base = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        *( [F.col(block_col)] if block_col is not None else [] ),
+    ).withColumn("__nrm", l2_norm(F.col("__v")))
+    normed = base.select(
+        id_col,
+        "__v",
+        *( [block_col] if block_col is not None else [] ),
+        F.transform(F.col("__v"), lambda x: x / F.col("__nrm")).alias("__nv"),
+    )
+    cos = F.round(dot(F.col("vec_a"), F.col("vec_b")), 6)
     if block_col is not None:
-        e = embeddings.select(F.col(id_col), F.col(vec_col), F.col(block_col))
-        a = e.select(
+        a = normed.select(
             F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("vec_a"),
+            F.col("__nv").alias("vec_a"),
             F.col(block_col).alias("blk"),
         )
-        b = e.select(
+        b = normed.select(
             F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("vec_b"),
+            F.col("__nv").alias("vec_b"),
             F.col(block_col).alias("blk"),
         )
         joined = a.join(b, "blk")
@@ -451,20 +471,20 @@ def embedding_near_dups(
             raise ValueError("embedding_near_dups: dim is required for LSH blocking")
         from vector_db_ingestor_spark.operators.similarity import rp_lsh_bucket
 
-        e = embeddings.select(F.col(id_col), F.col(vec_col)).withColumn(
-            "__bkt", rp_lsh_bucket(F.col(vec_col), dim, n_bits)
-        )
+        # bucket on the RAW vector (bit-parity with the oracle; a
+        # near-zero hyperplane dot could flip sign under rescaling)
+        e = normed.withColumn("__bkt", rp_lsh_bucket(F.col("__v"), dim, n_bits))
         flips = F.array(F.lit(0), *[F.lit(1 << b) for b in range(n_bits)])
         a = e.select(
             F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("vec_a"),
+            F.col("__nv").alias("vec_a"),
             F.explode(
                 F.transform(flips, lambda m: F.col("__bkt").bitwiseXOR(m))
             ).alias("__bkt"),
         )
         b = e.select(
             F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("vec_b"),
+            F.col("__nv").alias("vec_b"),
             F.col("__bkt"),
         )
         joined = a.join(b, "__bkt")

@@ -965,18 +965,21 @@ def _lsh_bucket_sql(vec_expr: str, dim: int, n_bits: int) -> str:
 
 
 def _dedup_embed_oracle(dim: int = 64, n_bits: int = 8, threshold: float = 0.3) -> str:
+    # cosine as dot of pre-normalized vectors — the EXACT formula the
+    # Spark operator uses (normalize once per row, one dot per pair);
+    # mirroring the formulation keeps the rounded doubles bit-identical
     masks = ", ".join(str(1 << b) for b in range(n_bits))
     return f"""
     WITH e AS (
-        SELECT vec_id, embedding,
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv,
                {_lsh_bucket_sql("embedding::DOUBLE[]", dim, n_bits)} AS bkt
         FROM embeddings
     )
     SELECT * FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+               round(list_dot_product(a.nv, b.nv), 6) AS cosine
         FROM e a JOIN e b
           ON a.vec_id < b.vec_id
          AND (a.bkt = b.bkt OR xor(a.bkt, b.bkt) IN ({masks}))
