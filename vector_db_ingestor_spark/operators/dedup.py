@@ -127,6 +127,7 @@ def minhash_candidates(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    with_estimate: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing >=1 minhash band.
 
@@ -138,6 +139,14 @@ def minhash_candidates(
     The only shuffle keys are band buckets — cardinality ~n_docs x B /
     bucket_size; no quadratic blow-up.  Output: (id_a < id_b) pairs with
     their estimated jaccard (fraction of agreeing minhashes).
+
+    ``with_estimate=False`` drops the signature columns from the banded
+    exchange and returns bare (id_a, id_b) pairs: the band shuffle then
+    carries ~20 bytes/row instead of ~550 (the num_perm x int64
+    signature rides every one of the `bands` copies otherwise).  Use it
+    when a downstream verify stage recomputes exact similarity anyway
+    (:func:`minhash_verified_pairs`) — shuffle volume is the dominant
+    cost of candidate generation at 100 TB.
     """
     rows_per_band = num_perm // bands
     # materialize shingles in their own projection: inlining the shingle
@@ -150,9 +159,10 @@ def minhash_candidates(
     sig = shingled.select(
         "mh_id", minhash_signature(F.col("sh"), num_perm).alias("sig")
     )
+    sig_cols = ["sig"] if with_estimate else []
     banded = sig.select(
         "mh_id",
-        "sig",
+        *sig_cols,
         F.posexplode(
             F.array(
                 *[
@@ -169,22 +179,24 @@ def minhash_candidates(
     banded = banded.repartition("band_idx", "band_hash")
     left = banded.select(
         F.col("mh_id").alias("id_a"),
-        F.col("sig").alias("sig_a"),
+        *[F.col("sig").alias("sig_a")] if with_estimate else [],
         "band_idx",
         "band_hash",
     )
     right = banded.select(
         F.col("mh_id").alias("id_b"),
-        F.col("sig").alias("sig_b"),
+        *[F.col("sig").alias("sig_b")] if with_estimate else [],
         "band_idx",
         "band_hash",
     )
     pairs = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .drop("band_idx", "band_hash")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not with_estimate:
+        return pairs.select("id_a", "id_b")
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -515,7 +527,9 @@ def minhash_verified_pairs(
     recall is bounded by the band collision probability, precision is
     exact (every emitted pair's jaccard is true).
     """
-    cands = minhash_candidates(df, text_col, id_col, num_perm, bands, shingle_n)
+    cands = minhash_candidates(
+        df, text_col, id_col, num_perm, bands, shingle_n, with_estimate=False
+    )
     sh = df.select(
         F.col(id_col).alias("gid"),
         word_shingles(F.col(text_col), shingle_n).alias("grams"),
