@@ -73,6 +73,7 @@ HEADLINE = [
     "q_text_quality",
     "q_pii_redact",
     "q_text_repetition",
+    "q_tfidf",
     "q_contamination",
     "q_multimodal_features",
     "q_stream_session",
