@@ -72,6 +72,8 @@ AUDITS: dict[str, dict] = {
     # pure vector math rides the scan: zero shuffles
     "q_vector_fns": {"max_exchange": 0},
     "q_vec_quantize": {"max_exchange": 0},
+    # df table broadcasts back onto the tf stream
+    "q_tfidf": {"broadcast": True, "partial_agg": True},
 }
 
 

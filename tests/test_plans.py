@@ -1,0 +1,56 @@
+"""Physical-plan regression guard: the critical plan shapes from
+scripts/explain_audit.py, enforced in the test suite at sf0.001 so a
+rewrite that silently degrades a plan (lost broadcast, nested-loop
+fallback, extra shuffle, un-fused Python stages) fails CI, not just the
+out-of-band audit script."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_db_ingestor_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# (key, expectation) — a fast, high-signal subset of explain_audit.AUDITS;
+# sf0.001 keeps each case sub-second.  AQE may legitimately differ at
+# tiny scale for size-based choices (broadcast thresholds), so only
+# size-independent shapes are pinned here.
+CASES = [
+    ("q_sql_tpch_q4", "semi_join"),
+    ("q_sql_tpch_q17", "no_nested_loop"),
+    ("q_sql_tpch_q19", "no_nested_loop"),
+    ("q_vector_fns", "no_shuffle"),
+    ("q_vec_quantize", "no_shuffle"),
+    ("q_pii_redact", "no_shuffle"),
+    ("q_sort_limit", "take_ordered"),
+    ("q_topk_cosine", "take_ordered"),
+    ("q_ingest_pipeline", "fused_python"),
+    ("q_chunk_explode", "fused_python"),
+]
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+@pytest.mark.parametrize("key,shape", CASES)
+def test_plan_shape(spark, key, shape):
+    plan = _executed_plan(QUERIES[key](spark, SF_DIR))
+    if shape == "semi_join":
+        assert "LeftSemi" in plan or "SemiJoin" in plan, plan
+    elif shape == "no_nested_loop":
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    elif shape == "no_shuffle":
+        n = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n == 0, f"{n} shuffle exchanges in {key}"
+    elif shape == "take_ordered":
+        assert "TakeOrderedAndProject" in plan, plan
+    elif shape == "fused_python":
+        n = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+        assert n <= 1, f"{n} python eval nodes in {key}"
+    else:  # pragma: no cover
+        raise AssertionError(f"unknown shape {shape}")
