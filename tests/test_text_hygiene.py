@@ -67,3 +67,38 @@ def test_contamination_report_overlap_and_self_exclusion(spark):
     assert rows[2].n_shared_grams == 1
     # disjoint doc absent; the eval doc never contaminates itself
     assert 3 not in rows and 10 not in rows
+
+
+def test_repetition_stats_empty_and_whitespace_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one")], "doc_id int, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    # split("") yields [""]: the empty token is still counted once —
+    # same convention as DuckDB string_split_regex, so the oracle and
+    # the doc-stats queries agree on this shape
+    assert rows[1].n_tokens == 1 and rows[1].rep_ratio == 0.0
+    assert rows[2].n_tokens == 1
+    assert rows[3].top_token == "one"
+
+
+def test_contamination_short_docs_no_crash(spark):
+    # docs shorter than the n-gram width have no grams (word_shingles
+    # guard) and must neither crash under ANSI mode nor contaminate
+    corpus = spark.createDataFrame(
+        [(1, "tiny"), (2, "benchmark words here repeated words here")],
+        "doc_id int, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(10, "words here everywhere")], "doc_id int, text string"
+    )
+    rows = {r.doc_id: r for r in contamination_report(corpus, eval_docs, n=2).collect()}
+    assert 1 not in rows
+    assert rows[2].n_shared_grams == 1  # "words here"
+
+
+def test_redact_pii_null_text(spark):
+    df = spark.createDataFrame([(1, None)], "id int, txt string")
+    r = redact_pii(df, "txt").collect()[0]
+    # nulls propagate (no crash, no spurious counts)
+    assert r.redacted is None and r.n_emails is None
