@@ -1,0 +1,188 @@
+"""Scale-probe: run the candidate-generating operator families at 1x,
+3x, and 10x the sf0.1 corpus (deterministic in-memory replication with
+id offsets) and report wall-time scaling factors.
+
+The point: a bucketed/blocked candidate plan should scale ~linearly in
+corpus size (bucket count grows with data, bucket size stays bounded),
+while anything accidentally quadratic shows super-linear growth here
+long before it melts a 1000-executor cluster.  Writes SCALE_PROBE.md.
+
+Replication must grow the corpus WITHOUT growing duplicate-group sizes:
+naive identical copies turn every document into a k-clone duplicate
+cluster, and pair-producing dedup output is inherently quadratic in
+clone-group size (first measured run: embed_near_dups went 38x at 10x
+data purely from clone-pair output — see SCALING.md "order exact dedup
+first").  So each copy k is transformed by a structure-preserving,
+cross-copy-disjoint bijection:
+
+* embeddings — elementwise sign mask s_k in {-1,+1}^dim (same mask for
+  every vector of copy k): dot(a*s, b*s) == dot(a, b) BIT-EXACTLY, so
+  intra-copy near-dup structure and LSH-bucket occupancy statistics are
+  preserved, while cross-copy cosines collapse toward 0 and buckets
+  decorrelate.
+* documents — per-copy alphabet rotation via translate(): a bijection
+  on tokens, so intra-copy gram equality (and jaccard) is exact, while
+  cross-copy grams are disjoint.
+
+Copy k of row i gets id = i + k * ID_STRIDE.  Near-dup density per
+unit of corpus is then constant as the corpus grows — the honest
+scaling regime.
+
+Run: python scripts/scale_probe.py [sf_dir] [reps]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_db_ingestor_spark.constants import EMBEDDING_DIM, PROBE_64
+from vector_db_ingestor_spark.session import get_spark
+from vector_db_ingestor_spark.tables import load_table
+
+ID_STRIDE = 10_000_000
+
+ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _sign_mask(k: int, dim: int) -> list[float]:
+    """Deterministic ±1 mask for copy k (identity for k=0)."""
+    if k == 0:
+        return [1.0] * dim
+    import math
+
+    return [1.0 if math.sin(0.9 * k * (i + 1) + 0.17) > 0 else -1.0 for i in range(dim)]
+
+
+def _replicated(df: DataFrame, id_col: str, factor: int) -> DataFrame:
+    """factor copies with disjoint id ranges, flattened through ONE
+    explode (no union tower — a 10-way union makes 10 scan branches;
+    the explode keeps a single scan).  Caller transforms payload per
+    __k before dropping it."""
+    k = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__k")
+    return df.select("*", k).withColumn(
+        id_col, F.col(id_col) + F.col("__k") * F.lit(ID_STRIDE)
+    )
+
+
+def replicate_docs(df: DataFrame, factor: int) -> DataFrame:
+    if factor == 1:
+        return df
+    out = _replicated(df, "doc_id", factor)
+    # translate() takes static alphabets, so pick the copy's rotation
+    # with a when-chain of `factor` static translates
+    rotated = F.col("text")
+    for k in range(factor - 1, 0, -1):
+        rot = ALPHABET[k % 26:] + ALPHABET[: k % 26]
+        rotated = F.when(
+            F.col("__k") == k, F.translate(F.col("text"), ALPHABET, rot)
+        ).otherwise(rotated)
+    return out.withColumn("text", rotated).drop("__k")
+
+
+def replicate_embeddings(df: DataFrame, factor: int, dim: int) -> DataFrame:
+    if factor == 1:
+        return df
+    out = _replicated(df, "vec_id", factor)
+    masks = F.array(*[F.lit(_sign_mask(k, dim)) for k in range(factor)])
+    mask = F.element_at(masks, F.col("__k") + 1)
+    return out.withColumn(
+        "embedding",
+        F.zip_with(F.col("embedding").cast("array<double>"), mask, lambda x, s: x * s),
+    ).drop("__k")
+
+
+def probes(spark: SparkSession, sf_dir: str, factor: int) -> dict[str, DataFrame]:
+    from vector_db_ingestor_spark.operators.dedup import (
+        embedding_near_dups,
+        minhash_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+    from vector_db_ingestor_spark.operators.similarity import auto_n_bits, lsh_topk
+    from vector_db_ingestor_spark.operators.topk import topk_cosine
+
+    docs = replicate_docs(load_table(spark, sf_dir, "documents"), factor)
+    emb = replicate_embeddings(
+        load_table(spark, sf_dir, "embeddings"), factor, EMBEDDING_DIM
+    )
+    probe_df = spark.createDataFrame(
+        [(0, PROBE_64)], schema="query_id INT, query_vec ARRAY<DOUBLE>"
+    )
+    return {
+        "minhash_verified": minhash_verified_pairs(docs, threshold=0.5),
+        # per-copy token rotation keeps gram document-frequencies
+        # constant, so the cap does NOT scale with factor
+        "ngram_capped": ngram_jaccard_pairs(
+            docs, block_col="lang", n=2, threshold=0.2, max_df=5
+        ),
+        # bucket count must track corpus size (auto_n_bits): fixed
+        # n_bits measured quadratic (43x at 10x rows) — see SCALING.md
+        "embed_near_dups": embedding_near_dups(
+            emb,
+            threshold=0.3,
+            dim=EMBEDDING_DIM,
+            n_bits=auto_n_bits(2000 * factor, target_bucket=8),
+        ),
+        "lsh_topk": lsh_topk(emb, probe_df, dim=EMBEDDING_DIM, k=10, n_bits=4),
+        "exact_topk": topk_cosine(emb, PROBE_64, k=10),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    factors = (1, 3, 10)
+    spark = get_spark("scale_probe")
+
+    results: dict[str, dict[int, float]] = {}
+    rows_at: dict[int, int] = {}
+    for factor in factors:
+        qs = probes(spark, sf_dir, factor)
+        rows_at[factor] = replicate_docs(
+            load_table(spark, sf_dir, "documents"), factor
+        ).count()
+        for name, df in qs.items():
+            df.write.format("noop").mode("overwrite").save()  # warm
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            results.setdefault(name, {})[factor] = statistics.median(ts)
+            print(f"x{factor:<3d} {name}: {results[name][factor]:.2f}s")
+    spark.stop()
+
+    lines = [
+        "# SCALE_PROBE — operator scaling at 1x / 3x / 10x sf0.1",
+        "",
+        f"Corpus rows: {rows_at}",
+        "Warm medians over noop sink; deterministic id-offset replication",
+        "(near-dup density per block held constant). time_ratio is wall-time",
+        "at 10x / wall-time at 1x: ~10 = linear in corpus size, >>10 = a",
+        "quadratic corner that would melt at 100 TB.",
+        "",
+        "| operator | 1x | 3x | 10x | 10x/1x ratio |",
+        "|---|---|---|---|---|",
+    ]
+    for name, by_f in results.items():
+        r = by_f[10] / by_f[1]
+        lines.append(
+            f"| {name} | {by_f[1]:.2f}s | {by_f[3]:.2f}s | {by_f[10]:.2f}s | {r:.1f} |"
+        )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
+    )
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -118,3 +118,18 @@ def test_ivf_build_query_decoupled(spark, tmp_path):
     assert scores == sorted(scores, reverse=True)
     shortlist = set(S.ivf_shortlist(centroids, PROBE_64, 2))
     assert {r.cid for r in out} <= shortlist
+
+
+def test_auto_n_bits_tracks_corpus_size():
+    from vector_db_ingestor_spark.operators.similarity import auto_n_bits
+
+    # expected bucket population stays ~target as n grows
+    assert auto_n_bits(2_000, target_bucket=8) == 8
+    assert auto_n_bits(20_000, target_bucket=8) == 12
+    assert auto_n_bits(20_000_000, target_bucket=8) == 22
+    # clamps: tiny corpora and the max_bits ceiling
+    assert auto_n_bits(10, target_bucket=64) == 2
+    assert auto_n_bits(10**12, target_bucket=1) == 24
+    # doubling the corpus adds exactly one bit (bucket count doubles)
+    for n in (10_000, 1_000_000):
+        assert auto_n_bits(2 * n) == auto_n_bits(n) + 1

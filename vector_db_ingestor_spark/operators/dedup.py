@@ -440,6 +440,13 @@ def embedding_near_dups(
     qualifying pair is emitted exactly once: the flip mask matching a
     pair's signature xor is unique.
 
+    Two preconditions for linearity, both measured in
+    ``scripts/scale_probe.py`` (see SCALING.md): ``n_bits`` must grow
+    with the corpus (use :func:`~vector_db_ingestor_spark.operators.
+    similarity.auto_n_bits`; fixed bits measured 43x at 10x rows), and
+    exact duplicates must be collapsed FIRST (:func:`dedup_exact`) —
+    k-clone groups make the pair output itself quadratic in k.
+
     ``block_col`` forces equality blocking on an explicit column
     instead — the small-scale / verify-stage variant; it requires
     domain knowledge that near-dups can't cross blocks.

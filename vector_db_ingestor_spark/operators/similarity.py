@@ -39,6 +39,20 @@ def _hyperplane(dim: int, bit: int) -> list[float]:
     return [math.sin(0.7 * (bit + 1) * (i + 1) + 0.31 * bit) for i in range(dim)]
 
 
+def auto_n_bits(n_rows: int, target_bucket: int = 64, max_bits: int = 24) -> int:
+    """Hyperplane count for a target mean bucket population.
+
+    LSH blocking is only linear-in-corpus if bucket COUNT grows with
+    the corpus: with fixed n_bits, bucket populations grow ~n/2^bits
+    and the within-bucket self-join grows ~n^2/2^bits — measured 43x
+    wall-time at 10x rows in scripts/scale_probe.py before this rule.
+    Choosing n_bits = log2(n / target_bucket) pins expected bucket size
+    and keeps candidate volume ~target_bucket * n / 2.
+    """
+    bits = math.ceil(math.log2(max(n_rows / max(target_bucket, 1), 2.0)))
+    return max(2, min(max_bits, bits))
+
+
 def rp_lsh_bucket(vec: Column, dim: int, n_bits: int = 8) -> Column:
     """Random-hyperplane (SimHash-for-cosine) bucket id in [0, 2^n_bits)."""
     bucket = F.lit(0)
