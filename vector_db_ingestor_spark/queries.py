@@ -3436,3 +3436,75 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+@query(
+    "q_dedup_representatives",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+            FROM (SELECT doc_id, lang,
+                         list_distinct(list_transform(range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
+                             i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                                  string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS grams
+                  FROM documents) a
+            JOIN (SELECT doc_id, lang,
+                         list_distinct(list_transform(range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
+                             i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                                  string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS grams
+                  FROM documents) b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.2
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+        SELECT d.doc_id, d.lang, d.n_chars,
+               least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+        GROUP BY d.doc_id, d.lang, d.n_chars
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(lang) AS rep_lang,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM clusters
+    GROUP BY cluster_id
+    """,
+)
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing end of the dedup pipeline: near-dup pairs →
+    connected components → ONE representative row per cluster
+    (cluster_id = min doc_id) with member count and collapsed size.
+    This is the "what survives dedup" report a training-data pipeline
+    actually ships; singletons appear with n_members = 1.  One extra
+    hash-agg on cluster_id after label propagation."""
+    from vector_db_ingestor_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_col="lang", n=2, threshold=0.2)
+    clusters = dedup_clusters(pairs, docs, id_col="doc_id")
+    return (
+        docs.join(clusters, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max("lang").alias("rep_lang"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
