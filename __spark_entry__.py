@@ -28,6 +28,7 @@ from vector_db_ingestor_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 _DRIVER_FIRST = [
     "q_tfidf",
     "q_dedup_representatives",
+    "q_sample_stratified",
     "q_sql_tpch_q4",
     "q_sql_tpch_q13",
     "q_sql_tpch_q17",

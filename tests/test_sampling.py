@@ -57,3 +57,36 @@ def test_split_by_hash_disjoint_exhaustive_stable(spark):
     alt = {r.k: r.split for r in split_by_hash(df, "k",
           {"train": 0.8, "val": 0.1, "test": 0.1}, salt="other").collect()}
     assert any(alt[k] != v for k, v in m1.items())
+
+
+def test_sample_stratified_md5_contracts(spark):
+    from vector_db_ingestor_spark.operators.sampling import sample_stratified_md5
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "zh") for i in range(300)], "doc_id int, lang string"
+    )
+    kept = sample_stratified_md5(
+        df, "lang", {"en": 0.5, "zh": 1.0}, "doc_id"
+    )
+    ids = sorted(r.doc_id for r in kept.collect())
+    # zh stratum keeps everything
+    zh = {i for i in range(300) if i % 3 == 0}
+    assert zh <= set(ids)
+    # deterministic under repartitioning
+    ids2 = sorted(
+        r.doc_id
+        for r in sample_stratified_md5(
+            df.repartition(13), "lang", {"en": 0.5, "zh": 1.0}, "doc_id"
+        ).collect()
+    )
+    assert ids == ids2
+    # append-stable: sampling a superset never changes old verdicts
+    bigger = df.union(
+        spark.createDataFrame([(i, "en") for i in range(300, 400)], "doc_id int, lang string")
+    )
+    ids3 = {r.doc_id for r in sample_stratified_md5(
+        bigger, "lang", {"en": 0.5, "zh": 1.0}, "doc_id").collect()}
+    assert set(ids) == {i for i in ids3 if i < 300}
+    # en rate lands near 50%
+    n_en = len([i for i in ids if i % 3])
+    assert 0.35 < n_en / 200 < 0.65

@@ -102,3 +102,41 @@ def split_by_hash(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)
+
+
+def sample_stratified_md5(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Cross-engine-auditable stratified sampling: the keep/drop verdict
+    is a lexicographic compare of the first 6 hex chars of
+    ``md5(salt || key)`` against a per-stratum threshold string.
+
+    Same contract as :func:`sample_stratified` (deterministic,
+    partition-invariant, append-stable) but built ONLY from functions
+    every engine renders identically (md5 lowercase hex + string
+    compare), so an external auditor — or the DuckDB oracle — can
+    re-derive membership exactly.  ``xxhash64``-based
+    :func:`sample_stratified` stays the hot path (no string
+    materialization per row); this is the portable/verification
+    variant.  Fraction granularity is 1/16^6 (~6e-8).
+    """
+
+    def threshold(frac: float) -> str:
+        if frac >= 1.0:
+            return "g"  # every hex digit sorts below 'g' -> keep all
+        return format(int(round(frac * 16**6)), "06x")
+
+    expr = F.lit(threshold(default_fraction))
+    for stratum, frac in fractions.items():
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(threshold(frac))
+        ).otherwise(expr)
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 6
+    )
+    return df.filter(bucket < expr)

@@ -3508,3 +3508,35 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substring(md5('stratified' || CAST(doc_id AS VARCHAR)), 1, 6)
+          < CASE lang
+                WHEN 'en' THEN '800000'
+                WHEN 'de' THEN '400000'
+                WHEN 'zh' THEN 'g'
+                ELSE '19999a'
+            END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling with per-language rates (keep
+    all rare-language docs, downsample the rest) — the md5-threshold
+    variant whose membership an external engine can re-derive exactly.
+    A narrow filter riding the scan: no shuffle, stable under
+    repartitioning and appends.  en 50%, de 25%, zh 100%, others 10%."""
+    from vector_db_ingestor_spark.operators.sampling import sample_stratified_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_stratified_md5(
+        docs.select("doc_id", "lang", "source"),
+        strata_col="lang",
+        fractions={"en": 0.5, "de": 0.25, "zh": 1.0},
+        key_col="doc_id",
+        default_fraction=0.1,
+    ).select("doc_id", "lang", "source")
