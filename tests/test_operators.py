@@ -288,3 +288,23 @@ def test_dedup_clusters_known_graph(spark):
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, nodes).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20, 30: 30, 31: 31}
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """Hitting max_iters before the fixpoint must raise, not silently
+    return half-propagated cluster ids (min label travels one hop per
+    round, so a 6-chain cannot settle in 2 rounds)."""
+    import pytest
+
+    from vector_db_ingestor_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a LONG, id_b LONG"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id LONG")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, nodes, max_iters=2).collect()
+    # and with enough rounds the same graph resolves fully
+    out = {r.doc_id: r.cluster_id
+           for r in dedup_clusters(chain, nodes, max_iters=10).collect()}
+    assert out == {i: 0 for i in range(6)}

@@ -59,6 +59,42 @@ def test_split_by_hash_disjoint_exhaustive_stable(spark):
     assert any(alt[k] != v for k, v in m1.items())
 
 
+def test_split_by_md5_contracts(spark):
+    """split_by_md5: same disjoint/exhaustive/append-stable contracts as
+    split_by_hash, plus cross-engine re-derivability (DuckDB computes
+    the identical assignment from md5 hex)."""
+    import duckdb
+
+    from vector_db_ingestor_spark.operators.sampling import split_by_md5
+
+    df = spark.range(3_000).select(F.col("id").cast("string").alias("k"))
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    split = split_by_md5(df, "k", weights)
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 3_000              # exhaustive
+    # membership survives appends
+    m1 = {r.k: r.split for r in split.collect()}
+    bigger = spark.range(6_000).select(F.col("id").cast("string").alias("k"))
+    m2 = {r.k: r.split for r in split_by_md5(bigger, "k", weights).collect()}
+    assert all(m2[k] == v for k, v in m1.items())
+    # cross-engine parity: DuckDB re-derives every assignment exactly
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            """
+            SELECT k, CASE WHEN b < 'e66666' THEN 'train'
+                           WHEN b < 'f33333' THEN 'val'
+                           ELSE 'test' END
+            FROM (SELECT CAST(range AS VARCHAR) AS k,
+                         substring(md5('split' || CAST(range AS VARCHAR)), 1, 6) AS b
+                  FROM range(3000))
+            """
+        ).fetchall()
+    )
+    assert m1 == duck
+
+
 def test_sample_stratified_md5_contracts(spark):
     from vector_db_ingestor_spark.operators.sampling import sample_stratified_md5
 

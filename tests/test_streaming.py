@@ -30,6 +30,61 @@ def test_stream_batch_parity(spark, sf_dir, tmp_path):
     assert len(b) > 0
 
 
+def test_stream_source_sniffs_ts_physical_type(spark, tmp_path):
+    """stream_events_from_parquet must not assume the fixture's ts
+    physical type: generators have shipped both timestamp[ns] and
+    timestamp[us].  Reading micros as nanos collapses every event time
+    ~1000x toward epoch (regression: test_stream_batch_parity went red
+    when fixtures switched to [us])."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vector_db_ingestor_spark.streaming.windows import (
+        _ts_unit_from_footer,
+        stream_events_from_parquet,
+    )
+
+    times = [dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 1, 11, 30)]
+
+    def write_fixture(unit):
+        d = tmp_path / f"events_{unit}"
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(times, pa.timestamp(unit)),
+                "user_id": pa.array([1, 1], pa.int64()),
+                "event_type": pa.array(["click", "view"]),
+                "value": pa.array([1.0, 2.0], pa.float64()),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(table, d / "part-0.parquet")
+        return str(d)
+
+    for unit in ("ns", "us"):
+        path = write_fixture(unit)
+        assert _ts_unit_from_footer(path) == unit
+        src = stream_events_from_parquet(spark, path)
+        q = (
+            src.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"sniff_{unit}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r.event_id: r.ts
+            for r in spark.sql(f"SELECT event_id, ts FROM sniff_{unit}").collect()
+        }
+        assert got == {1: times[0], 2: times[1]}, f"unit={unit}: {got}"
+
+
 def test_stream_ingest_directory(spark, tmp_path):
     import pathlib
     import shutil

@@ -589,6 +589,7 @@ def dedup_clusters(
         .localCheckpoint()
     )
     labels = ids.select("__node", F.col("__node").alias("__label")).localCheckpoint()
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["__v"] == labels["__node"])
@@ -613,7 +614,17 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # labels would be a MIX of components resolved and not — wrong
+        # cluster ids with no signal.  The fixpoint is exact, so hitting
+        # the bound means a component's diameter exceeds max_iters (or a
+        # pathological chain): surface it instead of returning bad data.
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters}; "
+            "raise max_iters (rounds needed ~ largest component diameter)"
+        )
     return labels.select(
         F.col("__node").alias(id_col), F.col("__label").alias("cluster_id")
     )

@@ -104,6 +104,46 @@ def split_by_hash(
     return df.withColumn("split", expr)
 
 
+def _md5_bucket(key: Column, salt: str) -> Column:
+    """First 6 hex chars of ``md5(salt || key)`` — a uniform draw in
+    [0, 16^6) rendered identically by every engine (lowercase hex +
+    lexicographic compare), so membership is externally re-derivable."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 6)
+
+
+def _hex_threshold(frac: float) -> str:
+    if frac >= 1.0:
+        return "g"  # every hex digit sorts below 'g' -> keep all
+    return format(int(round(frac * 16**6)), "06x")
+
+
+def split_by_md5(
+    df: DataFrame,
+    key_col: str,
+    weights: dict | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Cross-engine-auditable train/val/test split: same disjoint
+    cumulative-range contract as :func:`split_by_hash`, but the bucket
+    draw is the md5-hex idiom of :func:`sample_stratified_md5`, so an
+    external engine (or the DuckDB oracle) re-derives every row's
+    assignment exactly.  ``split_by_hash`` stays the hot path (no
+    per-row string materialization); this is the portable variant.
+    Granularity is 1/16^6 (~6e-8) per boundary."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = float(sum(weights.values()))
+    bucket = _md5_bucket(F.col(key_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = bucket < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
 def sample_stratified_md5(
     df: DataFrame,
     strata_col: str,
@@ -125,18 +165,9 @@ def sample_stratified_md5(
     materialization per row); this is the portable/verification
     variant.  Fraction granularity is 1/16^6 (~6e-8).
     """
-
-    def threshold(frac: float) -> str:
-        if frac >= 1.0:
-            return "g"  # every hex digit sorts below 'g' -> keep all
-        return format(int(round(frac * 16**6)), "06x")
-
-    expr = F.lit(threshold(default_fraction))
+    expr = F.lit(_hex_threshold(default_fraction))
     for stratum, frac in fractions.items():
         expr = F.when(
-            F.col(strata_col) == stratum, F.lit(threshold(frac))
+            F.col(strata_col) == stratum, F.lit(_hex_threshold(frac))
         ).otherwise(expr)
-    bucket = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 6
-    )
-    return df.filter(bucket < expr)
+    return df.filter(_md5_bucket(F.col(key_col), salt) < expr)

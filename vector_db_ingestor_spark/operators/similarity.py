@@ -235,7 +235,22 @@ def ivf_write(
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], schema="cid INT, cvec ARRAY<DOUBLE>"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    # completion marker LAST: the collection write drops its own
+    # _SUCCESS before the _centroids sidecar exists, so a crash between
+    # the two writes would otherwise leave a "successful" index with no
+    # model.  Readers must gate on _INDEX_SUCCESS, not _SUCCESS.
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path + "/_INDEX_SUCCESS")
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(jvm_path, True).close()
     return centroids
+
+
+def ivf_index_complete(spark, path: str) -> bool:
+    """True iff ``path`` holds a fully-written IVF index (collection +
+    centroid sidecar + final marker)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path + "/_INDEX_SUCCESS")
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jvm_path))
 
 
 def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]]]:

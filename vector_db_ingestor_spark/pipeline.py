@@ -238,9 +238,13 @@ class VectorCollection:
         subsequent scan (task-per-file scheduling, footer reads, no
         row-group locality).  Compaction sizes the rewrite from the
         ACTUAL on-disk bytes (not row counts), writes to a temp
-        directory first, then swaps — a crash mid-compact leaves the
-        live collection untouched.  Run it out-of-band on a schedule,
-        like a LSM/iceberg rewrite-data-files maintenance job.
+        directory first, then swaps with RENAMES ONLY — live -> trash,
+        tmp -> live, delete trash — so there is no instant at which the
+        collection path is absent and a crash at any step leaves either
+        the old or the new data fully intact (the delete of the
+        retired copy is the only non-atomic step, and it runs after the
+        new data is live).  Run it out-of-band on a schedule, like a
+        LSM/iceberg rewrite-data-files maintenance job.
         """
         import uuid
 
@@ -252,13 +256,21 @@ class VectorCollection:
         n_files = max(1, int(total_bytes / target_file_bytes) + (
             1 if total_bytes % target_file_bytes else 0
         ))
-        tmp = self.path.rstrip("/") + f"__compact_{uuid.uuid4().hex[:8]}"
+        token = uuid.uuid4().hex[:8]
+        tmp = self.path.rstrip("/") + f"__compact_{token}"
         self.spark.read.parquet(self.path).repartition(n_files).write.mode(
             "overwrite"
         ).parquet(tmp)
         tmp_path = self.spark._jvm.org.apache.hadoop.fs.Path(tmp)
-        fs.delete(jvm_path, True)
-        fs.rename(tmp_path, jvm_path)
+        trash = self.path.rstrip("/") + f"__retired_{token}"
+        trash_path = self.spark._jvm.org.apache.hadoop.fs.Path(trash)
+        if not fs.rename(jvm_path, trash_path):
+            raise IOError(f"compact: could not retire {self.path}")
+        if not fs.rename(tmp_path, jvm_path):
+            # roll back: put the live data back before failing
+            fs.rename(trash_path, jvm_path)
+            raise IOError(f"compact: could not promote {tmp}")
+        fs.delete(trash_path, True)
         listed = fs.listStatus(jvm_path)
         return sum(
             1

@@ -1133,12 +1133,19 @@ def q_ann_ivf_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     The index for a given ``sf_dir`` is materialized on first use under
     ``spark-warehouse/`` and reused after that — mirroring a real
     deployment where ``ivf_write`` runs at ingest time and queries only
-    ever see ``ivf_read``/``ivf_topk``.
+    ever see ``ivf_read``/``ivf_topk``.  The cache key fingerprints the
+    source parquet (size + mtime), so regenerated fixtures invalidate
+    the index instead of silently serving stale assignments; and the
+    reuse gate is the ``_INDEX_SUCCESS`` marker ``ivf_write`` drops
+    only after the centroid sidecar, not the collection's own
+    ``_SUCCESS`` (which lands before the sidecar exists).
     """
+    import hashlib
     import os
 
     from vector_db_ingestor_spark.constants import EMBEDDING_DIM
     from vector_db_ingestor_spark.operators.similarity import (
+        ivf_index_complete,
         ivf_read,
         ivf_topk,
         ivf_write,
@@ -1146,10 +1153,16 @@ def q_ann_ivf_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = hashlib.md5(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:10]
+    except OSError:  # non-local sf_dir: no fingerprint, rebuild each session
+        fp = "nofp"
     index_path = os.path.join(
-        repo_root, "spark-warehouse", f"ivf_index_{tag}_c8_i2"
+        repo_root, "spark-warehouse", f"ivf_index_{tag}_c8_i2_{fp}"
     )
-    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+    if not ivf_index_complete(spark, index_path):
         emb = load_table(spark, sf_dir, "embeddings")
         ivf_write(emb, index_path, dim=EMBEDDING_DIM, n_centroids=8, iters=2)
     indexed, centroids = ivf_read(spark, index_path)
@@ -1692,7 +1705,7 @@ def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
            CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
-           list_sort(json_keys(props)) AS keys
+           array_to_string(list_sort(json_keys(props)), ',') AS keys
     FROM events
     WHERE event_type = 'purchase'
     """,
@@ -1701,7 +1714,9 @@ def q_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON -> MapType round-trip: parse events.props into
     map<string,int>, then map_keys / element_at — the open-ended
     metadata pattern (reference's schemaless metadata dicts,
-    src/PDFToChromaIngester.py:145-150) done with typed map columns."""
+    src/PDFToChromaIngester.py:145-150) done with typed map columns.
+    Array outputs are serialized to csv strings so any downstream
+    engine (and the driver's pandas canonicalizer) can hash them."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
     return (
@@ -1711,7 +1726,7 @@ def q_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.element_at("m", "k").alias("k_val"),
             F.size(F.map_keys("m")).alias("n_keys"),
-            F.array_sort(F.map_keys("m")).alias("keys"),
+            F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys"),
         )
     )
 
@@ -1858,8 +1873,8 @@ def q_conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           list_sort(array_agg(DISTINCT source)) AS sources,
-           array_agg(doc_id ORDER BY n_chars DESC, doc_id)[1:3] AS top3_longest
+           array_to_string(list_sort(array_agg(DISTINCT source)), ',') AS sources,
+           array_to_string(array_agg(doc_id ORDER BY n_chars DESC, doc_id)[1:3], ',') AS top3_longest
     FROM documents
     GROUP BY lang
     """,
@@ -1869,20 +1884,26 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set and an ordered top-3 via sorted struct collection.
     collect_* concentrate a group on one reducer — fine for bounded
     groups (sources per lang); at 100 TB cap with slice() as here or
-    pre-aggregate."""
+    pre-aggregate.  Collection columns are csv-serialized so the
+    driver's pandas canonicalizer can sort/hash them."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.array_sort(F.collect_set("source")).alias("sources"),
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct((-F.col("n_chars")).alias("neg"), "doc_id"))
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct((-F.col("n_chars")).alias("neg"), "doc_id")
+                        )
+                    ),
+                    lambda s: s.doc_id,
                 ),
-                lambda s: s.doc_id,
+                1,
+                3,
             ),
-            1,
-            3,
+            ",",
         ).alias("top3_longest"),
     )
 
@@ -2751,9 +2772,9 @@ def q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT vec_id,
-           list_sort(list_distinct(list_concat(ia, ib))) AS u,
-           list_sort(list_distinct(list_intersect(ia, ib))) AS i,
-           list_sort(list_distinct(list_filter(ia, x -> NOT list_contains(ib, x)))) AS d,
+           coalesce(array_to_string(list_sort(list_distinct(list_concat(ia, ib))), ','), '') AS u,
+           coalesce(array_to_string(list_sort(list_distinct(list_intersect(ia, ib))), ','), '') AS i,
+           coalesce(array_to_string(list_sort(list_distinct(list_filter(ia, x -> NOT list_contains(ib, x)))), ','), '') AS d,
            list_contains(ia, 0) AS has_zero,
            len(list_distinct(ia)) AS n_distinct_a
     FROM t
@@ -2762,11 +2783,13 @@ def q_docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_array_set_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set-algebra battery: union / intersect / except /
     contains / distinct-count on integerized embedding slices (floor
-    avoids cross-engine round-half ambiguity; results sorted so set
-    order is canonical)."""
+    avoids cross-engine round-half ambiguity; results sorted then
+    csv-serialized so set order is canonical and the output is
+    hashable by any engine's canonicalizer)."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding").cast("array<double>")
     to_int = lambda c: F.transform(c, lambda x: F.floor(x * 100).cast("int"))  # noqa: E731
+    as_csv = lambda c: F.array_join(c.cast("array<string>"), ",")  # noqa: E731
     t = emb.select(
         "vec_id",
         to_int(F.slice(e, 1, 8)).alias("ia"),
@@ -2774,9 +2797,9 @@ def q_array_set_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.select(
         "vec_id",
-        F.array_sort(F.array_union("ia", "ib")).alias("u"),
-        F.array_sort(F.array_intersect("ia", "ib")).alias("i"),
-        F.array_sort(F.array_except("ia", "ib")).alias("d"),
+        as_csv(F.array_sort(F.array_union("ia", "ib"))).alias("u"),
+        as_csv(F.array_sort(F.array_intersect("ia", "ib"))).alias("i"),
+        as_csv(F.array_sort(F.array_except("ia", "ib"))).alias("d"),
         F.array_contains("ia", 0).alias("has_zero"),
         F.size(F.array_distinct("ia")).alias("n_distinct_a"),
     )
@@ -2918,24 +2941,34 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs, id_col="doc_id")
 
 
-def q_split_train_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/val/test split by disjoint hash ranges over doc_id:
-    deterministic, partition-invariant, membership survives appends
-    (rows-only: xxhash64 has no DuckDB equivalent, and the operator's
-    determinism/disjointness/stability contracts are pinned in
-    tests/test_sampling.py)."""
-    from vector_db_ingestor_spark.operators.sampling import split_by_hash
+@query(
+    "q_split_train",
+    oracle="""
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM (
+        SELECT CASE WHEN b < 'e66666' THEN 'train'
+                    WHEN b < 'f33333' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 6) AS b
+              FROM documents)
+    ) GROUP BY split ORDER BY split
+    """,
+)
+def q_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split by disjoint cumulative hash ranges over
+    doc_id: deterministic, partition-invariant, membership survives
+    appends.  Uses the md5-hex draw (split_by_md5) so any engine can
+    re-derive every row's assignment — cumulative thresholds 0.90 ->
+    'e66666', 0.95 -> 'f33333'.  Determinism/disjointness/stability
+    contracts are pinned in tests/test_sampling.py."""
+    from vector_db_ingestor_spark.operators.sampling import split_by_md5
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        split_by_hash(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+        split_by_md5(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("split")
     )
-
-
-QUERIES["q_split_train"] = q_split_train_impl
 
 
 # =====================================================================

@@ -140,11 +140,47 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def _ts_unit_from_footer(path: str) -> str:
+    """Sniff the parquet physical unit of the ``ts`` column (``'ns'``,
+    ``'us'``, ``'ms'`` or ``'s'``) from the footer of one file under
+    ``path``.  Fixture generators have shipped both ``timestamp[ns]``
+    and ``timestamp[us]`` over time; assuming one of them silently
+    collapses or inflates every event time ~1000x, so the source must
+    read the footer rather than guess."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    candidates = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+        or sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    )
+    if not candidates:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+    field = pq.read_schema(candidates[0]).field("ts")
+    unit = getattr(field.type, "unit", None)
+    if unit is None:  # plain int64 ts: treat as nanos (legacy fixtures)
+        return "ns"
+    return unit
+
+
 def stream_events_from_parquet(
-    spark: SparkSession, path: str, ts_is_nanos: bool = True
+    spark: SparkSession, path: str, ts_is_nanos: bool | None = None
 ) -> DataFrame:
     """readStream over the driver's events parquet (file source stands in
-    for kafka; the transformation chain is source-agnostic)."""
+    for kafka; the transformation chain is source-agnostic).
+
+    ``ts_is_nanos=None`` (default) sniffs the ``ts`` physical type from
+    the parquet footer: ``timestamp[us]``/``[ms]``/``[s]`` files read
+    with the plain TIMESTAMP schema, while ``timestamp[ns]`` (which
+    Spark cannot represent directly) reads as LONG under ``nanosAsLong``
+    and is integer-divided down to micros.  Pass a bool to force either
+    path (used by tests to cover both physical types)."""
+    if ts_is_nanos is None:
+        ts_is_nanos = _ts_unit_from_footer(path) == "ns"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = EVENTS_SCHEMA.replace("ts TIMESTAMP", "ts LONG") if ts_is_nanos else EVENTS_SCHEMA
     src = spark.readStream.schema(schema).parquet(path)
