@@ -64,6 +64,11 @@ HEADLINE = [
     "q_sql_tpch_q10",
     "q_sql_tpch_q13",
     "q_sql_tpch_q17",
+    "q_sql_tpch_q7",
+    "q_sql_tpch_q8",
+    "q_sql_tpch_q15",
+    "q_sql_tpch_q22",
+    "q_vec_centroid",
     "q_vector_fns",
     "q_vec_quantize",
     "q_docs_clean_pipeline",

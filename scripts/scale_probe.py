@@ -135,6 +135,41 @@ def probes(spark: SparkSession, sf_dir: str, factor: int) -> dict[str, DataFrame
     }
 
 
+def stage_probes(
+    spark: SparkSession, sf_dir: str, factor: int
+) -> dict[str, DataFrame]:
+    """Per-stage split of the two operators whose end-to-end ratio ran
+    superlinear (see SCALE_PROBE.md history): candidate GENERATION alone
+    vs the full candidates+verify pipeline.  The verify share is the
+    difference; candidate/output row counts separate compute growth from
+    output growth."""
+    from vector_db_ingestor_spark.operators.dedup import (
+        embedding_near_dups,
+        minhash_candidates,
+        minhash_verified_pairs,
+    )
+    from vector_db_ingestor_spark.operators.similarity import auto_n_bits
+
+    docs = replicate_docs(load_table(spark, sf_dir, "documents"), factor)
+    emb = replicate_embeddings(
+        load_table(spark, sf_dir, "embeddings"), factor, EMBEDDING_DIM
+    )
+    n_bits = auto_n_bits(2000 * factor, target_bucket=8)
+    print(f"x{factor}: auto_n_bits -> {n_bits}")
+    return {
+        "minhash_cand": minhash_candidates(docs, with_estimate=False),
+        "minhash_full": minhash_verified_pairs(docs, threshold=0.5),
+        # threshold=-1 keeps every candidate: same plan, no verify-filter
+        # selectivity, so this times candidate-gen + cosine scoring
+        "embed_cand": embedding_near_dups(
+            emb, threshold=-1.0, dim=EMBEDDING_DIM, n_bits=n_bits
+        ),
+        "embed_full": embedding_near_dups(
+            emb, threshold=0.3, dim=EMBEDDING_DIM, n_bits=n_bits
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -142,6 +177,7 @@ def main() -> None:
     spark = get_spark("scale_probe")
 
     results: dict[str, dict[int, float]] = {}
+    counts: dict[str, dict[int, int]] = {}
     rows_at: dict[int, int] = {}
     for factor in factors:
         qs = probes(spark, sf_dir, factor)
@@ -157,6 +193,19 @@ def main() -> None:
                 ts.append(time.perf_counter() - t0)
             results.setdefault(name, {})[factor] = statistics.median(ts)
             print(f"x{factor:<3d} {name}: {results[name][factor]:.2f}s")
+        for name, df in stage_probes(spark, sf_dir, factor).items():
+            df.write.format("noop").mode("overwrite").save()  # warm
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            results.setdefault(name, {})[factor] = statistics.median(ts)
+            counts.setdefault(name, {})[factor] = df.count()
+            print(
+                f"x{factor:<3d} {name}: {results[name][factor]:.2f}s"
+                f" rows={counts[name][factor]}"
+            )
     spark.stop()
 
     lines = [
@@ -175,6 +224,25 @@ def main() -> None:
         r = by_f[10] / by_f[1]
         lines.append(
             f"| {name} | {by_f[1]:.2f}s | {by_f[3]:.2f}s | {by_f[10]:.2f}s | {r:.1f} |"
+        )
+    lines += [
+        "",
+        "## Stage split (candidate generation vs full cand+verify)",
+        "",
+        "`minhash_cand`/`embed_cand` time candidate generation alone",
+        "(embed_cand: threshold=-1 keeps all candidates, so its row count",
+        "IS the candidate volume); `*_full` add the verify stage.  If the",
+        "end-to-end ratio is superlinear but candidate rows grow ~linearly,",
+        "the excess is hash/shuffle constants (n_bits grows with log n),",
+        "not a quadratic pair blow-up.",
+        "",
+        "| stage | 1x rows | 3x rows | 10x rows | rows 10x/1x |",
+        "|---|---|---|---|---|",
+    ]
+    for name, by_f in counts.items():
+        r = by_f[10] / max(by_f[1], 1)
+        lines.append(
+            f"| {name} | {by_f[1]} | {by_f[3]} | {by_f[10]} | {r:.1f} |"
         )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"

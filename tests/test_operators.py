@@ -127,6 +127,62 @@ def test_minhash_identical_docs_est_one(spark):
     assert out[(1, 2)] == 1.0
 
 
+def test_minhash_md5_family_cross_engine_signature(spark):
+    """The portable minhash family (md5 base + affine permutations) is
+    re-derivable bit-for-bit by another engine: DuckDB computes the
+    identical signature minima from the closed form."""
+    import duckdb
+
+    from vector_db_ingestor_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_perm_consts,
+        minhash_signature,
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    docs = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs")]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    sh = df.select("doc_id", word_shingles(F.col("text"), 2).alias("sh"))
+    spark_sig = {
+        r.doc_id: list(r.sig)
+        for r in sh.select(
+            "doc_id", minhash_signature(F.col("sh"), 8, "md5").alias("sig")
+        ).collect()
+    }
+
+    mins = ", ".join(
+        f"list_min(list_transform(hh, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_perm_consts(8)
+    )
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    duck_sig = {
+        row[0]: list(row[1])
+        for row in con.execute(
+            f"""
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len({toks})),
+                           i -> {toks}[i] || ' ' || {toks}[i+1])) AS grams
+                FROM d
+            ),
+            h AS (
+                SELECT doc_id,
+                       list_transform(grams,
+                           x -> CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)) AS hh
+                FROM g
+            )
+            SELECT doc_id, [{mins}] FROM h
+            """
+        ).fetchall()
+    }
+    assert spark_sig == duck_sig
+
+
 def test_salted_join_equals_plain_join(spark):
     from vector_db_ingestor_spark.operators.joins import salted_join
 

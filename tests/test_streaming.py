@@ -149,6 +149,62 @@ def test_stream_ingest_dedup_skips_duplicate_content(spark, tmp_path):
     assert spark.read.parquet(out).count() == n1
 
 
+def test_stream_ingest_dedup_recovers_exactly_once_after_crash(spark, tmp_path):
+    """Exactly-once across a mid-stream crash: the dangerous window in
+    foreachBatch is AFTER the parquet append, BEFORE the checkpoint
+    commit — a crash there makes Spark replay the batch on restart.
+    Simulate it deterministically by deleting the last batch's commit
+    marker and restarting on the same checkpoint: the replayed batch
+    must anti-join away against the already-appended rows, leaving
+    every chunk_uid exactly once."""
+    import os
+
+    from vector_db_ingestor_spark.streaming.ingest import stream_ingest_dedup
+
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    for i in range(4):
+        body = (
+            b"stream\n(Document number %d with several sentences. "
+            b"More filler text follows! Another line here? "
+            b"Final words for padding.) Tj\nendstream" % i
+        )
+        (src / f"doc_{i}.pdf").write_bytes(body)
+
+    out, ck = str(tmp_path / "coll"), str(tmp_path / "ck")
+    q = stream_ingest_dedup(
+        spark, str(src), out, ck, chunk_size=40, overlap=8,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    clean = spark.read.parquet(out)
+    n_clean = clean.count()
+    assert n_clean > 0
+    assert clean.select("chunk_uid").distinct().count() == n_clean
+
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ck, "commits")) if f.isdigit()
+    )
+    assert len(commits) >= 4, "expected one commit per file"
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # local-fs checksum sidecar would block rename
+        os.remove(crc)
+
+    # restart on the same checkpoint: Spark replays the uncommitted batch
+    q2 = stream_ingest_dedup(
+        spark, str(src), out, ck, chunk_size=40, overlap=8,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    recovered = spark.read.parquet(out)
+    assert recovered.count() == n_clean, "replayed batch re-appended rows"
+    assert recovered.select("chunk_uid").distinct().count() == n_clean
+    # nothing was lost either: all four files' chunks are present
+    names = {r.filename for r in recovered.select("filename").distinct().collect()}
+    assert names == {f"doc_{i}.pdf" for i in range(4)}
+
+
 def test_stateful_running_totals_across_microbatches(spark, sf_dir, tmp_path):
     """applyInPandasWithState keeps per-user state across micro-batches:
     with the fixture split into two files (maxFilesPerTrigger=1 -> two

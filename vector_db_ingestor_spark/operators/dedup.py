@@ -96,17 +96,77 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
 
 # ---------------------------------------------------------- minhash LSH
 
-def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
+#: modulus for the portable ("md5") minhash permutation family: the
+#: smallest prime above 2^32, so a 32-bit base hash permutes without bias
+MINHASH_P = 4294967311
+
+
+def minhash_perm_consts(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine permutations
+    h_s(x) = (a_s*x + b_s) mod P of the portable minhash family.
+    Constants are < 2^31 so a_s * x never overflows int64 for any
+    32-bit base hash — the same closed form any external engine can
+    re-derive (multipliers are the public Knuth/xxhash mixing primes).
+    """
+    m31 = 2147483647  # 2^31 - 1 (prime)
+    consts = []
+    for s in range(num_perm):
+        a = (2654435761 * (s + 1)) % m31 or 1
+        b = (2246822519 * (s + 1) + 3266489917) % m31
+        consts.append((a, b))
+    return consts
+
+
+def minhash_signature(
+    shingles: Column, num_perm: int = 64, hash_family: str = "xxhash64"
+) -> Column:
     """num_perm minhash values, all JVM-side.
 
     Classic K-hash construction with the standard one-string-hash
-    optimization: each shingle string is xxhash64'd ONCE, and the K
-    "independent" functions re-hash that 8-byte value with K seeds —
-    min(xxhash64(xxhash64(s), seed)) per seed.  Hashing a long is far
-    cheaper than hashing the string K times, and the composition stays
-    uniform and deterministic.  The base-hash array is bound through a
-    lambda variable so it is computed once, not once per seed.
+    optimization: each shingle string is hashed ONCE, and the K
+    "independent" functions re-hash that value with K seeds; the re-hash
+    is far cheaper than hashing the string K times, and the composition
+    stays uniform and deterministic.  The base-hash array is bound
+    through a lambda variable so it is computed once, not once per seed.
+
+    ``hash_family``:
+
+    * ``"xxhash64"`` (default, hot path) — min(xxhash64(xxhash64(s),
+      seed)) per seed, 8-byte long minima.
+    * ``"md5"`` (portable/verification path) — each gram hashes ONCE to
+      a 32-bit base int (first 8 hex chars of its md5), and the K
+      functions are affine permutations (a_s*x + b_s) mod P over that
+      base (:func:`minhash_perm_consts`).  md5 and 64-bit integer
+      arithmetic render identically in every engine, so an external
+      engine (the DuckDB oracle, an auditor) re-derives the signature —
+      and therefore the LSH candidate set — bit-for-bit, at the same
+      cost class as the xxhash64 family (one digest per gram + K
+      mul/add/mod passes).
     """
+    if hash_family == "md5":
+
+        def perm(a: int, b: int):
+            # closure factory: Spark reads lambda arity, so keyword
+            # defaults (lambda x, a=a: ...) would look like a 3-arg fn
+            return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+        def sig_of_md5(h: Column) -> Column:
+            return F.array(
+                *[
+                    F.array_min(F.transform(h, perm(a, b)))
+                    for a, b in minhash_perm_consts(num_perm)
+                ]
+            )
+
+        # one md5 per gram -> 32-bit base int (first 8 hex chars); the K
+        # "independent" functions are affine permutations of that base —
+        # pure BIGINT arithmetic both engines evaluate identically, and
+        # products stay under 2^63 (base < 2^32, consts < 2^31)
+        base_md5 = F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        )
+        return F.element_at(F.transform(F.array(base_md5), sig_of_md5), 1)
 
     def sig_of(h: Column) -> Column:
         return F.array(
@@ -128,6 +188,7 @@ def minhash_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     with_estimate: bool = True,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing >=1 minhash band.
 
@@ -156,22 +217,35 @@ def minhash_candidates(
         F.col(id_col).alias("mh_id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     )
+    if hash_family == "md5":
+        # gram-less docs (fewer tokens than shingle_n) have no signature;
+        # they can never near-dup anyway, and excluding them keeps the
+        # oracle-side expression NULL-free
+        shingled = shingled.filter(F.size("sh") > 0)
     sig = shingled.select(
-        "mh_id", minhash_signature(F.col("sh"), num_perm).alias("sig")
+        "mh_id", minhash_signature(F.col("sh"), num_perm, hash_family).alias("sig")
     )
+    if hash_family == "md5":
+        # band key as md5 of the pipe-joined decimal minima: reproducible
+        # by any engine, unlike Spark's murmur hash() over an array<long>
+        band_of = lambda b: F.md5(  # noqa: E731
+            F.array_join(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast(
+                    "array<string>"
+                ),
+                "|",
+            )
+        )
+    else:
+        band_of = lambda b: F.hash(  # noqa: E731
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        )
     sig_cols = ["sig"] if with_estimate else []
     banded = sig.select(
         "mh_id",
         *sig_cols,
         F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[band_of(b) for b in range(bands)])
         ).alias("band_idx", "band_hash"),
     )
     # shared exchange: both self-join sides reuse one shuffle stage, so
@@ -522,6 +596,7 @@ def minhash_verified_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """The 100 TB near-dup pipeline: MinHash LSH candidates -> exact
     Jaccard verify on candidates only.
@@ -533,9 +608,16 @@ def minhash_verified_pairs(
     candidate row — which is the right tool once the pair set is small;
     recall is bounded by the band collision probability, precision is
     exact (every emitted pair's jaccard is true).
+
+    With ``hash_family="md5"`` the candidate set itself is re-derivable
+    by any engine (see :func:`minhash_signature`), so "candidates ∩
+    jaccard >= t" is a closed-form, scale-independent contract — an
+    external oracle can verify the output exactly at ANY corpus size,
+    not just on fixtures where band recall happens to be complete.
     """
     cands = minhash_candidates(
-        df, text_col, id_col, num_perm, bands, shingle_n, with_estimate=False
+        df, text_col, id_col, num_perm, bands, shingle_n,
+        with_estimate=False, hash_family=hash_family,
     )
     sh = df.select(
         F.col(id_col).alias("gid"),

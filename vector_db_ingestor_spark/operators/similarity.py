@@ -35,8 +35,31 @@ from vector_db_ingestor_spark.functions.vector import cosine_similarity, dot
 
 
 def _hyperplane(dim: int, bit: int) -> list[float]:
-    """Deterministic pseudo-random unit-ish hyperplane (closed form)."""
-    return [math.sin(0.7 * (bit + 1) * (i + 1) + 0.31 * bit) for i in range(dim)]
+    """Deterministic pseudo-random hyperplane, md5-derived components
+    uniform in [-1, 1).
+
+    Computed once at PLAN-BUILD time in Python and embedded as array
+    literals (both in the Spark expression and in the DuckDB oracle), so
+    the formula is free at execution and any formula change stays
+    oracle-exact automatically.  md5 replaced the earlier
+    ``sin(0.7*(bit+1)*(i+1)+0.31*bit)`` lattice: per-bit sign balance of
+    the sin planes looked fine (~0.5 each) but the bits were JOINTLY
+    correlated — at n_bits=12 over the sf0.1 embeddings only 664/4096
+    buckets were occupied and within-bucket candidate pairs ran 13.7x
+    the md5 planes' (9825 vs 718; near-uniform expectation ~490).  That
+    joint skew is what made ``embedding_near_dups`` candidate volume
+    grow superlinearly as ``auto_n_bits`` added bits with corpus size
+    (SCALE_PROBE.md round 4): the marginal hyperplanes split almost
+    nothing.  Independent-per-component digests have no such lattice
+    structure.
+    """
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"rp:{bit}:{i}".encode()).digest()
+        out.append(2.0 * (int.from_bytes(h[:8], "big") / 2.0**64) - 1.0)
+    return out
 
 
 def auto_n_bits(n_rows: int, target_bucket: int = 64, max_bits: int = 24) -> int:

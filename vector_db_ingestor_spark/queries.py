@@ -1735,38 +1735,90 @@ def q_dedup_minhash_verified_impl(spark: SparkSession, sf_dir: str) -> DataFrame
     """Two-stage near-dup at scale: MinHash LSH candidate generation +
     exact Jaccard verification restricted to candidates.
 
-    Oracle strategy: the verify stage emits the TRUE jaccard, so the
-    output is exactly {pairs with jaccard >= t} ∩ {LSH candidates}.
-    DuckDB computes the first set; at the gate fixture (sf0.01) the
-    16-band/64-perm signature has complete recall on >= 0.2 pairs
-    (measured: 25/25; at sf0.1 the approximate tail shows as 257/260),
-    so the value-hash comparison is exact there.  The operator itself
-    remains approximate by construction — recall depends on
-    bands/num_perm vs threshold (the 1-(1-s^r)^b curve)."""
+    Oracle strategy: the md5 hash family makes the signature — and
+    therefore the banded candidate set — re-derivable by any engine, so
+    the oracle mirrors the WHOLE pipeline (signature -> bands ->
+    candidate join -> exact-jaccard verify) and the equality contract
+    holds at every corpus size, independent of band recall.  (The
+    earlier xxhash64 variant could only be checked against the full
+    jaccard pair set, which is equal only on fixtures where recall
+    happens to be complete.)  The operator remains approximate by
+    construction — recall follows the 1-(1-s^r)^b curve — but what it
+    computes is now exactly specified."""
     from vector_db_ingestor_spark.operators.dedup import minhash_verified_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_verified_pairs(
-        docs, threshold=0.2, num_perm=64, bands=16, shingle_n=2
+        docs, threshold=0.2, num_perm=64, bands=16, shingle_n=2,
+        hash_family="md5",
     )
+
+
+def _minhash_md5_oracle(
+    threshold: float = 0.2, num_perm: int = 64, bands: int = 16
+) -> str:
+    """DuckDB mirror of the md5-family minhash pipeline: same gram set,
+    same 32-bit md5 base, same affine permutation minima, same band
+    keys, same verify filter (minhash_signature / minhash_perm_consts
+    in operators/dedup.py define the closed form)."""
+    from vector_db_ingestor_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_perm_consts,
+    )
+
+    r = num_perm // bands
+    mins = ",\n               ".join(
+        f"list_min(list_transform(hh, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_perm_consts(num_perm)
+    )
+    structs = ",\n            ".join(
+        "{'bi': %d, 'bk': md5(%s)}"
+        % (
+            b,
+            " || '|' || ".join(f"s[{b * r + j + 1}]::VARCHAR" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    return f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len({toks})),
+                   i -> {toks}[i] || ' ' || {toks}[i+1])) AS grams
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, grams,
+               list_transform(grams,
+                   x -> CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)) AS hh
+        FROM g WHERE len(grams) > 0
+    ),
+    sig AS (
+        SELECT doc_id, grams,
+               [{mins}] AS s
+        FROM h
+    ),
+    bands AS (
+        SELECT doc_id, grams, unnest([
+            {structs}
+        ], recursive := true)
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        FROM bands a JOIN bands b
+          ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM cand WHERE jaccard >= {threshold}
+    """
 
 
 QUERIES["q_dedup_minhash_verified"] = q_dedup_minhash_verified_impl
-ORACLE_SQL["q_dedup_minhash_verified"] = """
-    WITH g AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(string_split_regex(lower(trim(text)), '\\s+'))),
-                   i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
-                        string_split_regex(lower(trim(text)), '\\s+')[i+1])) AS grams
-        FROM documents
-    )
-    SELECT * FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-        FROM g a JOIN g b ON a.doc_id < b.doc_id
-    ) WHERE jaccard >= 0.2
-    """
+ORACLE_SQL["q_dedup_minhash_verified"] = _minhash_md5_oracle(
+    threshold=0.2, num_perm=64, bands=16
+)
 
 
 @query(
@@ -3573,3 +3625,271 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
         default_fraction=0.1,
     ).select("doc_id", "lang", "source")
+
+
+# =====================================================================
+# round-4 relational + vector additions
+# =====================================================================
+
+@query(
+    "q_sql_tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(volume) AS DOUBLE), 4) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the nation self-join pattern — the
+    same dimension joined twice under different roles (supplier nation
+    vs customer nation) with a disjunctive cross-role predicate.  Both
+    nation sides broadcast; the fact-fact joins shuffle on their keys
+    and the date filter is pushed to the lineitem scan."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               round(CAST(sum(volume) AS DOUBLE), 4) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+@query(
+    "q_sql_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+          AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the deepest star join in the
+    suite — 8 relations, two roles for nation, a conditional-sum ratio.
+    Every dimension (part, supplier, nation x2, region, customer)
+    broadcasts; only lineitem-orders shuffles.  The ratio is computed
+    in one aggregation via conditional sum, not two passes."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / sum(volume) AS DOUBLE), 6) AS mkt_share
+        FROM (
+            SELECT year(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA'
+              AND p_type = 'PROMO'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+        """
+    )
+
+
+@query(
+    "q_sql_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a reused derived table — the revenue
+    aggregation feeds both the join and the scalar-max subquery.  Spark
+    evaluates the scalar subquery as its own tiny aggregation over the
+    same shuffle output (exchange reuse), not a per-row loop."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@query(
+    "q_sql_tpch_q22",
+    oracle="""
+    SELECT cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+    FROM (
+        SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2001-01-01')
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): an uncorrelated
+    scalar-average subquery AND an anti-join in one query — customers
+    above the average balance with no recent orders (fixtures have no
+    phone column, so country code derives from nationkey; every
+    customer has SOME order, so the anti-join is date-windowed).
+    Catalyst turns NOT EXISTS into a left-anti hash join and evaluates
+    the scalar avg once."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT cntrycode,
+               count(*) AS numcust,
+               round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+        FROM (
+            SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2001-01-01')
+        ) custsale
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+        """
+    )
+
+
+@query(
+    "q_vec_centroid",
+    oracle="""
+    WITH flat AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, pos, CAST(round(avg(v) * 100000) AS BIGINT) AS m
+        FROM flat GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS dim,
+           array_to_string(list(m ORDER BY pos), ',') AS centroid
+    FROM dims
+    GROUP BY label
+    """,
+)
+def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the clustering /
+    class-prototype primitive (k-means steps, label prototypes for
+    nearest-centroid classification).  posexplode -> two hash
+    aggregations: the per-(label, dim) partial means combine map-side,
+    so the shuffle carries labels x dims rows, never vectors.  Centroid
+    components serialize as 1e-5-unit integers (double->string renders
+    differently across engines; scaled integers are unambiguous)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnRenamed("col", "v")
+    dims = flat.groupBy("label", "pos").agg(
+        F.round(F.avg("v") * 100000, 0).cast("long").alias("m")
+    )
+    return dims.groupBy("label").agg(
+        F.count("*").alias("dim"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m.cast("string"),
+            ),
+            ",",
+        ).alias("centroid"),
+    )
