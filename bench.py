@@ -69,6 +69,8 @@ HEADLINE = [
     "q_sql_tpch_q15",
     "q_sql_tpch_q22",
     "q_vec_centroid",
+    "q_topk_maxsim",
+    "q_dedup_incremental",
     "q_vector_fns",
     "q_vec_quantize",
     "q_docs_clean_pipeline",

@@ -74,6 +74,14 @@ AUDITS: dict[str, dict] = {
     "q_vec_quantize": {"max_exchange": 0},
     # df table broadcasts back onto the tf stream
     "q_tfidf": {"broadcast": True, "partial_agg": True},
+    # round-4 additions
+    "q_sql_tpch_q7": {"broadcast": True, "pushed": True, "partial_agg": True},
+    "q_sql_tpch_q8": {"broadcast": True, "pushed": True, "partial_agg": True},
+    "q_sql_tpch_q15": {"partial_agg": True, "pushed": True},
+    "q_sql_tpch_q22": {"partial_agg": True},
+    "q_vec_centroid": {"partial_agg": True},
+    "q_topk_maxsim": {"top_k": True, "max_exchange": 0},
+    "q_dedup_incremental": {"partial_agg": True, "pushed": True},
 }
 
 

@@ -3893,3 +3893,130 @@ def q_vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("centroid"),
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+        SELECT md5(text) AS h FROM documents WHERE source <> 'src0'
+    ),
+    batch AS (
+        SELECT doc_id, lang, source, md5(text) AS h
+        FROM documents WHERE source = 'src0'
+    )
+    SELECT b.doc_id, b.lang, b.source,
+           CAST(NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+                AS BOOLEAN) AS is_new
+    FROM batch b
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (source='src0' stands in)
+    checked against the existing corpus by content hash — the
+    steady-state operation of a continuously-fed corpus (the streaming
+    sink's anti-join, stream_ingest_dedup, in its batch form).  The
+    corpus side reduces to distinct hashes BEFORE the join, so the
+    shuffle carries 16-byte digests, never text; with the collection
+    bucketed on the hash the join is co-located and shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("source") != "src0")
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("seen", F.lit(True))
+    )
+    batch = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "lang", "source", F.md5("text").alias("h")
+    )
+    return (
+        batch.join(corpus, "h", "left")
+        .select(
+            "doc_id", "lang", "source",
+            F.coalesce(~F.col("seen"), F.lit(True)).alias("is_new"),
+        )
+    )
+
+
+def _maxsim_slices_sql(col: str, n_slices: int = 4, width: int = 16) -> str:
+    """DuckDB list-of-slices expression for the multi-vector stand-in."""
+    parts = ", ".join(
+        f"({col})[{s * width + 1}:{(s + 1) * width}]" for s in range(n_slices)
+    )
+    return f"[{parts}]"
+
+
+def _maxsim_oracle(k: int = 10, n_slices: int = 4, width: int = 16) -> str:
+    probe = f"({_PROBE_SQL})"
+    q_slices = ", ".join(
+        f"{probe}[{s * width + 1}:{(s + 1) * width}]" for s in range(n_slices)
+    )
+    return f"""
+    WITH d AS (
+        SELECT vec_id,
+               {_maxsim_slices_sql("embedding::DOUBLE[]")} AS dv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT vec_id,
+               round(list_sum(list_transform([{q_slices}],
+                   q -> list_max(list_transform(dv,
+                       t -> list_dot_product(q, t))))), 6) AS maxsim
+        FROM d
+    )
+    SELECT vec_id, maxsim,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY maxsim DESC, vec_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+@query("q_topk_maxsim", oracle=_maxsim_oracle())
+def q_topk_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim retrieval: score = sum
+    over query token-vectors of the max dot-product against any doc
+    token-vector.  Fixtures carry one 64-dim vector per doc, so both
+    sides split it into 4 x 16-dim slices as the multi-vector stand-in
+    — the plan shape is the real thing: token vectors never explode
+    into rows, the whole MaxSim folds as nested HOF expressions inside
+    the scan stage, and top-k is TakeOrderedAndProject.  At 100 TB the
+    same expression runs per (doc x query) with the query token matrix
+    broadcast."""
+    from vector_db_ingestor_spark.functions.vector import dot
+
+    n_slices, width, k = 4, 16, 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    dv = F.array(*[F.slice(e, s * width + 1, width) for s in range(n_slices)])
+    qv = F.array(
+        *[
+            F.lit([float(x) for x in PROBE_64[s * width : (s + 1) * width]])
+            for s in range(n_slices)
+        ]
+    )
+    maxsim = F.round(
+        F.aggregate(
+            F.transform(
+                qv,
+                lambda q: F.array_max(F.transform(F.col("dv"), lambda t: dot(q, t))),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        emb.select("vec_id", dv.alias("dv"))
+        .select("vec_id", maxsim.alias("maxsim"))
+        .orderBy(F.col("maxsim").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select(
+            "vec_id",
+            "maxsim",
+            F.row_number()
+            .over(Window.orderBy(F.col("maxsim").desc(), F.col("vec_id").asc()))
+            .alias("rank"),
+        )
+    )
