@@ -71,6 +71,8 @@ HEADLINE = [
     "q_vec_centroid",
     "q_topk_maxsim",
     "q_dedup_incremental",
+    "q_knn_classify",
+    "q_ann_recall_report",
     "q_vector_fns",
     "q_vec_quantize",
     "q_docs_clean_pipeline",

@@ -4020,3 +4020,98 @@ def q_topk_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     )
+
+
+@query(
+    "q_knn_classify",
+    oracle=f"""
+    WITH nn AS (
+        SELECT label FROM (
+            SELECT label,
+                   row_number() OVER (ORDER BY {_SCORE_SQL} DESC, vec_id ASC) AS rnk
+            FROM embeddings
+        ) WHERE rnk <= 15
+    )
+    SELECT label AS predicted_label,
+           CAST(count(*) AS BIGINT) AS votes,
+           CAST(15 AS INTEGER) AS k
+    FROM nn
+    GROUP BY label
+    ORDER BY votes DESC, predicted_label ASC
+    LIMIT 1
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification of the fixed probe: majority label among its
+    15 exact nearest neighbors (deterministic tie-breaks at both the
+    neighbor rank and the vote count).  The scan+TakeOrderedAndProject
+    produces the neighborhood; the vote is a 15-row aggregation — the
+    expensive part is the same broadcast-probe scan as every top-k, so
+    classifying B probes batches into one scan exactly like
+    topk_cosine_batch."""
+    from vector_db_ingestor_spark.operators.topk import topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = topk_cosine(emb, PROBE_64, k=15)  # label passes through the rank
+    return (
+        nn.groupBy(F.col("label").alias("predicted_label"))
+        .agg(F.count("*").alias("votes"))
+        .withColumn("k", F.lit(15))
+        .orderBy(F.col("votes").desc(), F.col("predicted_label").asc())
+        .limit(1)
+    )
+
+
+def _ann_recall_oracle(k: int = 10, n_bits: int = 4) -> str:
+    ann_sql = _lsh_topk_oracle(n_bits=n_bits, k=k, multiprobe=True)
+    return f"""
+    WITH exact_k AS (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY {_SCORE_SQL} DESC, vec_id ASC) AS rnk
+            FROM embeddings
+        ) WHERE rnk <= {k}
+    ),
+    ann_k AS (SELECT vec_id FROM ({ann_sql}))
+    SELECT CAST((SELECT count(*) FROM exact_k) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM ann_k) AS BIGINT) AS n_ann,
+           CAST((SELECT count(*) FROM exact_k JOIN ann_k USING (vec_id)) AS BIGINT)
+               AS n_overlap,
+           round((SELECT count(*) FROM exact_k JOIN ann_k USING (vec_id))
+                 / CAST({k} AS DOUBLE), 3) AS recall_at_k
+    """
+
+
+@query("q_ann_recall_report", oracle=_ann_recall_oracle())
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality report: recall@10 of multiprobe LSH top-k against the
+    exact top-k for the fixed probe — the measurement that justifies an
+    approximate index before rolling it out (run it on a sampled probe
+    set in production; each probe is one bucket-join + one exact scan).
+    Deterministic on both paths, so even the QUALITY REPORT is
+    oracle-verified exactly."""
+    from vector_db_ingestor_spark.constants import EMBEDDING_DIM
+    from vector_db_ingestor_spark.operators.similarity import lsh_topk_multiprobe
+    from vector_db_ingestor_spark.operators.topk import topk_cosine
+
+    k = 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_k = topk_cosine(emb, PROBE_64, k=k).select("vec_id")
+    probes = spark.createDataFrame(
+        [(0, PROBE_64)], schema="query_id INT, query_vec ARRAY<DOUBLE>"
+    )
+    ann_k = lsh_topk_multiprobe(
+        emb, probes, dim=EMBEDDING_DIM, k=k, n_bits=4
+    ).select("vec_id")
+    overlap = exact_k.join(ann_k, "vec_id")
+    return (
+        exact_k.agg(F.count("*").alias("n_exact"))
+        .crossJoin(ann_k.agg(F.count("*").alias("n_ann")))
+        .crossJoin(overlap.agg(F.count("*").alias("n_overlap")))
+        .select(
+            "n_exact",
+            "n_ann",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(float(k)), 3).alias("recall_at_k"),
+        )
+    )
