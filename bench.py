@@ -86,6 +86,7 @@ HEADLINE = [
     "q_contamination",
     "q_multimodal_features",
     "q_stream_session",
+    "q_stream_join",
 ]
 
 

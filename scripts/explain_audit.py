@@ -82,6 +82,8 @@ AUDITS: dict[str, dict] = {
     "q_vec_centroid": {"partial_agg": True},
     "q_topk_maxsim": {"top_k": True, "max_exchange": 0},
     "q_dedup_incremental": {"partial_agg": True, "pushed": True},
+    "q_knn_classify": {"top_k": True, "partial_agg": True},
+    "q_ann_recall_report": {"top_k": True, "broadcast": True},
 }
 
 

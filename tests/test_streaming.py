@@ -267,6 +267,50 @@ def test_stateful_running_totals_across_microbatches(spark, sf_dir, tmp_path):
     assert final == expected
 
 
+def test_stream_stream_join_parity(spark, sf_dir, tmp_path):
+    """Stream-stream attribution join == its batch twin on the same
+    fixture (two watermarked file streams over the events parquet)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from vector_db_ingestor_spark.streaming.windows import (
+        stream_events_from_parquet,
+        stream_stream_attribution,
+    )
+
+    stream_dir = tmp_path / "events_ssj"
+    stream_dir.mkdir()
+    shutil.copy(sf_dir + "/events.parquet", stream_dir / "part-0.parquet")
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = stream_stream_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    expected = {tuple(r) for r in batch.collect()}
+    assert len(expected) > 0
+
+    s1 = stream_events_from_parquet(spark, str(stream_dir))
+    s2 = stream_events_from_parquet(spark, str(stream_dir))
+    joined = stream_stream_attribution(
+        s1.filter(F.col("event_type") == "click"),
+        s2.filter(F.col("event_type") == "purchase"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssj_test").collect()}
+    assert got == expected
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Append-mode windowed agg with a 10-minute watermark: an event
     arriving after its window's watermark has passed is dropped, so the

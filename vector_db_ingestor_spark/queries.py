@@ -4115,3 +4115,32 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_overlap") / F.lit(float(k)), 3).alias("recall_at_k"),
         )
     )
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution as the batch twin of the
+    stream-stream join (streaming/windows.stream_stream_attribution —
+    same function, same plan; streaming mode adds two-sided watermarked
+    state, proven equal in tests/test_streaming.py).  The equi-key
+    (user_id) carries the shuffle; the time range is a residual
+    predicate, so this stays a hash join, never a nested loop."""
+    from vector_db_ingestor_spark.streaming.windows import stream_stream_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return stream_stream_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )

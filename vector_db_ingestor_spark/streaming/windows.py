@@ -191,6 +191,51 @@ def stream_events_from_parquet(
     return src
 
 
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join (click -> purchase attribution): each
+    purchase pairs with the same user's clicks at most ``horizon``
+    before it.
+
+    The one Structured Streaming join family with real two-sided state:
+    both inputs buffer rows until the other side's watermark passes the
+    time-range bound, so state is O(events per watermark horizon) per
+    side — the watermarks are REQUIRED for streaming inputs (without
+    them Spark must keep both sides forever).  The time-range predicate
+    (purchase_ts between click_ts and click_ts + horizon) is what lets
+    the engine compute the state-expiry bound.
+
+    Works identically on batch inputs (the unified-API twin the oracle
+    checks): same join, no watermark, a plain range hash join.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"user_id = p_user_id AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+        ),
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
 def stateful_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: per-user running event count /
     value total, kept in ``applyInPandasWithState`` state across
