@@ -87,6 +87,7 @@ HEADLINE = [
     "q_multimodal_features",
     "q_stream_session",
     "q_stream_join",
+    "q_text_boilerplate",
 ]
 
 

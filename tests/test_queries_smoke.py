@@ -22,3 +22,31 @@ def test_entry_smoke(spark):
 
 def test_every_oracle_key_is_declared():
     assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+def test_driver_priority_orders_unverified_first():
+    """The driver checks only a prefix of queries() per round, so the
+    ordering contract is what guarantees every key eventually gets a
+    driver-verified row: keys with no prior CORRECTNESS row come first,
+    then errored keys, then rows-only keys (oracle-bearing before
+    oracle-less), then hash-green keys."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    status = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            for key, row in json.load(fh).items():
+                if row.get("hash_match"):
+                    status[key] = "green"
+                elif row.get("err") == "no_oracle":
+                    status[key] = "rows_only"
+                else:
+                    status[key] = "fail"
+    if not status:
+        return  # fresh checkout: nothing to order against
+    rank = {"fail": 1, "rows_only": 2, "green": 3}
+    order = [rank.get(status.get(k), 0) for k in entry_mod.queries()]
+    assert order == sorted(order), "driver priority must be monotone"

@@ -4144,3 +4144,69 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase"),
         horizon="1 hour",
     )
+
+
+@query(
+    "q_text_boilerplate",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               text || '. Published by ' || source || ' syndicate. '
+               || 'All rights reserved ' || source || '.' AS page
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, trim(s) AS line
+        FROM (SELECT doc_id, unnest(string_split(page, '.')) AS s FROM raw)
+        WHERE trim(s) <> ''
+    ),
+    freq AS (
+        SELECT line,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM lines GROUP BY line
+    )
+    SELECT line, n_occurrences, n_docs
+    FROM freq
+    WHERE n_docs >= 3
+    ORDER BY n_docs DESC, n_occurrences DESC, line ASC
+    LIMIT 50
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate detection (the CCNet/RefinedWeb-style
+    pretraining cleanup): explode documents into sentence-ish lines,
+    count cross-document repetitions, surface lines appearing in >= 3
+    distinct docs — headers, footers, nav chrome at web scale.  One
+    explode + one hash aggregation (map-side combined); at 100 TB hash
+    the line (sha2) for the shuffle key instead of shipping text, and
+    the follow-up removal pass is a broadcast anti-join of this
+    (tiny) list against the corpus.  The synthetic corpus has no
+    natural boilerplate, so per-source footers are seeded
+    deterministically first (same fixture pattern as q_pii_redact) —
+    the detector then has real cross-document repeats to find."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.col("text"),
+        F.lit(". Published by "), F.col("source"), F.lit(" syndicate. "),
+        F.lit("All rights reserved "), F.col("source"), F.lit("."),
+    )
+    lines = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(page, r"\.")).alias("s"),
+        )
+        .select("doc_id", F.trim("s").alias("line"))
+        .filter(F.col("line") != "")
+    )
+    freq = lines.groupBy("line").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        freq.filter(F.col("n_docs") >= 3)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("line").asc()
+        )
+        .limit(50)
+    )
