@@ -88,6 +88,8 @@ HEADLINE = [
     "q_stream_session",
     "q_stream_join",
     "q_text_boilerplate",
+    "q_pack_sequences",
+    "q_mixture_weights",
 ]
 
 

@@ -4210,3 +4210,105 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((cum - 1) / 2048) AS BIGINT) AS pack_id,
+           CAST(cum - n_tokens - floor((cum - 1) / 2048) * 2048 AS BIGINT)
+               AS offset_in_pack
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training (context-window binning): docs are
+    laid end-to-end per language stream in deterministic doc_id order,
+    and each lands in pack floor((cum_tokens-1) / capacity) at its
+    token offset — the streaming-concatenation packing used
+    for pretraining batches (documents spanning a boundary are split at
+    training time; the assignment here is the shuffle-free part).  One
+    window cumsum per language partition, no iteration; at 100 TB the
+    partition key is (lang, shard) so each window stays bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    capacity = 2048
+    t = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    pack = F.floor((F.col("cum") - 1) / capacity)
+    return c.select(
+        "doc_id", "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        pack.cast("long").alias("pack_id"),
+        (F.col("cum") - F.col("n_tokens") - pack * capacity)
+        .cast("long").alias("offset_in_pack"),
+    )
+
+
+@query(
+    "q_mixture_weights",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS total FROM tok)
+    SELECT source, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / total, 6) AS actual_share,
+           round(1.0 / (SELECT count(*) FROM tok), 6) AS target_share,
+           round((1.0 / (SELECT count(*) FROM tok))
+                 / (CAST(n_tokens AS DOUBLE) / total), 4) AS sample_weight
+    FROM tok, tot
+    ORDER BY source
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weighting for pretraining: per-source token shares
+    and the per-source sampling weight that rebalances the corpus to a
+    uniform target mixture (weight = target_share / actual_share —
+    upsample rare sources, downsample dominant ones).  One hash
+    aggregation + two scalar aggregates broadcast back; the weights
+    feed sample_by_hash fractions for the actual resample pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n_tokens")
+    )
+    tot = tok.agg(
+        F.sum("n_tokens").alias("total"), F.count("*").alias("n_sources")
+    )
+    return (
+        tok.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total"), 6).alias("actual_share"),
+            F.round(F.lit(1.0) / F.col("n_sources"), 6).alias("target_share"),
+            F.round(
+                (F.lit(1.0) / F.col("n_sources"))
+                / (F.col("n_tokens") / F.col("total")),
+                4,
+            ).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )
