@@ -897,15 +897,75 @@ def q_agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (shingle -> 64 minhash perms -> 16
-    bands -> bucket join).  Approximate by construction: rows-only
-    check; the est_jaccard column is deterministic (seeded xxhash64)."""
+    bands -> bucket join) with the signature-agreement jaccard
+    estimate.  Uses the portable md5 hash family, so the whole
+    pipeline — signatures, band buckets, candidate set, and the
+    est_jaccard values themselves — is a closed form the DuckDB oracle
+    reproduces exactly (upgraded from a rows-only check)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_candidates(
-        docs, num_perm=64, bands=16, shingle_n=3
+        docs, num_perm=64, bands=16, shingle_n=3, hash_family="md5"
     ).orderBy("id_a", "id_b")
 
 
+def _minhash_md5_candidates_oracle(num_perm: int = 64, bands: int = 16) -> str:
+    """DuckDB mirror of md5-family minhash CANDIDATES + estimate
+    (trigram shingles): same signatures, same band keys, and
+    est_jaccard = fraction of agreeing minhash components."""
+    from vector_db_ingestor_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_perm_consts,
+    )
+
+    r = num_perm // bands
+    mins = ",\n               ".join(
+        f"list_min(list_transform(hh, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        for a, b in minhash_perm_consts(num_perm)
+    )
+    structs = ",\n            ".join(
+        "{'bi': %d, 'bk': md5(%s)}"
+        % (
+            b,
+            " || '|' || ".join(f"s[{b * r + j + 1}]::VARCHAR" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    return f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len({toks}) - 1),
+                   i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))
+                   AS grams
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(grams,
+                   x -> CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)) AS hh
+        FROM g WHERE len(grams) > 0
+    ),
+    sig AS (
+        SELECT doc_id,
+               [{mins}] AS s
+        FROM h
+    ),
+    bands AS (
+        SELECT doc_id, s, unnest([
+            {structs}
+        ], recursive := true)
+        FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_filter(range(1, {num_perm} + 1),
+                 i -> a.s[i] = b.s[i])) / {num_perm}.0, 6) AS est_jaccard
+    FROM bands a JOIN bands b
+      ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+    """
+
+
 QUERIES["q_dedup_minhash"] = q_dedup_minhash_impl
+ORACLE_SQL["q_dedup_minhash"] = _minhash_md5_candidates_oracle()
 
 
 def q_dedup_simhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
