@@ -84,6 +84,10 @@ AUDITS: dict[str, dict] = {
     "q_dedup_incremental": {"partial_agg": True, "pushed": True},
     "q_knn_classify": {"top_k": True, "partial_agg": True},
     "q_ann_recall_report": {"top_k": True, "broadcast": True},
+    "q_stream_join": {"no_nested_loop": True, "pushed": True},
+    "q_text_boilerplate": {"top_k": True, "partial_agg": True},
+    "q_pack_sequences": {"max_exchange": 1},
+    "q_mixture_weights": {"broadcast": True, "partial_agg": True},
 }
 
 
