@@ -183,6 +183,43 @@ def test_minhash_md5_family_cross_engine_signature(spark):
     assert spark_sig == duck_sig
 
 
+def test_simhash_fnv_cross_engine_and_fixture_ascii(sf_dir):
+    """The simhash oracle folds FNV-1a in DuckDB HUGEINT arithmetic over
+    ascii(char) — exact iff text is ASCII (code point == utf-8 byte).
+    Pin both halves: the fold matches the Python/numpy reference, and
+    the fixture corpus is actually all-ASCII."""
+    import duckdb
+
+    def fnv(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    con = duckdb.connect()
+    for tok in ("merge", "a", "windowing", "x1!"):
+        got = con.execute(
+            """
+            SELECT list_reduce(
+                list_prepend(14695981039346656037::HUGEINT,
+                    list_transform(string_split(?, ''), c -> ascii(c)::HUGEINT)),
+                (h, b) -> ((h - (h % 256) + xor(h % 256, b))
+                           * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT)
+            """,
+            [tok],
+        ).fetchone()[0]
+        assert int(got) == fnv(tok), tok
+
+    n_non_ascii = con.execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE regexp_matches(text, '[^\\x00-\\x7F]')
+        """
+    ).fetchone()[0]
+    assert n_non_ascii == 0, "simhash oracle assumes an ASCII corpus"
+
+
 def test_salted_join_equals_plain_join(spark):
     from vector_db_ingestor_spark.operators.joins import salted_join
 

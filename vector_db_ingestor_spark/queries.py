@@ -971,12 +971,77 @@ ORACLE_SQL["q_dedup_minhash"] = _minhash_md5_candidates_oracle()
 def q_dedup_simhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit fingerprint, pigeonhole band
     blocking, Hamming <= 10).  Python stage = one vectorized pandas UDF
-    for the fingerprint; blocking join is JVM-side.  Rows-only check."""
+    for the fingerprint; blocking join is JVM-side.  The FNV-1a
+    fingerprint is a closed form, so the oracle reproduces fingerprints,
+    band blocking, and Hamming distances exactly (HUGEINT arithmetic
+    mirrors the mod-2^64 fold) — upgraded from a rows-only check."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dups(docs, max_hamming=10, bands=4).orderBy("id_a", "id_b")
 
 
+def _simhash_oracle(max_hamming: int = 10, bands: int = 4) -> str:
+    """DuckDB mirror of simhash_near_dups: per-token FNV-1a 64, +-1 bit
+    votes, strict-majority fingerprint, 16-bit pigeonhole bands,
+    bit_count(xor) Hamming verify.  The HUGEINT fold reproduces the
+    mod-2^64 FNV arithmetic exactly; `ascii(c)` equals the utf-8 byte
+    only on ASCII text, so this oracle is valid for ASCII corpora (the
+    fixtures are all-ASCII — pinned in tests/test_operators.py, which
+    also checks the fold against the Python reference)."""
+    powers = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    band_rows = ", ".join(f"({b})" for b in range(bands))
+    bits_per_band = 64 // bands
+    mask = (1 << bits_per_band) - 1
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ),
+    th AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(14695981039346656037::HUGEINT,
+                       list_transform(string_split(tok, ''),
+                                      c -> ascii(c)::HUGEINT)),
+                   (h, b) -> ((h - (h % 256) + xor(h % 256, b))
+                              * 1099511628211::HUGEINT)
+                             % 18446744073709551616::HUGEINT) AS h
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, p.i, p.pw,
+               sum(CASE WHEN (h // p.pw) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM th CROSS JOIN (VALUES {powers}) AS p(i, pw)
+        GROUP BY doc_id, p.i, p.pw
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                         THEN u - 18446744073709551616::HUGEINT
+                         ELSE u END AS BIGINT) AS fp
+        FROM (SELECT doc_id,
+                     sum(CASE WHEN vote > 0 THEN pw ELSE 0::HUGEINT END) AS u
+              FROM bits GROUP BY doc_id)
+    ),
+    allfp AS (
+        SELECT d.doc_id, coalesce(f.fp, 0) AS fp
+        FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id
+    ),
+    banded AS (
+        SELECT doc_id, fp, b.bi,
+               (fp >> (b.bi * {bits_per_band})) & {mask} AS bv
+        FROM allfp CROSS JOIN (VALUES {band_rows}) AS b(bi)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b
+      ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
 QUERIES["q_dedup_simhash"] = q_dedup_simhash_impl
+ORACLE_SQL["q_dedup_simhash"] = _simhash_oracle()
 
 
 @query(
