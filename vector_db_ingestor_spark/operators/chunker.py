@@ -13,10 +13,12 @@ sentence-boundary snapping:
 * the next window starts ``overlap`` chars before the cut.
 
 Those quirks (last-match snapping, stride measured from the snapped
-cut, strip-then-drop) are preserved verbatim — the DuckDB oracle cannot
-express this operator, so golden unit tests in
-``tests/test_chunker.py`` are the correctness gate (rows-only check on
-the driver side).
+cut, strip-then-drop) are preserved verbatim.  Correctness gates:
+golden unit tests in ``tests/test_chunker.py`` (including exec-ing the
+reference's own function for parity), plus an exact DuckDB oracle — a
+recursive CTE that advances the (start, snapped-end) state exactly like
+this loop (``queries._chunker_oracle``), so the driver hash-checks
+chunk values, not just row counts.
 
 Spark mapping: a scalar pandas UDF returning ``array<string>`` +
 ``posexplode`` -> (chunk_index, chunk).  Chunking is embarrassingly

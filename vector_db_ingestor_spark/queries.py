@@ -246,8 +246,11 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_chunk_explode_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R4 chunker as 1->N explosion (rows-only check: the last-match
-    sentence snapping is not SQL-expressible; golden pytest instead)."""
+    """R4 chunker as 1->N explosion.  The fixed-window sentence-snapping
+    loop IS SQL-expressible after all: a recursive CTE advances the
+    (start, snapped-end) state exactly like the Python loop, so the
+    reference-parity chunker gets an exact value oracle (upgraded from
+    rows-only; the golden pytest remains the unit gate)."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -260,7 +263,75 @@ def q_chunk_explode_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunker_oracle(chunk_size: int = 150, overlap: int = 20) -> str:
+    """DuckDB recursive-CTE mirror of operators/chunker.chunk_text
+    (reference parity: src/PDFToChromaIngester.py:94-124).
+
+    State per doc is (start, snapped end); each recursion step is one
+    loop iteration: window = text[end-overlap : end+1], snap to the
+    LAST sentence ending in the window (max of four reverse-strpos
+    scans, the rfind equivalent), stride = snapped_end - overlap.
+    Pieces are trimmed with Python's str.strip() whitespace set and
+    empties dropped BEFORE numbering; short docs pass through whole and
+    unstripped — every quirk the Python chunker preserves verbatim.
+    Positions are 0-based throughout, converted only inside substr.
+    """
+    cs, ov = chunk_size, overlap
+    needles = [
+        ("'. '", "' .'"),
+        ("'! '", "' !'"),
+        ("'? '", "' ?'"),
+        ("(chr(10) || chr(10))", "(chr(10) || chr(10))"),
+    ]
+
+    def last0(rev: str) -> str:
+        return (
+            f"(CASE WHEN strpos(reverse(w), {rev}) = 0 THEN -1 "
+            f"ELSE length(w) - (strpos(reverse(w), {rev}) - 1) - 2 END)"
+        )
+
+    def snapped_end(start: str) -> str:
+        w = f"substr(text, ({start}) + {cs} - {ov} + 1, {ov} + 1)"
+        best = (
+            f"(SELECT greatest({', '.join(last0(rev) for _, rev in needles)})"
+            f" FROM (SELECT {w} AS w))"
+        )
+        return (
+            f"(CASE WHEN ({start}) + {cs} < n THEN "
+            f"(CASE WHEN {best} >= 0 THEN ({start}) + {cs} - {ov} + {best} + 2 "
+            f"ELSE ({start}) + {cs} END) "
+            f"ELSE ({start}) + {cs} END)"
+        )
+
+    strip_set = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    return f"""
+    WITH RECURSIVE st AS (
+        SELECT doc_id, text, length(text) AS n, 0 AS s,
+               {snapped_end('0')} AS e
+        FROM documents WHERE length(text) > {cs}
+        UNION ALL
+        SELECT doc_id, text, n, e - {ov} AS s,
+               {snapped_end(f'(e - {ov})')} AS e
+        FROM st WHERE e - {ov} < n
+    ),
+    pieces AS (
+        SELECT doc_id, s,
+               trim(substr(text, s + 1, e - s), {strip_set}) AS chunk
+        FROM st
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                AS INTEGER) AS chunk_index,
+           chunk
+    FROM pieces WHERE chunk <> ''
+    UNION ALL
+    SELECT doc_id, CAST(0 AS INTEGER) AS chunk_index, text AS chunk
+    FROM documents WHERE length(text) <= {cs}
+    """
+
+
 QUERIES["q_chunk_explode"] = q_chunk_explode_impl
+ORACLE_SQL["q_chunk_explode"] = _chunker_oracle()
 
 
 # =====================================================================
