@@ -273,3 +273,20 @@ def test_compact_collapses_small_files(spark, tmp_path):
     after_df = coll.df()
     assert after_df.count() == before
     assert set(after_df.columns) == {"chunk_uid", "n"}
+
+
+def test_synthetic_pdf_extraction_is_identity(sf_dir):
+    """The q_ingest_pipeline oracle chunks raw fixture text directly,
+    which is valid iff extracting the synthetic single-stream wrapping
+    returns the text verbatim — pin that against the real extractor."""
+    import duckdb
+
+    from vector_db_ingestor_spark.sources.pdf import extract_pdf_text
+
+    rows = duckdb.query(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    assert rows
+    for (text,) in rows:
+        blob = b"stream\n(" + text.encode() + b") Tj\nendstream"
+        assert extract_pdf_text(blob) == text

@@ -1377,8 +1377,12 @@ def q_ingest_pipeline_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     embed, src/PDFToChromaIngester.py:126-205) driven over fixture
     documents wrapped as synthetic single-stream PDFs: exercises the
     stdlib PDF extractor, chunker, metadata projections, deterministic
-    ids and the embedding pandas UDF in one plan.  Rows-only check
-    (UDF-backed, not SQL-expressible)."""
+    ids and the embedding pandas UDF in one plan.  Hash-verified:
+    extraction is the identity on the synthetic wrapping and the
+    chunker has a recursive-CTE mirror, so the oracle recomputes
+    chunk uids/counts/lengths exactly (upgraded from rows-only; the
+    embedding stage is pinned by emb_dim here and by its own unit
+    tests)."""
     from vector_db_ingestor_spark.pipeline import build_chunks
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1400,7 +1404,38 @@ def q_ingest_pipeline_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ingest_pipeline_oracle() -> str:
+    """DuckDB mirror of the fused ingest chain over the synthetic
+    single-stream PDFs: extraction is the identity on the fixture
+    wrapping (``stream\\n(text) Tj\\nendstream`` round-trips verbatim —
+    asserted against the real extractor in tests/test_pipeline.py), so
+    the oracle chunks the raw text with the recursive-CTE chunker
+    mirror (cs=200, ov=30), rebuilds the filename, and recomputes the
+    deterministic sha-256 chunk uids.  total_chunks counts every piece
+    the chunker returned (including whitespace-only pieces the kernel
+    skips at emission), exactly like the Python loop."""
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    return f"""
+    WITH base AS ({_chunker_oracle(chunk_size=200, overlap=30)}),
+    named AS (
+        SELECT b.doc_id, b.chunk_index, b.chunk,
+               d.source || '_' || CAST(d.doc_id AS VARCHAR) || '.pdf' AS filename,
+               CAST(count(*) OVER (PARTITION BY b.doc_id) AS INTEGER)
+                   AS total_chunks
+        FROM base b JOIN documents d USING (doc_id)
+    )
+    SELECT sha256(filename || chr(1) || CAST(chunk_index AS VARCHAR)
+                  || chr(1) || chunk) AS chunk_uid,
+           filename, chunk_index, total_chunks,
+           CAST(length(chunk) AS INTEGER) AS chunk_chars,
+           CAST(64 AS INTEGER) AS emb_dim
+    FROM named
+    WHERE trim(chunk, {ws}) <> ''
+    """
+
+
 QUERIES["q_ingest_pipeline"] = q_ingest_pipeline_impl
+ORACLE_SQL["q_ingest_pipeline"] = _ingest_pipeline_oracle()
 
 
 def q_multimodal_features_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
