@@ -148,3 +148,41 @@ def test_chunk_text_matches_reference_scan(text, chunk_size, overlap):
     assert chunk_text(text, chunk_size, overlap) == _naive_chunk(
         text, chunk_size, overlap
     )
+
+
+def test_chunker_oracle_matches_python_on_random_texts():
+    """Property test: the recursive-CTE oracle (queries._chunker_oracle)
+    equals chunk_text on arbitrary ASCII texts with sentence endings,
+    whitespace runs, and boundary-straddling punctuation — not just on
+    the fixture corpus."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from vector_db_ingestor_spark.queries import _chunker_oracle
+
+    sql = _chunker_oracle(chunk_size=150, overlap=20)
+
+    alphabet = st.sampled_from(
+        list("abcdefg ") + [". ", "! ", "? ", "\n\n", ".", "!", "?", "\n", "  "]
+    )
+    texts = st.lists(alphabet, min_size=0, max_size=120).map("".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=8))
+    def check(batch):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)", list(enumerate(batch))
+        )
+        duck = {
+            (r[0], r[1]): r[2]
+            for r in con.execute(sql).fetchall()
+        }
+        py = {}
+        for doc_id, text in enumerate(batch):
+            for i, c in enumerate(chunk_text(text, 150, 20)):
+                py[(doc_id, i)] = c
+        assert duck == py
+
+    check()
