@@ -267,6 +267,44 @@ def test_stateful_running_totals_across_microbatches(spark, sf_dir, tmp_path):
     assert final == expected
 
 
+def test_session_window_stream_batch_parity(spark, sf_dir, tmp_path):
+    """session_window aggregation produces the same sessions in
+    streaming mode (complete-mode memory sink) as in batch — the
+    unified-API claim for the merge-based window, not just the
+    fixed-width ones."""
+    import shutil
+
+    from vector_db_ingestor_spark.streaming.windows import (
+        session_windows,
+        stream_events_from_parquet,
+    )
+
+    stream_dir = tmp_path / "events_sess"
+    stream_dir.mkdir()
+    shutil.copy(sf_dir + "/events.parquet", stream_dir / "part-0.parquet")
+
+    batch = session_windows(
+        load_table(spark, sf_dir, "events"), gap="30 minutes"
+    )
+    expected = {tuple(r) for r in batch.collect()}
+    assert len(expected) > 0
+
+    stream = stream_events_from_parquet(spark, str(stream_dir))
+    agg = session_windows(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_stream_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM session_stream_test").collect()}
+    assert got == expected
+
+
 def test_stream_stream_join_parity(spark, sf_dir, tmp_path):
     """Stream-stream attribution join == its batch twin on the same
     fixture (two watermarked file streams over the events parquet)."""

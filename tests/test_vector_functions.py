@@ -120,6 +120,36 @@ def test_ivf_build_query_decoupled(spark, tmp_path):
     assert {r.cid for r in out} <= shortlist
 
 
+def test_ivf_topk_batch_matches_single_probe(spark, tmp_path):
+    """B probes in one pruned scan == B single-probe queries: the
+    routing broadcast must send each row to exactly the probes that
+    shortlisted its cid."""
+    from vector_db_ingestor_spark.constants import EMBEDDING_DIM, PROBE_64
+    from vector_db_ingestor_spark.operators import similarity as S
+    from vector_db_ingestor_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_idx_b")
+    S.ivf_write(emb, path, dim=EMBEDDING_DIM, n_centroids=4, iters=1)
+    indexed, centroids = S.ivf_read(spark, path)
+
+    probe2 = list(reversed(PROBE_64))
+    batch = S.ivf_topk_batch(
+        indexed, centroids, [(0, PROBE_64), (1, probe2)], k=5, nprobe=2
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.cid, r.score, r.rank))
+    for qid, probe in ((0, PROBE_64), (1, probe2)):
+        single = [
+            (r.vec_id, r.cid, r.score, i + 1)
+            for i, r in enumerate(
+                S.ivf_topk(indexed, centroids, probe, k=5, nprobe=2).collect()
+            )
+        ]
+        assert by_q[qid] == single, f"query {qid}"
+
+
 def test_auto_n_bits_tracks_corpus_size():
     from vector_db_ingestor_spark.operators.similarity import auto_n_bits
 

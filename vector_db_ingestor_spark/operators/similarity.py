@@ -335,6 +335,57 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    probes: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """QUERY TIME, batched: N probes against one prebuilt IVF index in
+    ONE pruned scan.
+
+    Driver-side, each probe shortlists its ``nprobe`` centroids (tiny:
+    N x n_centroids cosines over the driver-held model); the union of
+    shortlisted cids is the scan's partition filter, and a small
+    broadcast (cid, query_id, query_vec) table routes each scanned row
+    to exactly the probes that shortlisted its cid.  Scoring happens
+    once per (row, interested probe), then a per-query window keeps k —
+    the IVF analogue of ``topk_cosine_batch``: B queries cost ~1 scan
+    of the union'd partitions, not B scans.
+    """
+    spark = indexed.sparkSession
+    routes = [
+        (cid, int(qid), [float(x) for x in vec])
+        for qid, vec in probes
+        for cid in ivf_shortlist(centroids, vec, nprobe)
+    ]
+    route_df = spark.createDataFrame(
+        routes, schema="cid INT, query_id INT, query_vec ARRAY<DOUBLE>"
+    )
+    union_cids = sorted({cid for cid, _, _ in routes})
+    vec = F.col(vec_col).cast("array<double>")
+    scored = (
+        indexed.filter(F.col("cid").isin(union_cids))
+        .join(F.broadcast(route_df), "cid")
+        .withColumn(
+            "score",
+            F.round(cosine_similarity(vec, F.col("query_vec")), round_dp),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cid", "score", "rank")
+    )
+
+
 # ------------------------------------------------- spark.ml LSH simjoin
 
 def simjoin_lsh(
