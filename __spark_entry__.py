@@ -51,6 +51,10 @@ def _driver_priority() -> list[str]:
         except (ValueError, OSError, json.JSONDecodeError):
             continue
         for key, row in data.items():
+            # glob order is lexicographic, not numeric (r100 < r11):
+            # only let a numerically-later round overwrite a key's status
+            if rnd < last_round.get(key, -1):
+                continue
             last_round[key] = rnd
             if row.get("hash_match"):
                 status[key] = "green"

@@ -194,14 +194,15 @@ def main() -> None:
             results.setdefault(name, {})[factor] = statistics.median(ts)
             print(f"x{factor:<3d} {name}: {results[name][factor]:.2f}s")
         for name, df in stage_probes(spark, sf_dir, factor).items():
-            df.write.format("noop").mode("overwrite").save()  # warm
+            # the count doubles as the warm-up run, so each stage job
+            # executes reps+1 times total, not reps+2
+            counts.setdefault(name, {})[factor] = df.count()
             ts = []
             for _ in range(reps):
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 ts.append(time.perf_counter() - t0)
             results.setdefault(name, {})[factor] = statistics.median(ts)
-            counts.setdefault(name, {})[factor] = df.count()
             print(
                 f"x{factor:<3d} {name}: {results[name][factor]:.2f}s"
                 f" rows={counts[name][factor]}"

@@ -239,12 +239,13 @@ class VectorCollection:
         row-group locality).  Compaction sizes the rewrite from the
         ACTUAL on-disk bytes (not row counts), writes to a temp
         directory first, then swaps with RENAMES ONLY — live -> trash,
-        tmp -> live, delete trash — so there is no instant at which the
-        collection path is absent and a crash at any step leaves either
-        the old or the new data fully intact (the delete of the
-        retired copy is the only non-atomic step, and it runs after the
-        new data is live).  Run it out-of-band on a schedule, like a
-        LSM/iceberg rewrite-data-files maintenance job.
+        tmp -> live, delete trash.  A crash at any step leaves a full
+        copy of the data on disk (old under ``__retired_*`` or new
+        under ``__compact_*``), never a partial mix; the brief window
+        between the two renames is the one instant the live path is
+        absent, so run compaction out-of-band (like an LSM/iceberg
+        rewrite-data-files maintenance job), not concurrently with
+        readers on a non-atomic filesystem.
         """
         import uuid
 
@@ -268,8 +269,12 @@ class VectorCollection:
             raise IOError(f"compact: could not retire {self.path}")
         if not fs.rename(tmp_path, jvm_path):
             # roll back: put the live data back before failing
-            fs.rename(trash_path, jvm_path)
-            raise IOError(f"compact: could not promote {tmp}")
+            if fs.rename(trash_path, jvm_path):
+                raise IOError(f"compact: could not promote {tmp}; rolled back")
+            raise IOError(
+                f"compact: could not promote {tmp} AND rollback failed — "
+                f"live data is intact under {trash}"
+            )
         fs.delete(trash_path, True)
         listed = fs.listStatus(jvm_path)
         return sum(

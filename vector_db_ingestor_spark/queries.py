@@ -979,10 +979,12 @@ def q_dedup_minhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_md5_candidates_oracle(num_perm: int = 64, bands: int = 16) -> str:
-    """DuckDB mirror of md5-family minhash CANDIDATES + estimate
-    (trigram shingles): same signatures, same band keys, and
-    est_jaccard = fraction of agreeing minhash components."""
+def _minhash_md5_cte(num_perm: int, bands: int, shingle_n: int) -> str:
+    """Shared WITH-clause body mirroring the md5 minhash family
+    (minhash_signature / minhash_perm_consts in operators/dedup.py):
+    grams -> 32-bit md5 base -> affine-permutation minima -> band-key
+    structs.  Both minhash oracles build on this so the closed form
+    lives in exactly one place."""
     from vector_db_ingestor_spark.operators.dedup import (
         MINHASH_P,
         minhash_perm_consts,
@@ -1002,31 +1004,40 @@ def _minhash_md5_candidates_oracle(num_perm: int = 64, bands: int = 16) -> str:
         for b in range(bands)
     )
     toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    gram = " || ' ' || ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]"
+                              for j in range(shingle_n))
+    hi = f"len({toks})" if shingle_n == 2 else f"len({toks}) - {shingle_n - 2}"
     return f"""
     WITH g AS (
         SELECT doc_id,
-               list_distinct(list_transform(range(1, len({toks}) - 1),
-                   i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))
-                   AS grams
+               list_distinct(list_transform(range(1, {hi}),
+                   i -> {gram})) AS grams
         FROM documents
     ),
     h AS (
-        SELECT doc_id,
+        SELECT doc_id, grams,
                list_transform(grams,
                    x -> CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)) AS hh
         FROM g WHERE len(grams) > 0
     ),
     sig AS (
-        SELECT doc_id,
+        SELECT doc_id, grams,
                [{mins}] AS s
         FROM h
     ),
     bands AS (
-        SELECT doc_id, s, unnest([
+        SELECT doc_id, grams, s, unnest([
             {structs}
         ], recursive := true)
         FROM sig
-    )
+    )"""
+
+
+def _minhash_md5_candidates_oracle(num_perm: int = 64, bands: int = 16) -> str:
+    """DuckDB mirror of md5-family minhash CANDIDATES + estimate
+    (trigram shingles): the shared candidate CTEs plus est_jaccard =
+    fraction of agreeing minhash components."""
+    return f"""{_minhash_md5_cte(num_perm, bands, shingle_n=3)}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_filter(range(1, {num_perm} + 1),
                  i -> a.s[i] = b.s[i])) / {num_perm}.0, 6) AS est_jaccard
@@ -1353,12 +1364,15 @@ def q_ann_ivf_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         st = os.stat(src)
         fp = hashlib.md5(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:10]
-    except OSError:  # non-local sf_dir: no fingerprint, rebuild each session
+    except OSError:  # non-local sf_dir: no fingerprint, rebuild every run
         fp = "nofp"
     index_path = os.path.join(
         repo_root, "spark-warehouse", f"ivf_index_{tag}_c8_i2_{fp}"
     )
-    if not ivf_index_complete(spark, index_path):
+    # without a fingerprint the persisted marker proves nothing about
+    # freshness — rebuild unconditionally rather than serve stale
+    # assignments forever
+    if fp == "nofp" or not ivf_index_complete(spark, index_path):
         emb = load_table(spark, sf_dir, "embeddings")
         ivf_write(emb, index_path, dim=EMBEDDING_DIM, n_centroids=8, iters=2)
     indexed, centroids = ivf_read(spark, index_path)
@@ -1988,53 +2002,9 @@ def q_dedup_minhash_verified_impl(spark: SparkSession, sf_dir: str) -> DataFrame
 def _minhash_md5_oracle(
     threshold: float = 0.2, num_perm: int = 64, bands: int = 16
 ) -> str:
-    """DuckDB mirror of the md5-family minhash pipeline: same gram set,
-    same 32-bit md5 base, same affine permutation minima, same band
-    keys, same verify filter (minhash_signature / minhash_perm_consts
-    in operators/dedup.py define the closed form)."""
-    from vector_db_ingestor_spark.operators.dedup import (
-        MINHASH_P,
-        minhash_perm_consts,
-    )
-
-    r = num_perm // bands
-    mins = ",\n               ".join(
-        f"list_min(list_transform(hh, x -> (x * {a} + {b}) % {MINHASH_P}))"
-        for a, b in minhash_perm_consts(num_perm)
-    )
-    structs = ",\n            ".join(
-        "{'bi': %d, 'bk': md5(%s)}"
-        % (
-            b,
-            " || '|' || ".join(f"s[{b * r + j + 1}]::VARCHAR" for j in range(r)),
-        )
-        for b in range(bands)
-    )
-    toks = "string_split_regex(lower(trim(text)), '\\s+')"
-    return f"""
-    WITH g AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len({toks})),
-                   i -> {toks}[i] || ' ' || {toks}[i+1])) AS grams
-        FROM documents
-    ),
-    h AS (
-        SELECT doc_id, grams,
-               list_transform(grams,
-                   x -> CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)) AS hh
-        FROM g WHERE len(grams) > 0
-    ),
-    sig AS (
-        SELECT doc_id, grams,
-               [{mins}] AS s
-        FROM h
-    ),
-    bands AS (
-        SELECT doc_id, grams, unnest([
-            {structs}
-        ], recursive := true)
-        FROM sig
-    ),
+    """DuckDB mirror of the md5-family minhash VERIFIED pipeline: the
+    shared candidate CTEs plus the exact-jaccard verify filter."""
+    return f"""{_minhash_md5_cte(num_perm, bands, shingle_n=2)},
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -4454,25 +4424,26 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (
         SELECT doc_id, lang, n_tokens,
                sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS begin_tok
         FROM t
     )
     SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(floor((cum - 1) / 2048) AS BIGINT) AS pack_id,
-           CAST(cum - n_tokens - floor((cum - 1) / 2048) * 2048 AS BIGINT)
-               AS offset_in_pack
+           CAST(floor(begin_tok / 2048) AS BIGINT) AS pack_id,
+           CAST(begin_tok % 2048 AS BIGINT) AS offset_in_pack
     FROM c
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training (context-window binning): docs are
-    laid end-to-end per language stream in deterministic doc_id order,
-    and each lands in pack floor((cum_tokens-1) / capacity) at its
-    token offset — the streaming-concatenation packing used
-    for pretraining batches (documents spanning a boundary are split at
-    training time; the assignment here is the shuffle-free part).  One
-    window cumsum per language partition, no iteration; at 100 TB the
-    partition key is (lang, shard) so each window stays bounded."""
+    laid end-to-end per language stream in deterministic doc_id order;
+    each doc's pack and offset derive from its FIRST token position
+    (pack_id = begin div capacity, offset = begin mod capacity, both
+    non-negative by construction; a doc that straddles a pack boundary
+    belongs to the pack where it starts and is split at training
+    time).  One window cumsum per language partition, no iteration; at
+    100 TB the partition key is (lang, shard) so each window stays
+    bounded."""
     docs = load_table(spark, sf_dir, "documents")
     capacity = 2048
     t = docs.select(
@@ -4484,14 +4455,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
-    pack = F.floor((F.col("cum") - 1) / capacity)
+    c = t.withColumn("begin_tok", F.sum("n_tokens").over(w) - F.col("n_tokens"))
     return c.select(
         "doc_id", "lang",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        pack.cast("long").alias("pack_id"),
-        (F.col("cum") - F.col("n_tokens") - pack * capacity)
-        .cast("long").alias("offset_in_pack"),
+        F.floor(F.col("begin_tok") / capacity).cast("long").alias("pack_id"),
+        (F.col("begin_tok") % capacity).cast("long").alias("offset_in_pack"),
     )
 
 

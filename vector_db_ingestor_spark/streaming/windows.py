@@ -221,7 +221,6 @@ def stream_stream_attribution(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user_id"),
         F.col("ts").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
     )
     if clicks.isStreaming:
         c = c.withWatermark("click_ts", watermark)
