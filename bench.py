@@ -60,6 +60,7 @@ HEADLINE = [
     "q_dedup_embed",
     "q_ann_lsh_topk",
     "q_ann_ivf",
+    "q_ann_ivf_batch",
     "q_sql_tpch_q5",
     "q_sql_tpch_q10",
     "q_sql_tpch_q13",

@@ -1332,21 +1332,16 @@ def q_ann_lsh_topk_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_ann_lsh_topk"] = q_ann_lsh_topk_impl
 
 
-def q_ann_ivf_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k over a PREBUILT index: build-once (train +
-    persist partitioned by ``cid``), query-many (shortlist + pruned
-    scan, zero training in the query path).
-
-    The index for a given ``sf_dir`` is materialized on first use under
-    ``spark-warehouse/`` and reused after that — mirroring a real
-    deployment where ``ivf_write`` runs at ingest time and queries only
-    ever see ``ivf_read``/``ivf_topk``.  The cache key fingerprints the
+def _ivf_open(spark: SparkSession, sf_dir: str):
+    """Open (building on first use) the session's IVF index for
+    ``sf_dir``: build-once under ``spark-warehouse/``, query-many —
+    mirroring a deployment where ``ivf_write`` runs at ingest time and
+    queries only ever see ``ivf_read``.  The cache key fingerprints the
     source parquet (size + mtime), so regenerated fixtures invalidate
-    the index instead of silently serving stale assignments; and the
-    reuse gate is the ``_INDEX_SUCCESS`` marker ``ivf_write`` drops
-    only after the centroid sidecar, not the collection's own
-    ``_SUCCESS`` (which lands before the sidecar exists).
-    """
+    the index instead of silently serving stale assignments; the reuse
+    gate is the ``_INDEX_SUCCESS`` marker ``ivf_write`` drops only
+    after the centroid sidecar, not the collection's own ``_SUCCESS``
+    (which lands before the sidecar exists)."""
     import hashlib
     import os
 
@@ -1354,7 +1349,6 @@ def q_ann_ivf_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.operators.similarity import (
         ivf_index_complete,
         ivf_read,
-        ivf_topk,
         ivf_write,
     )
 
@@ -1375,11 +1369,41 @@ def q_ann_ivf_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     if fp == "nofp" or not ivf_index_complete(spark, index_path):
         emb = load_table(spark, sf_dir, "embeddings")
         ivf_write(emb, index_path, dim=EMBEDDING_DIM, n_centroids=8, iters=2)
-    indexed, centroids = ivf_read(spark, index_path)
+    return ivf_read(spark, index_path)
+
+
+def q_ann_ivf_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k over a PREBUILT index: build-once (train +
+    persist partitioned by ``cid``), query-many (shortlist + pruned
+    scan, zero training in the query path) — see :func:`_ivf_open` for
+    the cache/freshness contract."""
+    from vector_db_ingestor_spark.operators.similarity import ivf_topk
+
+    indexed, centroids = _ivf_open(spark, sf_dir)
     return ivf_topk(indexed, centroids, PROBE_64, k=10, nprobe=4)
 
 
 QUERIES["q_ann_ivf"] = q_ann_ivf_impl
+
+
+def q_ann_ivf_batch_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF: two probes answered by ONE scan of the union'd
+    shortlist partitions, a broadcast (cid, query) table routing rows
+    to the probes that shortlisted their cid (operators/similarity.
+    ivf_topk_batch).  Rows-only like its single-probe twin (the
+    float-iterative k-means model is not cross-engine mirrorable);
+    per-probe equality with ivf_topk is pinned in
+    tests/test_vector_functions.py."""
+    from vector_db_ingestor_spark.operators.similarity import ivf_topk_batch
+
+    indexed, centroids = _ivf_open(spark, sf_dir)
+    probe2 = list(reversed(PROBE_64))
+    return ivf_topk_batch(
+        indexed, centroids, [(0, PROBE_64), (1, probe2)], k=10, nprobe=4
+    )
+
+
+QUERIES["q_ann_ivf_batch"] = q_ann_ivf_batch_impl
 
 
 # =====================================================================
