@@ -152,9 +152,11 @@ def test_chunk_text_matches_reference_scan(text, chunk_size, overlap):
 
 def test_chunker_oracle_matches_python_on_random_texts():
     """Property test: the recursive-CTE oracle (queries._chunker_oracle)
-    equals chunk_text on arbitrary ASCII texts with sentence endings,
-    whitespace runs, and boundary-straddling punctuation — not just on
-    the fixture corpus."""
+    equals chunk_text on arbitrary texts with sentence endings,
+    whitespace runs (including Unicode whitespace: NBSP, NEL, en-space,
+    ideographic space, \\x1c — everything Python str.strip() eats),
+    and boundary-straddling punctuation — not just on the fixture
+    corpus."""
     import duckdb
     from hypothesis import given, settings, strategies as st
 
@@ -163,7 +165,9 @@ def test_chunker_oracle_matches_python_on_random_texts():
     sql = _chunker_oracle(chunk_size=150, overlap=20)
 
     alphabet = st.sampled_from(
-        list("abcdefg ") + [". ", "! ", "? ", "\n\n", ".", "!", "?", "\n", "  "]
+        list("abcdefg ")
+        + [". ", "! ", "? ", "\n\n", ".", "!", "?", "\n", "  "]
+        + ["\xa0", "\x85", " ", "　", "\x1c", " "]
     )
     texts = st.lists(alphabet, min_size=0, max_size=120).map("".join)
 

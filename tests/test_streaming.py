@@ -3,6 +3,8 @@ result in streaming mode as in batch mode (unified API parity)."""
 
 import shutil
 
+import pytest
+
 from vector_db_ingestor_spark.streaming.windows import (
     run_windowed_stream_demo,
     tumbling_counts,
@@ -83,6 +85,18 @@ def test_stream_source_sniffs_ts_physical_type(spark, tmp_path):
             for r in spark.sql(f"SELECT event_id, ts FROM sniff_{unit}").collect()
         }
         assert got == {1: times[0], 2: times[1]}, f"unit={unit}: {got}"
+
+    # a directory MIXING units is the drift this sniff exists to catch:
+    # it must raise, not silently read the other-unit files ~1000x off
+    mixed = tmp_path / "events_mixed"
+    mixed.mkdir()
+    for unit in ("ns", "us"):
+        src_dir = tmp_path / f"events_{unit}"
+        (mixed / f"part-{unit}.parquet").write_bytes(
+            (src_dir / "part-0.parquet").read_bytes()
+        )
+    with pytest.raises(ValueError, match="mixed ts units"):
+        _ts_unit_from_footer(str(mixed))
 
 
 def test_stream_ingest_directory(spark, tmp_path):

@@ -263,6 +263,21 @@ def q_chunk_explode_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Python str.strip() whitespace set (every code point where
+# str.isspace() is true, CPython 3.x / Unicode 15) as a DuckDB string
+# expression — trim() with only the 6 ASCII chars would diverge from the
+# chunker kernel on \x1c-\x1f, NEL, NBSP and the U+2000 block.
+_PY_STRIP_SET = " || ".join(
+    f"chr({cp})"
+    for cp in (
+        [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+         0x85, 0xA0, 0x1680]
+        + list(range(0x2000, 0x200B))
+        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+    )
+)
+
+
 def _chunker_oracle(chunk_size: int = 150, overlap: int = 20) -> str:
     """DuckDB recursive-CTE mirror of operators/chunker.chunk_text
     (reference parity: src/PDFToChromaIngester.py:94-124).
@@ -303,7 +318,7 @@ def _chunker_oracle(chunk_size: int = 150, overlap: int = 20) -> str:
             f"ELSE ({start}) + {cs} END)"
         )
 
-    strip_set = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    strip_set = _PY_STRIP_SET
     return f"""
     WITH RECURSIVE st AS (
         SELECT doc_id, text, length(text) AS n, 0 AS s,
@@ -1358,15 +1373,19 @@ def _ivf_open(spark: SparkSession, sf_dir: str):
     try:
         st = os.stat(src)
         fp = hashlib.md5(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:10]
-    except OSError:  # non-local sf_dir: no fingerprint, rebuild every run
-        fp = "nofp"
+    except OSError:
+        # non-local sf_dir: no fingerprint, rebuild every run.  The
+        # path must be session-unique — a shared fixed path with
+        # mode=overwrite would let two concurrent drivers on the same
+        # warehouse clobber each other's index mid-read.
+        fp = f"nofp_{hashlib.md5(spark.sparkContext.applicationId.encode()).hexdigest()[:10]}"
     index_path = os.path.join(
         repo_root, "spark-warehouse", f"ivf_index_{tag}_c8_i2_{fp}"
     )
     # without a fingerprint the persisted marker proves nothing about
     # freshness — rebuild unconditionally rather than serve stale
     # assignments forever
-    if fp == "nofp" or not ivf_index_complete(spark, index_path):
+    if fp.startswith("nofp") or not ivf_index_complete(spark, index_path):
         emb = load_table(spark, sf_dir, "embeddings")
         ivf_write(emb, index_path, dim=EMBEDDING_DIM, n_centroids=8, iters=2)
     return ivf_read(spark, index_path)
@@ -1452,7 +1471,7 @@ def _ingest_pipeline_oracle() -> str:
     deterministic sha-256 chunk uids.  total_chunks counts every piece
     the chunker returned (including whitespace-only pieces the kernel
     skips at emission), exactly like the Python loop."""
-    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    ws = _PY_STRIP_SET
     return f"""
     WITH base AS ({_chunker_oracle(chunk_size=200, overlap=30)}),
     named AS (

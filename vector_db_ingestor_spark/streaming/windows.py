@@ -142,11 +142,14 @@ def dedup_stream(
 
 def _ts_unit_from_footer(path: str) -> str:
     """Sniff the parquet physical unit of the ``ts`` column (``'ns'``,
-    ``'us'``, ``'ms'`` or ``'s'``) from the footer of one file under
+    ``'us'``, ``'ms'`` or ``'s'``) from the footers of EVERY file under
     ``path``.  Fixture generators have shipped both ``timestamp[ns]``
     and ``timestamp[us]`` over time; assuming one of them silently
     collapses or inflates every event time ~1000x, so the source must
-    read the footer rather than guess."""
+    read the footers rather than guess.  A directory mixing units
+    (exactly the generator drift this guards against) raises instead of
+    silently reading the other-unit files ~1000x off — one schema must
+    win for the whole stream, so mixed inputs need an upstream rewrite."""
     import glob
     import os
 
@@ -160,11 +163,19 @@ def _ts_unit_from_footer(path: str) -> str:
     )
     if not candidates:
         raise FileNotFoundError(f"no parquet files under {path!r}")
-    field = pq.read_schema(candidates[0]).field("ts")
-    unit = getattr(field.type, "unit", None)
-    if unit is None:  # plain int64 ts: treat as nanos (legacy fixtures)
-        return "ns"
-    return unit
+    units: dict[str, str] = {}
+    for cand in candidates:  # footer-only metadata reads: cheap
+        field = pq.read_schema(cand).field("ts")
+        # plain int64 ts: treat as nanos (legacy fixtures)
+        units[cand] = getattr(field.type, "unit", None) or "ns"
+    distinct = sorted(set(units.values()))
+    if len(distinct) > 1:
+        sample = {u: next(c for c, cu in units.items() if cu == u) for u in distinct}
+        raise ValueError(
+            f"mixed ts units {distinct} under {path!r} "
+            f"(e.g. {sample}); rewrite the inputs to one unit first"
+        )
+    return distinct[0]
 
 
 def stream_events_from_parquet(
