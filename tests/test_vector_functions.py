@@ -150,6 +150,31 @@ def test_ivf_topk_batch_matches_single_probe(spark, tmp_path):
         assert by_q[qid] == single, f"query {qid}"
 
 
+def test_ivf_assign_rounding_is_production_faithful(spark):
+    """The hash-checked companion key (q_ann_ivf_assign) argmaxes
+    6dp-ROUNDED sims so DuckDB can mirror it; the production index
+    path (ivf_write/ivf_topk) argmaxes full-precision sims.  The
+    companion only vouches for production if the two assignments agree
+    on real data — i.e. no fixture vector sits on a rounding knife-edge
+    between its top-2 centroids."""
+    from vector_db_ingestor_spark.operators.similarity import _assign_cid
+    from vector_db_ingestor_spark.queries import _ivf_assign_centroids
+    from vector_db_ingestor_spark.tables import load_table
+
+    cents = _ivf_assign_centroids()
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    diff = (
+        emb.select(
+            _assign_cid(vec, cents).alias("exact"),
+            _assign_cid(vec, cents, round_dp=6).alias("rounded"),
+        )
+        .filter(F.col("exact") != F.col("rounded"))
+        .count()
+    )
+    assert diff == 0
+
+
 def test_auto_n_bits_tracks_corpus_size():
     from vector_db_ingestor_spark.operators.similarity import auto_n_bits
 

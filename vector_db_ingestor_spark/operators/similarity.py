@@ -148,7 +148,9 @@ def lsh_topk(
 
 # ------------------------------------------------------------------ IVF
 
-def _assign_cid(vec: Column, centroids: list[list[float]]) -> Column:
+def _assign_cid(
+    vec: Column, centroids: list[list[float]], round_dp: int | None = None
+) -> Column:
     """cid of the nearest centroid, as a narrow array expression.
 
     ``transform`` over a literal array-of-centroids computes all sims in
@@ -156,9 +158,16 @@ def _assign_cid(vec: Column, centroids: list[list[float]]) -> Column:
     first-wins (= lowest-cid) tie-break.  No crossJoin, no window, no
     shuffle — assignment stays inside the scan stage, which is what
     makes a Lloyd step at 100 TB one map + one small hash-agg.
+
+    ``round_dp`` rounds each sim before the argmax — the cross-engine
+    oracle (``q_ann_ivf_assign``) needs last-ulp sum differences
+    squashed so Spark and DuckDB argmax the same values; the production
+    paths leave it None (full precision).
     """
     cents_col = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
     sims = F.transform(cents_col, lambda c: cosine_similarity(vec, c))
+    if round_dp is not None:
+        sims = F.transform(sims, lambda s: F.round(s, round_dp))
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 

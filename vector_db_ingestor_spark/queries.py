@@ -1425,6 +1425,88 @@ def q_ann_ivf_batch_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_ann_ivf_batch"] = q_ann_ivf_batch_impl
 
 
+def _ivf_assign_centroids(dim: int = 64, n: int = 8) -> list[list[float]]:
+    """Fixed deterministic centroids (md5-derived, the `_hyperplane`
+    generator at an offset bit-space) for the IVF *assignment*
+    companion key: the float-iterative k-means TRAINING is what keeps
+    `q_ann_ivf`/`q_ann_ivf_batch` rows-only, so this key pins the other
+    two (closed-form) thirds of the IVF path — nearest-centroid argmax
+    assignment and nprobe shortlist selection — against literal
+    centroids both engines can see."""
+    from vector_db_ingestor_spark.operators.similarity import _hyperplane
+
+    return [_hyperplane(dim, 1000 + j) for j in range(n)]
+
+
+def q_ann_ivf_assign_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked companion to the rows-only IVF family: with the
+    centroid model held as literals, recompute every vector's cid
+    (`_assign_cid`, the exact expression ivf_write/ivf_topk use, with
+    sims rounded to 6dp so both engines argmax identical values) and
+    the probe's nprobe=4 shortlist membership (`ivf_shortlist`,
+    driver-side closed form).  The oracle independently re-derives BOTH
+    from the same literals — so the assignment argmax, its first-wins
+    tie-break, and the shortlist ranking are all cross-engine verified
+    even though k-means training itself stays Spark-only."""
+    from vector_db_ingestor_spark.operators.similarity import (
+        _assign_cid,
+        ivf_shortlist,
+    )
+
+    cents = _ivf_assign_centroids()
+    shortlist = ivf_shortlist(cents, PROBE_64, nprobe=4)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        _assign_cid(vec, cents, round_dp=6).alias("cid"),
+    ).withColumn("in_shortlist", F.col("cid").isin(shortlist))
+
+
+def _ivf_assign_oracle(nprobe: int = 4) -> str:
+    """DuckDB mirror: same centroid literals, same rounded cosine,
+    list_position/list_max argmax (first-wins like array_position),
+    and the shortlist re-ranked in SQL (cosine desc, cid asc, LIMIT
+    nprobe) instead of trusting the Spark side's Python selection."""
+    cents = _ivf_assign_centroids()
+
+    def cvec(c: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]"
+
+    def cos_sql(c: list[float]) -> str:
+        lit = cvec(c)
+        return (
+            f"round(list_dot_product(embedding::DOUBLE[], {lit})"
+            f" / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+            f" * sqrt(list_dot_product({lit}, {lit}))), 6)"
+        )
+
+    cent_rows = ", ".join(f"({i}, {cvec(c)})" for i, c in enumerate(cents))
+    sims = ", ".join(cos_sql(c) for c in cents)
+    return f"""
+    WITH cents(cid, cvec) AS (VALUES {cent_rows}),
+    short AS (
+        SELECT cid FROM cents
+        ORDER BY (list_dot_product(cvec, {_PROBE_SQL})
+                  / (sqrt(list_dot_product(cvec, cvec))
+                     * sqrt(list_dot_product({_PROBE_SQL}, {_PROBE_SQL})))) DESC,
+                 cid ASC
+        LIMIT {nprobe}
+    ),
+    assigned AS (
+        SELECT vec_id,
+               CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER) AS cid
+        FROM (SELECT vec_id, [{sims}] AS sims FROM embeddings)
+    )
+    SELECT vec_id, cid, cid IN (SELECT cid FROM short) AS in_shortlist
+    FROM assigned
+    """
+
+
+QUERIES["q_ann_ivf_assign"] = q_ann_ivf_assign_impl
+ORACLE_SQL["q_ann_ivf_assign"] = _ivf_assign_oracle()
+
+
 # =====================================================================
 # P0 ingestion pipeline + multimodal plumbing (rows-only: UDF-backed)
 # =====================================================================
