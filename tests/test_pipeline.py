@@ -14,6 +14,43 @@ from vector_db_ingestor_spark.pipeline import (
 )
 
 PDF_DIR = pathlib.Path("/root/reference/pdf_datasets")
+GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens" / "pdf_extract"
+
+
+@pytest.mark.skipif(not PDF_DIR.exists(), reason="reference corpus not present")
+def test_pdf_extraction_content_goldens():
+    """Per-file CONTENT parity for the stdlib extractor over the full
+    reference corpus (R2/R3, src/PDFToChromaIngester.py:68-92): the
+    committed goldens are the extractor's output on all 8 PDFs, so any
+    regression in the Flate/CID/Type0 engines changes bytes here —
+    "status == ok" alone would not catch garbled-but-nonempty text.
+    pypdf/PyPDF2 are not in the image, so cross-engine similarity
+    cannot be asserted; the goldens freeze OUR engine instead, and the
+    keyword checks below pin that the text is real prose, not
+    xref/stream noise."""
+    from vector_db_ingestor_spark.sources.pdf import extract_pdf_text
+
+    pdfs = sorted(PDF_DIR.glob("*.pdf"))
+    assert len(pdfs) == 8
+    for pdf in pdfs:
+        golden = GOLDEN_DIR / (pdf.stem + ".txt")
+        assert golden.exists(), f"missing golden for {pdf.name}"
+        got = extract_pdf_text(pdf.read_bytes())
+        want = golden.read_text(encoding="utf-8")
+        assert got == want, (
+            f"{pdf.name}: extraction drifted from golden "
+            f"({len(got)} vs {len(want)} chars)"
+        )
+    # spot semantic anchors: domain terms must survive extraction
+    anchors = {
+        "Skyline_Airways_policy_doc": "Customer Service Policy",
+        "IATA_guidance_document_on_baggage_standards_for_airlines": "baggage",
+        "COMPLETE_TRAVEL_INSURANCE_GUIDE": "insurance",
+        "Airline_FAQ_generic": "boarding pass",
+    }
+    for stem, needle in anchors.items():
+        text = (GOLDEN_DIR / (stem + ".txt")).read_text(encoding="utf-8")
+        assert needle.lower() in text.lower(), f"{stem}: {needle!r} not found"
 
 
 def test_hashing_embedder_deterministic_and_normalized():
