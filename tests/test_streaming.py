@@ -535,3 +535,80 @@ def test_dedup_stream_bounded_state(spark, tmp_path):
         "value DOUBLE, props STRING",
     )
     assert dedup_stream(batch).count() == 1
+
+
+def test_dedup_stream_state_bounded_over_soak(spark, tmp_path):
+    """25-microbatch soak: dropDuplicatesWithinWatermark state must be
+    bounded by the watermark horizon, not by total keys ever seen —
+    the difference between a dedup that runs forever and one that OOMs.
+
+    Each micro-batch carries 20 NEW keys (each written twice, so the
+    in-batch duplicate must drop) with event times advancing 1 minute
+    per batch under a 2-minute watermark: a key's state expires ~4
+    batches after it arrives, so numRowsTotal should plateau around a
+    few batches' keys while 500 distinct keys stream through."""
+    import datetime as dt
+    import os
+
+    from vector_db_ingestor_spark.streaming.windows import dedup_stream
+
+    n_batches, keys_per_batch = 25, 20
+    src_dir = tmp_path / "soak_src"
+    src_dir.mkdir()
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    schema = (
+        "event_id STRING, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    for b in range(n_batches):
+        ts = base + dt.timedelta(minutes=b)
+        rows = []
+        for k in range(keys_per_batch):
+            row = (f"b{b}_k{k}", ts, b, "click", 1.0, "{}")
+            rows.append(row)
+            rows.append(row)  # in-batch duplicate: must be dropped
+        path = str(src_dir / f"batch_{b:03d}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+        # one file per micro-batch, in arrival order
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1_700_000_000 + b, 1_700_000_000 + b))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+    )
+    deduped = dedup_stream(stream, keys=["event_id"], watermark="2 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("soak_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+
+    assert len(progresses) >= n_batches - 2, (
+        f"expected ~{n_batches} micro-batches, saw {len(progresses)}"
+    )
+    state_rows = [
+        op["numRowsTotal"]
+        for p in progresses
+        for op in p.get("stateOperators", [])
+        if op.get("numRowsTotal") is not None
+    ]
+    assert state_rows, "no state operator metrics reported"
+    total_keys = n_batches * keys_per_batch
+    # bounded: the plateau stays near (horizon batches x keys_per_batch),
+    # far below total keys; un-evicted state would end at total_keys
+    assert max(state_rows) <= 10 * keys_per_batch, (
+        f"state grew to {max(state_rows)} rows — watermark not evicting"
+    )
+    assert state_rows[-1] < total_keys / 2
+    # and the dedup itself held: every key exactly once downstream
+    out = spark.sql("SELECT event_id FROM soak_dedup")
+    assert out.count() == total_keys
+    assert out.distinct().count() == total_keys
