@@ -109,3 +109,54 @@ def test_query_vs_passage_prefix_asymmetry(fake_st):
     seen = {t for batch in _FakeModel.seen_texts for t in batch}
     assert seen == {"query: same text", "passage: same text"}
     assert vq != vp
+
+
+def test_tiny_attention_embedder_real_inference_end_to_end(spark, tmp_path):
+    """Closest-possible stand-in for 'run a real model' in an image
+    with no torch/onnx and no network: TinyAttentionEmbedder performs
+    REAL inference math (token embed + positions -> self-attention ->
+    pool -> projection -> normalize, all numpy matmuls from seeded
+    weights) through the SAME fused-kernel path a SentenceTransformer
+    would use, into VectorCollection.search for a stable top-k."""
+    from vector_db_ingestor_spark.embedding import TinyAttentionEmbedder
+    from vector_db_ingestor_spark.pipeline import VectorCollection, build_chunks
+
+    e = TinyAttentionEmbedder()
+    # real-model properties the hashing stub does NOT have:
+    v = np.array(e.embed_one("alpha beta gamma"))
+    assert len(v) == 384 and abs(float(v @ v) - 1.0) < 1e-9
+    # (1) word ORDER changes the vector (attention + positions)...
+    v_rev = np.array(e.embed_one("gamma beta alpha"))
+    assert not np.allclose(v, v_rev)
+    # (2) ...but deterministically: a fresh instance reproduces exactly
+    assert e.embed_one("alpha beta gamma") == (
+        TinyAttentionEmbedder().embed_one("alpha beta gamma")
+    )
+    # (3) BGE prefix asymmetry survives
+    assert e.embed_one("x", "passage") != e.embed_one("x", "query")
+
+    texts = [
+        "refund policy for cancelled flights and compensation",
+        "baggage allowance for international travel",
+        "refund procedure when a flight is cancelled",
+        "in-flight meal options and dietary requests",
+    ]
+    body = ("stream\n(%s) Tj\nendstream").encode()
+    files = spark.createDataFrame(
+        [
+            (f"file:/m/{i}.pdf", f"{i}.pdf", 1, bytearray(body % t.encode()))
+            for i, t in enumerate(texts)
+        ],
+        "source STRING, filename STRING, file_bytes LONG, content BINARY",
+    )
+    out = str(tmp_path / "coll")
+    build_chunks(files, embedder=e).write.mode("overwrite").parquet(out)
+    coll = VectorCollection(spark, out, embedder=e)
+    hits = coll.search("flight refund", n_results=4).collect()
+    assert [h.rank for h in hits] == [1, 2, 3, 4]
+    assert len(hits[0].embedding if hasattr(hits[0], "embedding") else [0]) >= 1
+    # deterministic end-to-end: same query twice, same ranking
+    again = coll.search("flight refund", n_results=4).collect()
+    assert [(h.rank, h.chunk_uid) for h in hits] == [
+        (h.rank, h.chunk_uid) for h in again
+    ]

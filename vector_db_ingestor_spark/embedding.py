@@ -104,6 +104,71 @@ class HashingEmbedder:
         return self.udf(prefix)(text)
 
 
+class TinyAttentionEmbedder(HashingEmbedder):
+    """Real neural-inference mechanics with deterministic seeded
+    weights: hashed-token embeddings + sinusoidal positions → one
+    single-head self-attention layer → mean pool → output projection →
+    L2 normalize.  Every step SentenceTransformer inference performs
+    (token embed, attention mixing, pooling, projection, normalize)
+    executes here as real numpy matmuls — NOT a pretrained checkpoint
+    (this image has no torch/onnxruntime and no network), so semantic
+    quality is meaningless, but the inference COMPUTE path — per-task
+    model init, per-batch matrix math inside the Arrow UDF, 384-d
+    unit-norm output, prefix handling — is exercised for real, which
+    the feature-hashing stub cannot do (it is order-insensitive and
+    does no matrix work).  Reference contract mirrored:
+    src/PDFToChromaIngestorBgeEmbedding.py:41-46 (normalize + prefix).
+    """
+
+    MAX_TOKENS = 64  # truncation bound, keeps attention O(64^2)
+
+    def __init__(self, dim: int = 384, vocab: int = 2048, d_model: int = 64,
+                 seed: int = 42):
+        self.dim = dim
+        self.vocab = vocab
+        self.d_model = d_model
+        self.seed = seed
+        rng = np.random.default_rng(seed)  # PCG64: reproducible everywhere
+        s = 1.0 / math.sqrt(d_model)
+        self.E = rng.normal(0.0, s, (vocab, d_model))
+        self.Wq = rng.normal(0.0, s, (d_model, d_model))
+        self.Wk = rng.normal(0.0, s, (d_model, d_model))
+        self.Wv = rng.normal(0.0, s, (d_model, d_model))
+        self.Wo = rng.normal(0.0, s, (d_model, dim))
+        pos = np.arange(self.MAX_TOKENS)[:, None]
+        freq = np.exp(-math.log(10000.0) * np.arange(d_model)[None, :] / d_model)
+        self.P = np.sin(pos * freq) * 0.1  # positions make order matter
+
+    def _token_ids(self, text: str) -> np.ndarray:
+        toks = text.lower().split()[: self.MAX_TOKENS] or [""]
+        return np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(t.encode("utf-8"), digest_size=4).digest(), "big"
+                )
+                % self.vocab
+                for t in toks
+            ]
+        )
+
+    def embed_one(self, text: str, prefix: str = "passage") -> list[float]:
+        ids = self._token_ids(f"{prefix}: {text or ''}")
+        x = self.E[ids] + self.P[: len(ids)]          # [n, d] embed + pos
+        q, k, v = x @ self.Wq, x @ self.Wk, x @ self.Wv
+        att = q @ k.T / math.sqrt(self.d_model)        # [n, n]
+        att = np.exp(att - att.max(axis=1, keepdims=True))
+        att /= att.sum(axis=1, keepdims=True)          # softmax rows
+        pooled = (att @ v).mean(axis=0)                # mix then mean pool
+        out = pooled @ self.Wo                         # project to dim
+        n = math.sqrt(float(np.dot(out, out)))
+        return [float(z) for z in (out / n if n > 0 else out)]
+
+    def task_factory(self):
+        cls = type(self)
+        dim, vocab, d_model, seed = self.dim, self.vocab, self.d_model, self.seed
+        return lambda: cls(dim, vocab, d_model, seed)
+
+
 class SentenceTransformerEmbedder:
     """Real model embedder (import-gated; mirrors reference R7)."""
 
