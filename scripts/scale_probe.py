@@ -99,6 +99,134 @@ def replicate_embeddings(df: DataFrame, factor: int, dim: int) -> DataFrame:
     ).drop("__k")
 
 
+def replicate_events(df: DataFrame, factor: int) -> DataFrame:
+    """Disjoint user_id ranges per copy: cross-copy rows can never
+    join, so per-user join-output density stays constant as the corpus
+    grows (same invariant as the doc/embedding bijections)."""
+    if factor == 1:
+        return df
+    out = _replicated(df, "event_id", factor)
+    return out.withColumn(
+        "user_id", F.col("user_id") + F.col("__k") * F.lit(ID_STRIDE)
+    ).drop("__k")
+
+
+def round4_probes(
+    spark: SparkSession,
+    sf_dir: str,
+    factor: int,
+    work_dir: str,
+    ivf_rows: dict[str, dict[int, int]],
+) -> dict[str, DataFrame]:
+    """Probes for the round-4 additions (queries.py: q_text_boilerplate,
+    q_pack_sequences, q_stream_join, q_ann_ivf_batch).  The first three
+    mirror the query plans over replicated inputs; the IVF pair builds
+    a fresh index per factor OUTSIDE the timed region and then times
+    one-probe vs four-probe query cost — the batched plan must ride the
+    UNION of the probes' shortlists (one pruned scan), not pay B full
+    scans."""
+    from pyspark.sql import Window
+
+    from vector_db_ingestor_spark.operators.similarity import (
+        ivf_read,
+        ivf_shortlist,
+        ivf_topk,
+        ivf_topk_batch,
+        ivf_write,
+    )
+    from vector_db_ingestor_spark.streaming.windows import stream_stream_attribution
+
+    docs = replicate_docs(load_table(spark, sf_dir, "documents"), factor)
+    emb = replicate_embeddings(
+        load_table(spark, sf_dir, "embeddings"), factor, EMBEDDING_DIM
+    )
+    ev = replicate_events(load_table(spark, sf_dir, "events"), factor)
+
+    # --- boilerplate lines (explode -> map-side-combined agg -> top-50)
+    page = F.concat(
+        F.col("text"),
+        F.lit(". Published by "), F.col("source"), F.lit(" syndicate. "),
+        F.lit("All rights reserved "), F.col("source"), F.lit("."),
+    )
+    lines = (
+        docs.select("doc_id", F.explode(F.split(page, r"\.")).alias("s"))
+        .select("doc_id", F.trim("s").alias("line"))
+        .filter(F.col("line") != "")
+    )
+    boilerplate = (
+        lines.groupBy("line")
+        .agg(F.count("*").alias("n_occurrences"), F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("line").asc())
+        .limit(50)
+    )
+
+    # --- sequence packing (one window cumsum per lang partition)
+    t = docs.select(
+        "doc_id", "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pack = t.withColumn(
+        "begin_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).select(
+        "doc_id", "lang",
+        F.floor(F.col("begin_tok") / 2048).alias("pack_id"),
+        (F.col("begin_tok") % 2048).alias("offset_in_pack"),
+    )
+
+    # --- stream-join batch twin (hash join on user_id + range residual)
+    attribution = stream_stream_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )
+
+    # --- IVF: build per-factor index (NOT timed), query single vs batch.
+    # The batch is CORRELATED probes (small deterministic perturbations
+    # of one query — the realistic shape: query batches cluster), so
+    # their nprobe shortlists overlap and the union scan is strictly
+    # smaller than B separate scans.  Adversarially-diverse probes
+    # degrade to union=all partitions — same bytes as B scans, still
+    # one job; that ceiling is noted in the report.
+    import math as _m
+
+    idx_path = os.path.join(work_dir, f"ivf_x{factor}")
+    ivf_write(emb, idx_path, dim=EMBEDDING_DIM, n_centroids=16, iters=1)
+    indexed, cents = ivf_read(spark, idx_path)
+    batch_probes = [
+        (b, [x + 0.05 * _m.sin(7.0 * b * (i + 1)) for i, x in enumerate(PROBE_64)])
+        for b in range(4)
+    ]
+    single_cids = ivf_shortlist(cents, PROBE_64, 4)
+    union_cids = sorted(
+        {c for _, p in batch_probes for c in ivf_shortlist(cents, p, 4)}
+    )
+    scanned_union = indexed.filter(F.col("cid").isin(union_cids)).count()
+    scanned_single = indexed.filter(F.col("cid").isin(single_cids)).count()
+    ivf_rows.setdefault("union_cids", {})[factor] = len(union_cids)
+    ivf_rows.setdefault("rows_union", {})[factor] = scanned_union
+    ivf_rows.setdefault("rows_4_separate", {})[factor] = 4 * scanned_single
+    print(
+        f"x{factor}: ivf batch4 union={len(union_cids)}/16 cids, "
+        f"rows scanned once={scanned_union} vs 4 separate scans="
+        f"{4 * scanned_single}"
+    )
+    ivf_single = ivf_topk(indexed, cents, PROBE_64, k=10, nprobe=4)
+    ivf_batch4 = ivf_topk_batch(indexed, cents, batch_probes, k=10, nprobe=4)
+
+    return {
+        "boilerplate_top50": boilerplate,
+        "pack_sequences": pack,
+        "stream_join_attrib": attribution,
+        "ivf_topk_single": ivf_single,
+        "ivf_topk_batch4": ivf_batch4,
+    }
+
+
 def probes(spark: SparkSession, sf_dir: str, factor: int) -> dict[str, DataFrame]:
     from vector_db_ingestor_spark.operators.dedup import (
         embedding_near_dups,
@@ -176,6 +304,11 @@ def main() -> None:
     factors = (1, 3, 10)
     spark = get_spark("scale_probe")
 
+    import shutil
+    import tempfile
+
+    work_dir = tempfile.mkdtemp(prefix="scale_probe_ivf_")
+    ivf_rows: dict[str, dict[int, int]] = {}
     results: dict[str, dict[int, float]] = {}
     counts: dict[str, dict[int, int]] = {}
     rows_at: dict[int, int] = {}
@@ -207,7 +340,22 @@ def main() -> None:
                 f"x{factor:<3d} {name}: {results[name][factor]:.2f}s"
                 f" rows={counts[name][factor]}"
             )
+        for name, df in round4_probes(
+            spark, sf_dir, factor, work_dir, ivf_rows
+        ).items():
+            if name in ("pack_sequences", "stream_join_attrib"):
+                counts.setdefault(name, {})[factor] = df.count()  # + warm
+            else:
+                df.write.format("noop").mode("overwrite").save()  # warm
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            results.setdefault(name, {})[factor] = statistics.median(ts)
+            print(f"x{factor:<3d} {name}: {results[name][factor]:.2f}s")
     spark.stop()
+    shutil.rmtree(work_dir, ignore_errors=True)
 
     lines = [
         "# SCALE_PROBE — operator scaling at 1x / 3x / 10x sf0.1",
@@ -245,6 +393,32 @@ def main() -> None:
         lines.append(
             f"| {name} | {by_f[1]} | {by_f[3]} | {by_f[10]} | {r:.1f} |"
         )
+    b4 = results.get("ivf_topk_batch4", {})
+    s1 = results.get("ivf_topk_single", {})
+    if b4 and s1:
+        lines += [
+            "",
+            "## Batched IVF (4 correlated probes, one pruned scan)",
+            "",
+            "`ivf_topk_batch4` answers 4 probes (small perturbations of one",
+            "query — realistic batches cluster) against the UNION of their",
+            "nprobe=4 shortlists in ONE scan.  The honest cost driver is",
+            "rows-scanned, not the sub-second local wall times (those carry a",
+            "fixed multi-stage overhead for the routing broadcast + per-probe",
+            "rank): one union scan reads `rows_union`; answering the probes",
+            "separately reads `rows_4_separate`.  Adversarially-diverse",
+            "probes degrade the union to all partitions — the same bytes as",
+            "4 scans, still one job — so batching never reads MORE.",
+            "",
+            "| factor | union cids/16 | rows scanned once | rows 4 separate scans | single time | batch4 time |",
+            "|---|---|---|---|---|---|",
+        ] + [
+            f"| {f}x | {ivf_rows['union_cids'][f]} "
+            f"| {ivf_rows['rows_union'][f]} "
+            f"| {ivf_rows['rows_4_separate'][f]} "
+            f"| {s1[f]:.2f}s | {b4[f]:.2f}s |"
+            for f in sorted(s1)
+        ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
     )
