@@ -78,6 +78,8 @@ AUDITS: dict[str, dict] = {
     # disjunctive predicates stay a hash/broadcast join + residual
     # filter, not a BroadcastNestedLoopJoin
     "q_sql_tpch_q19": {"broadcast": True, "no_nested_loop": True},
+    # centroid-argmax assignment is a projection riding the scan
+    "q_ann_ivf_assign": {"max_exchange": 0},
     # pure vector math rides the scan: zero shuffles
     "q_vector_fns": {"max_exchange": 0},
     "q_vec_quantize": {"max_exchange": 0},
