@@ -125,14 +125,16 @@ def round4_probes(
     one-probe vs four-probe query cost — the batched plan must ride the
     UNION of the probes' shortlists (one pruned scan), not pay B full
     scans."""
-    from pyspark.sql import Window
-
     from vector_db_ingestor_spark.operators.similarity import (
         ivf_read,
         ivf_shortlist,
         ivf_topk,
         ivf_topk_batch,
         ivf_write,
+    )
+    from vector_db_ingestor_spark.queries import (
+        boilerplate_top50,
+        pack_sequences_plan,
     )
     from vector_db_ingestor_spark.streaming.windows import stream_stream_attribution
 
@@ -142,41 +144,10 @@ def round4_probes(
     )
     ev = replicate_events(load_table(spark, sf_dir, "events"), factor)
 
-    # --- boilerplate lines (explode -> map-side-combined agg -> top-50)
-    page = F.concat(
-        F.col("text"),
-        F.lit(". Published by "), F.col("source"), F.lit(" syndicate. "),
-        F.lit("All rights reserved "), F.col("source"), F.lit("."),
-    )
-    lines = (
-        docs.select("doc_id", F.explode(F.split(page, r"\.")).alias("s"))
-        .select("doc_id", F.trim("s").alias("line"))
-        .filter(F.col("line") != "")
-    )
-    boilerplate = (
-        lines.groupBy("line")
-        .agg(F.count("*").alias("n_occurrences"), F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= 3)
-        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("line").asc())
-        .limit(50)
-    )
-
-    # --- sequence packing (one window cumsum per lang partition)
-    t = docs.select(
-        "doc_id", "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
-    )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    pack = t.withColumn(
-        "begin_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    ).select(
-        "doc_id", "lang",
-        F.floor(F.col("begin_tok") / 2048).alias("pack_id"),
-        (F.col("begin_tok") % 2048).alias("offset_in_pack"),
-    )
+    # production plans over replicated inputs — shared DataFrame cores,
+    # so a query change can never leave the probe measuring a stale plan
+    boilerplate = boilerplate_top50(docs)
+    pack = pack_sequences_plan(docs)
 
     # --- stream-join batch twin (hash join on user_id + range residual)
     attribution = stream_stream_attribution(
@@ -201,19 +172,23 @@ def round4_probes(
         (b, [x + 0.05 * _m.sin(7.0 * b * (i + 1)) for i, x in enumerate(PROBE_64)])
         for b in range(4)
     ]
-    single_cids = ivf_shortlist(cents, PROBE_64, 4)
-    union_cids = sorted(
-        {c for _, p in batch_probes for c in ivf_shortlist(cents, p, 4)}
-    )
-    scanned_union = indexed.filter(F.col("cid").isin(union_cids)).count()
-    scanned_single = indexed.filter(F.col("cid").isin(single_cids)).count()
+    shortlists = [ivf_shortlist(cents, p, 4) for _, p in batch_probes]
+    union_cids = sorted({c for s in shortlists for c in s})
+    # per-cid row counts once; separate-scan cost is the SUM over each
+    # probe's OWN shortlist (probes may shortlist different cids)
+    cid_rows = {
+        r["cid"]: r["n"]
+        for r in indexed.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    scanned_union = sum(cid_rows.get(c, 0) for c in union_cids)
+    scanned_separate = sum(cid_rows.get(c, 0) for s in shortlists for c in s)
     ivf_rows.setdefault("union_cids", {})[factor] = len(union_cids)
     ivf_rows.setdefault("rows_union", {})[factor] = scanned_union
-    ivf_rows.setdefault("rows_4_separate", {})[factor] = 4 * scanned_single
+    ivf_rows.setdefault("rows_4_separate", {})[factor] = scanned_separate
     print(
         f"x{factor}: ivf batch4 union={len(union_cids)}/16 cids, "
         f"rows scanned once={scanned_union} vs 4 separate scans="
-        f"{4 * scanned_single}"
+        f"{scanned_separate}"
     )
     ivf_single = ivf_topk(indexed, cents, PROBE_64, k=10, nprobe=4)
     ivf_batch4 = ivf_topk_batch(indexed, cents, batch_probes, k=10, nprobe=4)

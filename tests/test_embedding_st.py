@@ -154,7 +154,6 @@ def test_tiny_attention_embedder_real_inference_end_to_end(spark, tmp_path):
     coll = VectorCollection(spark, out, embedder=e)
     hits = coll.search("flight refund", n_results=4).collect()
     assert [h.rank for h in hits] == [1, 2, 3, 4]
-    assert len(hits[0].embedding if hasattr(hits[0], "embedding") else [0]) >= 1
     # deterministic end-to-end: same query twice, same ranking
     again = coll.search("flight refund", n_results=4).collect()
     assert [(h.rank, h.chunk_uid) for h in hits] == [

@@ -1385,7 +1385,18 @@ def _ivf_open(spark: SparkSession, sf_dir: str):
     # without a fingerprint the persisted marker proves nothing about
     # freshness — rebuild unconditionally rather than serve stale
     # assignments forever
-    if fp.startswith("nofp") or not ivf_index_complete(spark, index_path):
+    if fp.startswith("nofp"):
+        # session-unique paths would otherwise accumulate one
+        # index-sized directory per application on a shared warehouse:
+        # best-effort removal when THIS session exits (its own path
+        # only — never another live session's)
+        import atexit
+        import shutil
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        ivf_write(emb, index_path, dim=EMBEDDING_DIM, n_centroids=8, iters=2)
+        atexit.register(shutil.rmtree, index_path, True)
+    elif not ivf_index_complete(spark, index_path):
         emb = load_table(spark, sf_dir, "embeddings")
         ivf_write(emb, index_path, dim=EMBEDDING_DIM, n_centroids=8, iters=2)
     return ivf_read(spark, index_path)
@@ -4511,7 +4522,14 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural boilerplate, so per-source footers are seeded
     deterministically first (same fixture pattern as q_pii_redact) —
     the detector then has real cross-document repeats to find."""
-    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_top50(load_table(spark, sf_dir, "documents"))
+
+
+def boilerplate_top50(docs: DataFrame) -> DataFrame:
+    """DataFrame-core of q_text_boilerplate, shared with
+    scripts/scale_probe.py so the probe always measures the production
+    plan (the probe feeds replicated inputs; the query feeds fixture
+    tables)."""
     page = F.concat(
         F.col("text"),
         F.lit(". Published by "), F.col("source"), F.lit(" syndicate. "),
@@ -4569,8 +4587,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     time).  One window cumsum per language partition, no iteration; at
     100 TB the partition key is (lang, shard) so each window stays
     bounded."""
-    docs = load_table(spark, sf_dir, "documents")
-    capacity = 2048
+    return pack_sequences_plan(load_table(spark, sf_dir, "documents"))
+
+
+def pack_sequences_plan(docs: DataFrame, capacity: int = 2048) -> DataFrame:
+    """DataFrame-core of q_pack_sequences, shared with
+    scripts/scale_probe.py (same drift rationale as
+    :func:`boilerplate_top50`)."""
     t = docs.select(
         "doc_id", "lang",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
