@@ -1,0 +1,129 @@
+"""Tests for the evidence-harness logic itself: the plan-parsing
+heuristics behind PLANS.md and the driver-priority rotation that
+decides which query keys accumulate CORRECTNESS evidence each round.
+Both are load-bearing for the repo's verification story, so their
+corner cases get pinned like any operator's."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+)
+
+
+# --------------------------------------------------------- plan parsing
+
+def test_count_shuffles_ignores_reused_and_broadcast_references():
+    from explain_audit import count_shuffles
+
+    plan = "\n".join(
+        [
+            "AdaptiveSparkPlan isFinalPlan=true",
+            "+- *(3) HashAggregate(keys=[k], functions=[count(1)])",
+            "   +- Exchange hashpartitioning(k#1, 32), ENSURE_REQUIREMENTS, [plan_id=1]",
+            "      +- *(2) HashAggregate(keys=[k], functions=[partial_count(1)])",
+            "         :- BroadcastExchange HashedRelationBroadcastMode(List(k)), [plan_id=2]",
+            # a ReusedExchange line NAMES its target inline — substring
+            # counting would see a second "Exchange hashpartitioning"
+            "         +- ReusedExchange [k#9], Exchange hashpartitioning(k#1, 32), [plan_id=1]",
+        ]
+    )
+    assert count_shuffles(plan) == 1
+
+
+def test_global_window_classifier_partition_vs_order():
+    from explain_audit import _is_global_window
+
+    # global: [funcs], [order] — direction tokens mark the order group
+    assert _is_global_window(
+        "[row_number() windowspecdefinition(s#4 DESC NULLS LAST, id#0L ASC NULLS FIRST,"
+        " specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS r#2],"
+        " [s#4 DESC NULLS LAST, id#0L ASC NULLS FIRST]"
+    )
+    # partitioned-unordered: [funcs], [partition] (count(*) OVER (PARTITION BY k))
+    assert not _is_global_window(
+        "[count(1) windowspecdefinition(_w0#9, specifiedwindowframe(RowFrame,"
+        " unboundedpreceding$(), unboundedfollowing$())) AS n#1L], [_w0#9]"
+    )
+    # fully-specified partitioned window: 3 groups, non-empty partition
+    assert not _is_global_window(
+        "[rank(v#3) windowspecdefinition(g#2, v#3 DESC NULLS LAST,"
+        " specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS r#5],"
+        " [g#2], [v#3 DESC NULLS LAST]"
+    )
+
+
+def test_global_window_violations_requires_limit_below():
+    from explain_audit import global_window_violations
+
+    bounded = "\n".join(
+        [
+            "+- Window [row_number() windowspecdefinition(s#4 DESC NULLS LAST,"
+            " specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+            " AS r#2], [s#4 DESC NULLS LAST]",
+            "   +- TakeOrderedAndProject(limit=10, orderBy=[s#4 DESC NULLS LAST])",
+            "      +- FileScan parquet [s#4]",
+        ]
+    )
+    assert global_window_violations(bounded) == []
+
+    unbounded = "\n".join(
+        [
+            "+- Window [row_number() windowspecdefinition(s#4 DESC NULLS LAST,"
+            " specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+            " AS r#2], [s#4 DESC NULLS LAST]",
+            "   +- FileScan parquet [s#4]",
+        ]
+    )
+    assert len(global_window_violations(unbounded)) == 1
+
+
+# --------------------------------------------------- driver rotation
+
+def test_driver_priority_rotation(monkeypatch, tmp_path):
+    """The per-round driver checks only a prefix of queries(), so the
+    ordering IS the evidence-rotation policy: never-seen first, then
+    failed, then rows-only (oracle-bearing ahead of oracle-less), then
+    hash-green least-recently-verified — and numeric round order must
+    win over lexicographic file order (r10 > r9)."""
+    import __spark_entry__ as entry
+
+    # synthetic history: key_a green in r9 but FAILED in r10 (regression),
+    # key_b green r10, key_c green r9 (stale), key_d rows-only,
+    # key_e never seen.  Unpadded r9/r10 names make glob's lexicographic
+    # order (r10 BEFORE r9) disagree with numeric order — the rotation
+    # must let the numerically-later round win.
+    (tmp_path / "CORRECTNESS_r9.json").write_text(
+        json.dumps(
+            {
+                "key_a": {"hash_match": True, "err": None},
+                "key_c": {"hash_match": True, "err": None},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps(
+            {
+                "key_a": {"hash_match": False, "err": "hash_mismatch"},
+                "key_b": {"hash_match": True, "err": None},
+                "key_d": {"hash_match": None, "err": "no_oracle"},
+            }
+        )
+    )
+    monkeypatch.setattr(entry, "_REPO", str(tmp_path))
+
+    fake_queries = {k: object() for k in ["key_a", "key_b", "key_c", "key_d", "key_e"]}
+    monkeypatch.setattr(entry, "QUERIES", fake_queries)
+    monkeypatch.setattr(entry, "ORACLE_SQL", {"key_d": "SELECT 1"})
+
+    order = entry._driver_priority()
+    assert order == ["key_e", "key_a", "key_d", "key_c", "key_b"]
+    # key_a ranks as FAIL (numerically-later r10 overrides r9's green
+    # even though glob yields r10 first); key_d's oracle pulls it ahead
+    # of stale greens; key_c (r9) precedes key_b (r10) in the green
+    # re-verify rotation
