@@ -41,15 +41,23 @@ FEATURE_SCHEMA = (
 
 
 def _fake_decode(content: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a real decoder+encoder: expands the
-    blake2 digest of the bytes into `dim` floats in [-1, 1]."""
+    """Deterministic stand-in for a real decoder+encoder: expands a
+    sha256 digest chain of the bytes into `dim` floats in [-1, 1).
+
+    sha256 (not a salted blake2) on purpose: every engine with a
+    ``sha256()`` builtin — DuckDB included — can recompute the stub
+    features, so even the stubbed decode path gets an exact
+    cross-engine oracle (queries.py q_multimodal_features).  Each
+    feature is ``(byte - 128) / 128`` — an exact dyadic rational, so
+    sums of squares are bit-identical across engines.
+    """
     out: list[float] = []
-    counter = 0
-    while len(out) < dim:
-        h = hashlib.blake2b(content, digest_size=32, salt=counter.to_bytes(8, "big")).digest()
-        out.extend((b - 128) / 128.0 for b in h)
-        counter += 1
-    return out[:dim]
+    digest = hashlib.sha256(content).digest()
+    while True:
+        out.extend((b - 128) / 128.0 for b in digest)
+        if len(out) >= dim:
+            return out[:dim]
+        digest = hashlib.sha256(digest).digest()
 
 
 def extract_features(

@@ -1588,11 +1588,37 @@ QUERIES["q_ingest_pipeline"] = q_ingest_pipeline_impl
 ORACLE_SQL["q_ingest_pipeline"] = _ingest_pipeline_oracle()
 
 
+def _multimodal_features_oracle(dim: int = 16) -> str:
+    """Exact mirror of the sha256-chain stub decode (binary_ops.py
+    ``_fake_decode``): byte i of sha256(utf8(text)) — recovered from the
+    hex digest nibble-by-nibble — maps to ``(byte-128)/128``; the energy
+    is the sum of squares.  All terms are exact dyadic rationals, so the
+    double sums are bit-identical across engines.  dim must be <= 32
+    (one digest block)."""
+    assert dim <= 32
+    byte_expr = (
+        "((strpos('0123456789abcdef', h[2*i+1]) - 1) * 16"
+        " + (strpos('0123456789abcdef', h[2*i+2]) - 1))"
+    )
+    return f"""
+    SELECT media_id, modality, {dim} AS feat_dim,
+           round(list_sum(list_transform(range(0, {dim}),
+                 i -> pow(({byte_expr} - 128) / 128.0, 2))), 6) AS feat_energy
+    FROM (SELECT doc_id AS media_id, 'text' AS modality, sha256(text) AS h
+          FROM documents)
+    """
+
+
+@query("q_multimodal_features", oracle=_multimodal_features_oracle())
 def q_multimodal_features_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing over fixture data: text bytes
     as opaque binary content, deterministic stub decode to a fixed-dim
     feature vector via mapInPandas (multimodal/binary_ops.py).
-    Rows-only check."""
+
+    Hash-checked even though decode is a stub: the stub derives
+    features from a sha256 chain precisely so the oracle can recompute
+    them — the Arrow-batched mapInPandas plumbing under test is the
+    same shape a real decoder would use."""
     from vector_db_ingestor_spark.multimodal.binary_ops import extract_features
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1613,9 +1639,6 @@ def q_multimodal_features_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feat_energy"
         ),
     )
-
-
-QUERIES["q_multimodal_features"] = q_multimodal_features_impl
 
 
 # =====================================================================
