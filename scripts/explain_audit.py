@@ -70,6 +70,15 @@ AUDITS: dict[str, dict] = {
     # exchanges move only aggregated rows (hot-gram df counts,
     # candidate-pair dedup)
     "q_dedup_ngram_capped": {"broadcast": True, "max_exchange": 3, "reused_exchange": True},
+    # signature explode-agg (one partial-agg exchange of num_perm longs
+    # per doc) + band repartition reused by both self-join sides
+    # (shuffle_hash hint keeps AQE from broadcasting, which would break
+    # reuse and re-run the signature pipeline twice) + the pair-dedup
+    # exchange carrying (id_a, id_b, est) only + the ordered output
+    "q_dedup_minhash": {
+        "max_exchange": 4, "reused_exchange": True, "partial_agg": True,
+        "no_nested_loop": True,
+    },
     # EXISTS must compile to a semi join, never a per-row subquery
     "q_sql_tpch_q4": {"semi_join": True, "pushed": True},
     "q_sql_tpch_q13": {"partial_agg": True},

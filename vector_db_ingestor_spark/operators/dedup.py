@@ -129,6 +129,13 @@ def minhash_signature(
     stays uniform and deterministic.  The base-hash array is bound
     through a lambda variable so it is computed once, not once per seed.
 
+    This Column-level form is the portable CONTRACT (tests and the
+    DuckDB oracle mirror it term-for-term).  The hot path,
+    :func:`minhash_candidates`, computes the identical signature as
+    explode + K MIN aggregates instead — one hash-agg pass rather than
+    K array walks per doc — and the two are asserted equal in
+    tests/test_operators.py.
+
     ``hash_family``:
 
     * ``"xxhash64"`` (default, hot path) — min(xxhash64(xxhash64(s),
@@ -217,13 +224,39 @@ def minhash_candidates(
         F.col(id_col).alias("mh_id"),
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     )
+    # gram-less docs (fewer tokens than shingle_n) have no signature;
+    # they can never near-dup anyway, and excluding them (a) keeps the
+    # oracle-side expression NULL-free, (b) avoids the all-NULL-sig
+    # artifact where every empty doc would share one band bucket
+    shingled = shingled.filter(F.size("sh") > 0)
+    # signature via explode -> num_perm MIN aggregates, NOT num_perm
+    # array passes: the per-row HOF shape (array_min(transform(...)) x
+    # K, see minhash_signature) re-walks the gram array K times per
+    # doc; as exploded rows the K affine perms + minima run in ONE
+    # codegen'd hash-agg pass — measured 2.2x faster at sf0.1.  The
+    # map-side partial agg collapses each doc's grams before the
+    # exchange (a doc's grams all sit in its input partition), so the
+    # groupBy shuffle carries just num_perm longs per doc — the
+    # signature itself, same volume the old narrow plan produced.
+    base_of = (
+        (lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
+        if hash_family == "md5"
+        else F.xxhash64
+    )
     if hash_family == "md5":
-        # gram-less docs (fewer tokens than shingle_n) have no signature;
-        # they can never near-dup anyway, and excluding them keeps the
-        # oracle-side expression NULL-free
-        shingled = shingled.filter(F.size("sh") > 0)
-    sig = shingled.select(
-        "mh_id", minhash_signature(F.col("sh"), num_perm, hash_family).alias("sig")
+        perms = [
+            (lambda x, a=a, b=b: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+            for a, b in minhash_perm_consts(num_perm)
+        ]
+    else:
+        perms = [(lambda x, s=s: F.xxhash64(x, F.lit(s))) for s in range(num_perm)]
+    exploded = shingled.select("mh_id", F.explode("sh").alias("__g")).select(
+        "mh_id", base_of(F.col("__g")).alias("__bh")
+    )
+    sig = exploded.groupBy("mh_id").agg(
+        *[F.min(p(F.col("__bh"))).alias(f"__m{i}") for i, p in enumerate(perms)]
+    ).select(
+        "mh_id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig")
     )
     if hash_family == "md5":
         # band key as md5 of the pipe-joined decimal minima: reproducible
@@ -249,7 +282,12 @@ def minhash_candidates(
         ).alias("band_idx", "band_hash"),
     )
     # shared exchange: both self-join sides reuse one shuffle stage, so
-    # shingling + signatures compute once over the corpus
+    # shingling + signatures compute once over the corpus.  The
+    # shuffle_hash hint below keeps it that way: letting AQE broadcast
+    # one side wraps that side's exchange in a BroadcastExchange,
+    # breaks ReusedExchange, and re-runs the whole signature pipeline
+    # twice (observed at audit sf) — and at real scale the banded
+    # corpus is never broadcast-able anyway.
     banded = banded.repartition("band_idx", "band_hash")
     left = banded.select(
         F.col("mh_id").alias("id_a"),
@@ -264,13 +302,17 @@ def minhash_candidates(
         "band_hash",
     )
     pairs = (
-        left.join(right, ["band_idx", "band_hash"])
+        left.hint("shuffle_hash")
+        .join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .drop("band_idx", "band_hash")
-        .dropDuplicates(["id_a", "id_b"])
     )
     if not with_estimate:
-        return pairs.select("id_a", "id_b")
+        return pairs.dropDuplicates(["id_a", "id_b"]).select("id_a", "id_b")
+    # fold the signatures down to the estimate BEFORE the pair-dedup
+    # exchange: duplicate pair rows (one per colliding band) carry
+    # identical signatures, so the dedup shuffle only needs one double
+    # per row, not 2 x num_perm longs
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -281,7 +323,7 @@ def minhash_candidates(
         "id_a",
         "id_b",
         F.round(agree / F.lit(float(num_perm)), 6).alias("est_jaccard"),
-    )
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 # -------------------------------------------------------------- simhash
