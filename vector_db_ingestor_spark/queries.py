@@ -4463,17 +4463,23 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_k = lsh_topk_multiprobe(
         emb, probes, dim=EMBEDDING_DIM, k=k, n_bits=4
     ).select("vec_id")
-    overlap = exact_k.join(ann_k, "vec_id")
-    return (
-        exact_k.agg(F.count("*").alias("n_exact"))
-        .crossJoin(ann_k.agg(F.count("*").alias("n_ann")))
-        .crossJoin(overlap.agg(F.count("*").alias("n_overlap")))
-        .select(
-            "n_exact",
-            "n_ann",
-            "n_overlap",
-            F.round(F.col("n_overlap") / F.lit(float(k)), 3).alias("recall_at_k"),
-        )
+    # full-outer join + ONE aggregate: each top-k plan (a full table
+    # scan) executes exactly once, vs. twice each with separate
+    # count/overlap branches
+    merged = exact_k.withColumn("in_e", F.lit(1)).join(
+        ann_k.withColumn("in_a", F.lit(1)), "vec_id", "full"
+    )
+    return merged.agg(
+        F.count("in_e").alias("n_exact"),
+        F.count("in_a").alias("n_ann"),
+        F.count(F.when(F.col("in_e").isNotNull() & F.col("in_a").isNotNull(), 1)).alias(
+            "n_overlap"
+        ),
+    ).select(
+        "n_exact",
+        "n_ann",
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.lit(float(k)), 3).alias("recall_at_k"),
     )
 
 
