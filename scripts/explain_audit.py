@@ -79,6 +79,14 @@ AUDITS: dict[str, dict] = {
         "max_exchange": 4, "reused_exchange": True, "partial_agg": True,
         "no_nested_loop": True,
     },
+    # ONE Arrow simhash pass over the corpus: the band exchange is
+    # reused by both self-join sides (shuffle_hash pin) and the
+    # coalesce(fp, 0) keeps the inferred join-key null filter from
+    # spawning a second ArrowEvalPython per side
+    "q_dedup_simhash": {
+        "max_exchange": 3, "reused_exchange": True, "max_arrow": 1,
+        "no_nested_loop": True,
+    },
     # EXISTS must compile to a semi join, never a per-row subquery
     "q_sql_tpch_q4": {"semi_join": True, "pushed": True},
     "q_sql_tpch_q13": {"partial_agg": True},

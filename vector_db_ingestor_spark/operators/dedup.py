@@ -382,8 +382,14 @@ def simhash_near_dups(
     all-pairs.
     """
     bits_per_band = 64 // bands
+    # coalesce marks fp provably non-null (the kernel never returns
+    # null): without it, the join-key constraint isnotnull(band_val)
+    # infers isnotnull(fp) and Catalyst evaluates the Arrow kernel a
+    # SECOND time per side just to run that filter (observed in the
+    # executed plan as two ArrowEvalPython nodes per scan)
     fp = df.select(
-        F.col(id_col).alias("sh_id"), simhash_udf()(F.col(text_col)).alias("fp")
+        F.col(id_col).alias("sh_id"),
+        F.coalesce(simhash_udf()(F.col(text_col)), F.lit(0)).alias("fp"),
     )
     mask = (1 << bits_per_band) - 1
     banded = fp.select(
@@ -398,16 +404,23 @@ def simhash_near_dups(
             )
         ).alias("band_idx", "band_val"),
     )
-    banded = banded.repartition("band_idx", "band_val")  # shared exchange
+    # shared exchange, pinned with shuffle_hash: letting AQE broadcast
+    # one side breaks ReusedExchange and re-runs the Arrow simhash
+    # kernel (the expensive stage) over the corpus twice
+    banded = banded.repartition("band_idx", "band_val")
     left = banded.selectExpr("sh_id as id_a", "fp as fp_a", "band_idx", "band_val")
     right = banded.selectExpr("sh_id as id_b", "fp as fp_b", "band_idx", "band_val")
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
-        left.join(right, ["band_idx", "band_val"])
+        left.hint("shuffle_hash")
+        .join(right, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        # hamming filter BEFORE the pair-dedup exchange: failing pairs
+        # (the vast majority) never shuffle, and duplicate band
+        # collisions agree on the fingerprints so the result is the same
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
