@@ -289,11 +289,23 @@ def main() -> None:
             lines.append(f"| {key} | {name} | {status} | {detail} |")
             print(f"{'OK  ' if ok else 'FAIL'} {key:20s} {name:18s} {detail}")
 
-    # repo-wide invariant: every partition-less Window must rank a
-    # post-limit O(k) row set, never a data-sized single partition.
-    # Structural (pre-AQE) plans suffice — Window-vs-limit position is
-    # decided at planning time, so no execution is needed.
+    # repo-wide invariants over every declared query's structural plan
+    # (pre-AQE suffices: Window-vs-limit position and Python eval
+    # fan-out are both decided at planning time, so no execution is
+    # needed):
+    # 1. every partition-less Window must rank a post-limit O(k) row
+    #    set, never a data-sized single partition;
+    # 2. no plan carries more than 2 Python eval nodes — the declared
+    #    maximum is q_udf_surface's udf + pandas_udf pair; more than
+    #    that means Catalyst duplicated a kernel (e.g. an inferred
+    #    join-key null filter re-evaluating the UDF below the
+    #    projection, caught on simhash in round 5 — fold such filters
+    #    with coalesce(udf(...), <sentinel>)).  Self-join sides count
+    #    pre-reuse, so the bound also caps unshared kernel fan-out.
     global_fails = 0
+    eval_re = re.compile(
+        r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas"
+    )
     for key, fn in QUERIES.items():
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
@@ -307,12 +319,25 @@ def main() -> None:
             global_fails += 1
             lines.append(f"| {key} | global-window-bounded | FAIL | {v} |")
             print(f"FAIL {key:20s} global-window-bounded {v}")
+        n_evals = len(eval_re.findall(plan))
+        if n_evals > 2:
+            failures += 1
+            global_fails += 1
+            lines.append(
+                f"| {key} | python-eval-fanout | FAIL | {n_evals} Python eval nodes |"
+            )
+            print(f"FAIL {key:20s} python-eval-fanout {n_evals} eval nodes")
     if not global_fails:
         lines.append(
             f"| (all {len(QUERIES)} queries) | global-window-bounded | ok | "
             f"every partition-less Window ranks a post-limit row set |"
         )
+        lines.append(
+            f"| (all {len(QUERIES)} queries) | python-eval-fanout | ok | "
+            f"no structural plan exceeds 2 Python eval nodes |"
+        )
         print(f"OK   global-window-bounded across {len(QUERIES)} queries")
+        print(f"OK   python-eval-fanout across {len(QUERIES)} queries")
     spark.stop()
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
