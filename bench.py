@@ -96,7 +96,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # 5 warm reps: with 3, one contended rep lands ON the median for
+    # sub-second queries (r4 recorded two 2.5x phantom regressions);
+    # with 5 the median tolerates two bad reps.  Suite cost ~6 min.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
