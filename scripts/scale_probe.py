@@ -207,6 +207,7 @@ def probes(spark: SparkSession, sf_dir: str, factor: int) -> dict[str, DataFrame
         embedding_near_dups,
         minhash_verified_pairs,
         ngram_jaccard_pairs,
+        simhash_near_dups,
     )
     from vector_db_ingestor_spark.operators.similarity import auto_n_bits, lsh_topk
     from vector_db_ingestor_spark.operators.topk import topk_cosine
@@ -235,6 +236,10 @@ def probes(spark: SparkSession, sf_dir: str, factor: int) -> dict[str, DataFrame
         ),
         "lsh_topk": lsh_topk(emb, probe_df, dim=EMBEDDING_DIM, k=10, n_bits=4),
         "exact_topk": topk_cosine(emb, PROBE_64, k=10),
+        # one Arrow fingerprint pass + reused band exchange (round-5
+        # plan); 16-bit pigeonhole buckets keep collision fan-out flat
+        # as the corpus grows, so time should ride the kernel linearly
+        "simhash_near_dups": simhash_near_dups(docs, max_hamming=10, bands=4),
     }
 
 
