@@ -302,7 +302,10 @@ def main() -> None:
     #    projection, caught on simhash in round 5 — fold such filters
     #    with coalesce(udf(...), <sentinel>)).  Self-join sides count
     #    pre-reuse, so the bound also caps unshared kernel fan-out.
-    global_fails = 0
+    # per-invariant fail counters: a failure in one invariant must not
+    # suppress the other invariant's summary row from PLANS.md
+    window_fails = 0
+    fanout_fails = 0
     eval_re = re.compile(
         r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas"
     )
@@ -311,32 +314,35 @@ def main() -> None:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # pragma: no cover - audit-time visibility
             lines.append(f"| {key} | global-window-bounded | FAIL | plan error: {exc} |")
+            lines.append(f"| {key} | python-eval-fanout | FAIL | plan error: {exc} |")
             failures += 1
-            global_fails += 1
+            window_fails += 1
+            fanout_fails += 1
             continue
         for v in global_window_violations(plan):
             failures += 1
-            global_fails += 1
+            window_fails += 1
             lines.append(f"| {key} | global-window-bounded | FAIL | {v} |")
             print(f"FAIL {key:20s} global-window-bounded {v}")
         n_evals = len(eval_re.findall(plan))
         if n_evals > 2:
             failures += 1
-            global_fails += 1
+            fanout_fails += 1
             lines.append(
                 f"| {key} | python-eval-fanout | FAIL | {n_evals} Python eval nodes |"
             )
             print(f"FAIL {key:20s} python-eval-fanout {n_evals} eval nodes")
-    if not global_fails:
+    if not window_fails:
         lines.append(
             f"| (all {len(QUERIES)} queries) | global-window-bounded | ok | "
             f"every partition-less Window ranks a post-limit row set |"
         )
+        print(f"OK   global-window-bounded across {len(QUERIES)} queries")
+    if not fanout_fails:
         lines.append(
             f"| (all {len(QUERIES)} queries) | python-eval-fanout | ok | "
             f"no structural plan exceeds 2 Python eval nodes |"
         )
-        print(f"OK   global-window-bounded across {len(QUERIES)} queries")
         print(f"OK   python-eval-fanout across {len(QUERIES)} queries")
     spark.stop()
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:

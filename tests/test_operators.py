@@ -128,15 +128,16 @@ def test_minhash_identical_docs_est_one(spark):
 
 
 def test_minhash_agg_signature_matches_column_contract(spark):
-    """minhash_candidates computes signatures as explode + K min-aggs
-    (the hot path); this must equal the Column-level minhash_signature
-    contract term-for-term, for BOTH hash families."""
+    """minhash_signatures (the explode-agg hot path that
+    minhash_candidates actually calls) must equal the Column-level
+    minhash_signature contract term-for-term, for BOTH hash families —
+    the two build from one family definition, and this guards the
+    execution shapes against each other."""
     from pyspark.sql import functions as F
 
     from vector_db_ingestor_spark.operators.dedup import (
-        MINHASH_P,
-        minhash_perm_consts,
         minhash_signature,
+        minhash_signatures,
         word_shingles,
     )
 
@@ -154,24 +155,13 @@ def test_minhash_agg_signature_matches_column_contract(spark):
                 "doc_id", minhash_signature(F.col("sh"), 8, family).alias("sig")
             ).collect()
         }
-        if family == "md5":
-            base = lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-            perms = [
-                (lambda x, a=a, b=b: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
-                for a, b in minhash_perm_consts(8)
-            ]
-        else:
-            base = F.xxhash64
-            perms = [(lambda x, s=s: F.xxhash64(x, F.lit(s))) for s in range(8)]
-        agg = {
-            r.doc_id: [r[f"m{i}"] for i in range(8)]
-            for r in sh.select("doc_id", F.explode("sh").alias("g"))
-            .select("doc_id", base(F.col("g")).alias("x"))
-            .groupBy("doc_id")
-            .agg(*[F.min(p(F.col("x"))).alias(f"m{i}") for i, p in enumerate(perms)])
-            .collect()
+        hot = {
+            r.doc_id: list(r.sig)
+            for r in minhash_signatures(
+                sh, 8, family, id_col="doc_id"
+            ).collect()
         }
-        assert agg == contract, family
+        assert hot == contract, family
 
 
 def test_minhash_md5_family_cross_engine_signature(spark):

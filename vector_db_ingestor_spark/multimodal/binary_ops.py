@@ -14,10 +14,12 @@ media alongside text.  Design:
   per Arrow batch, not per row;
 * the actual codec calls are STUBBED here — image/audio libraries are
   not in this container.  ``decode_stub=True`` (default) produces a
-  deterministic fake decode from the bytes' blake2 digest, keeping the
-  Spark-side plumbing (schema, batching, partitioning) real and
-  testable; ``decode_stub=False`` raises NotImplementedError at the
-  call site where Pillow/ffmpeg would plug in.
+  deterministic fake decode from a sha256 digest chain of the bytes
+  (sha256 so external engines can recompute it — the DuckDB oracle
+  checks the stubbed features exactly), keeping the Spark-side
+  plumbing (schema, batching, partitioning) real and testable;
+  ``decode_stub=False`` raises NotImplementedError at the call site
+  where Pillow/ffmpeg would plug in.
 """
 
 from __future__ import annotations

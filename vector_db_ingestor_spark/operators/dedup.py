@@ -150,41 +150,78 @@ def minhash_signature(
       cost class as the xxhash64 family (one digest per gram + K
       mul/add/mod passes).
     """
-    if hash_family == "md5":
-
-        def perm(a: int, b: int):
-            # closure factory: Spark reads lambda arity, so keyword
-            # defaults (lambda x, a=a: ...) would look like a 3-arg fn
-            return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
-
-        def sig_of_md5(h: Column) -> Column:
-            return F.array(
-                *[
-                    F.array_min(F.transform(h, perm(a, b)))
-                    for a, b in minhash_perm_consts(num_perm)
-                ]
-            )
-
-        # one md5 per gram -> 32-bit base int (first 8 hex chars); the K
-        # "independent" functions are affine permutations of that base —
-        # pure BIGINT arithmetic both engines evaluate identically, and
-        # products stay under 2^63 (base < 2^32, consts < 2^31)
-        base_md5 = F.transform(
-            shingles,
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-        )
-        return F.element_at(F.transform(F.array(base_md5), sig_of_md5), 1)
+    base_of, perms = _minhash_family(num_perm, hash_family)
 
     def sig_of(h: Column) -> Column:
+        # single-arg wrapper per perm: Spark reads lambda arity, and
+        # the family's closure-bound perms are plain Python callables
         return F.array(
             *[
-                F.array_min(F.transform(h, lambda x: F.xxhash64(x, F.lit(seed))))
-                for seed in range(num_perm)
+                F.array_min(F.transform(h, (lambda p: lambda x: p(x))(p)))
+                for p in perms
             ]
         )
 
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    # single-arg wrapper: F.xxhash64 is *args and HOFs reject it raw
+    base = F.transform(shingles, lambda g: base_of(g))
     return F.element_at(F.transform(F.array(base), sig_of), 1)
+
+
+def _minhash_family(num_perm: int, hash_family: str):
+    """The ONE definition of a minhash family: ``(base_of, perms)``
+    where ``base_of(gram_col)`` is the per-gram base hash and
+    ``perms[s](base_col)`` the s-th permutation.  Both execution shapes
+    — the Column-level :func:`minhash_signature` contract and the
+    explode-agg hot path :func:`minhash_signatures` — build their
+    expressions from here, so the two cannot drift.
+
+    * ``"xxhash64"`` (default) — base xxhash64(s); perm s re-hashes
+      with seed s.
+    * ``"md5"`` (portable/verification) — base is the first 8 md5 hex
+      chars as a 32-bit int; perms are affine (a*x + b) mod P
+      (:func:`minhash_perm_consts`) — pure BIGINT arithmetic both
+      engines evaluate identically (products stay under 2^63: base <
+      2^32, consts < 2^31), so an external engine re-derives the
+      signature — and therefore the LSH candidate set — bit-for-bit.
+    """
+    if hash_family == "md5":
+        base_of = lambda g: F.conv(  # noqa: E731
+            F.substring(F.md5(g), 1, 8), 16, 10
+        ).cast("long")
+        perms = [
+            # closure factory via defaults: called directly (never
+            # handed to a HOF), so the extra-arg arity is harmless
+            (lambda x, a=a, b=b: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+            for a, b in minhash_perm_consts(num_perm)
+        ]
+    else:
+        base_of = F.xxhash64
+        perms = [(lambda x, s=s: F.xxhash64(x, F.lit(s))) for s in range(num_perm)]
+    return base_of, perms
+
+
+def minhash_signatures(
+    sh_df: DataFrame,
+    num_perm: int = 64,
+    hash_family: str = "xxhash64",
+    id_col: str = "mh_id",
+    sh_col: str = "sh",
+) -> DataFrame:
+    """(id, sig) signatures via explode + K MIN aggregates — the hot
+    path :func:`minhash_candidates` uses (2.2x faster than K per-row
+    HOF array walks; see SCALING.md).  Same family definition as
+    :func:`minhash_signature` (:func:`_minhash_family`), and the two
+    shapes are asserted equal in tests/test_operators.py.  Rows with
+    empty gram arrays produce no signature."""
+    base_of, perms = _minhash_family(num_perm, hash_family)
+    exploded = sh_df.select(id_col, F.explode(sh_col).alias("__g")).select(
+        id_col, base_of(F.col("__g")).alias("__bh")
+    )
+    return exploded.groupBy(id_col).agg(
+        *[F.min(p(F.col("__bh"))).alias(f"__m{i}") for i, p in enumerate(perms)]
+    ).select(
+        id_col, F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig")
+    )
 
 
 def minhash_candidates(
@@ -238,26 +275,7 @@ def minhash_candidates(
     # exchange (a doc's grams all sit in its input partition), so the
     # groupBy shuffle carries just num_perm longs per doc — the
     # signature itself, same volume the old narrow plan produced.
-    base_of = (
-        (lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
-        if hash_family == "md5"
-        else F.xxhash64
-    )
-    if hash_family == "md5":
-        perms = [
-            (lambda x, a=a, b=b: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
-            for a, b in minhash_perm_consts(num_perm)
-        ]
-    else:
-        perms = [(lambda x, s=s: F.xxhash64(x, F.lit(s))) for s in range(num_perm)]
-    exploded = shingled.select("mh_id", F.explode("sh").alias("__g")).select(
-        "mh_id", base_of(F.col("__g")).alias("__bh")
-    )
-    sig = exploded.groupBy("mh_id").agg(
-        *[F.min(p(F.col("__bh"))).alias(f"__m{i}") for i, p in enumerate(perms)]
-    ).select(
-        "mh_id", F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig")
-    )
+    sig = minhash_signatures(shingled, num_perm, hash_family)
     if hash_family == "md5":
         # band key as md5 of the pipe-joined decimal minima: reproducible
         # by any engine, unlike Spark's murmur hash() over an array<long>

@@ -1604,7 +1604,8 @@ def _multimodal_features_oracle(dim: int = 16) -> str:
     SELECT media_id, modality, {dim} AS feat_dim,
            round(list_sum(list_transform(range(0, {dim}),
                  i -> pow(({byte_expr} - 128) / 128.0, 2))), 6) AS feat_energy
-    FROM (SELECT doc_id AS media_id, 'text' AS modality, sha256(text) AS h
+    FROM (SELECT doc_id AS media_id, 'text' AS modality,
+                 sha256(coalesce(text, '')) AS h
           FROM documents)
     """
 
