@@ -79,6 +79,20 @@ AUDITS: dict[str, dict] = {
         "max_exchange": 4, "reused_exchange": True, "partial_agg": True,
         "no_nested_loop": True,
     },
+    # uncapped exact ngram: one token-stream exchange reused by both
+    # gram-join sides + the pair aggregation; never a nested loop
+    "q_dedup_ngram": {
+        "max_exchange": 2, "reused_exchange": True, "partial_agg": True,
+        "no_nested_loop": True,
+    },
+    # candidates (reused band exchange) + broadcast verify joins
+    "q_dedup_minhash_verified": {
+        "max_exchange": 3, "reused_exchange": True, "no_nested_loop": True,
+    },
+    # LSH-bucketed near-dup: at audit sf fully broadcast (zero
+    # exchanges); the structural guarantee is no nested loop — the
+    # multiprobe OR is realized as an exploded equi-join, never BNLJ
+    "q_dedup_embed": {"max_exchange": 0, "no_nested_loop": True, "broadcast": True},
     # ONE Arrow simhash pass over the corpus: the band exchange is
     # reused by both self-join sides (shuffle_hash pin) and the
     # coalesce(fp, 0) keeps the inferred join-key null filter from
