@@ -127,3 +127,17 @@ def test_driver_priority_rotation(monkeypatch, tmp_path):
     # even though glob yields r10 first); key_d's oracle pulls it ahead
     # of stale greens; key_c (r9) precedes key_b (r10) in the green
     # re-verify rotation
+
+
+# ------------------------------------------------------ bench contract
+
+def test_bench_headline_keys_are_registered_queries():
+    """Every key bench.py times must exist in the declared inventory —
+    a rename in queries.py must not silently KeyError (or drop a
+    query from) the driver's per-round benchmark."""
+    import bench
+    from vector_db_ingestor_spark.queries import QUERIES
+
+    missing = [k for k in bench.HEADLINE if k not in QUERIES]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate keys"
