@@ -438,3 +438,51 @@ def test_dedup_clusters_nonconvergence_raises(spark):
     out = {r.doc_id: r.cluster_id
            for r in dedup_clusters(chain, nodes, max_iters=10).collect()}
     assert out == {i: 0 for i in range(6)}
+
+
+def test_minhash_shapes_agree_on_adversarial_corpus(spark):
+    """Hot-path (explode-agg) vs contract (per-row HOF) signatures on a
+    corpus of edge cases: unicode whitespace, empty/whitespace-only
+    docs, single tokens, heavy gram repetition, mixed scripts.  Docs
+    with no gram must be absent from BOTH shapes' outputs."""
+    from pyspark.sql import functions as F
+
+    from vector_db_ingestor_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    texts = [
+        "",                      # no tokens
+        "   \t  \n ",            # whitespace only
+        "solo",                  # fewer tokens than shingle_n=2
+        "a a a a a a a a",       # one distinct gram
+        "x y z",            # NBSP inside — not split by \s+? pinned either way
+        "ümlaut tökens über äll",
+        "混合 script tokens 日本語 と english",
+        "tab\tseparated\ttokens\there",
+        "newline\nseparated\ntokens",
+        " leading and trailing  ",
+        "the quick brown fox " * 20,
+        " em-space tokens wide",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    sh = df.select(
+        "doc_id", word_shingles(F.col("text"), 2).alias("sh")
+    ).filter(F.size("sh") > 0)
+    for family in ("xxhash64", "md5"):
+        contract = {
+            r.doc_id: list(r.sig)
+            for r in sh.select(
+                "doc_id", minhash_signature(F.col("sh"), 8, family).alias("sig")
+            ).collect()
+        }
+        hot = {
+            r.doc_id: list(r.sig)
+            for r in minhash_signatures(sh, 8, family, id_col="doc_id").collect()
+        }
+        assert hot == contract, family
+        assert all(len(sig) == 8 for sig in hot.values())

@@ -27,6 +27,11 @@ CASES = [
     ("q_topk_cosine", "take_ordered"),
     ("q_ingest_pipeline", "fused_python"),
     ("q_chunk_explode", "fused_python"),
+    # one Arrow fingerprint pass over the corpus: the band self-join
+    # must reuse its exchange (shuffle_hash pin) and the inferred
+    # join-key null filter must not re-evaluate the kernel
+    # (coalesce(fp, 0) — round-5 fix, operators/dedup.py)
+    ("q_dedup_simhash", "fused_python"),
 ]
 
 
