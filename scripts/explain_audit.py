@@ -130,6 +130,16 @@ AUDITS: dict[str, dict] = {
     "q_text_boilerplate": {"top_k": True, "partial_agg": True},
     "q_pack_sequences": {"max_exchange": 1},
     "q_mixture_weights": {"broadcast": True, "partial_agg": True},
+    # round-5 hybrid-retrieval suite
+    # BM25's df table + corpus stats broadcast onto the partial-agg'd
+    # tf stream; both channel shortlists are TakeOrdered heaps
+    "q_hybrid_rrf": {"broadcast": True, "partial_agg": True, "top_k": True},
+    # one corpus-sized TakeOrdered scan; the greedy runs in ONE
+    # fused Arrow stage over the fixed-size shortlist pairs
+    "q_topk_mmr": {"top_k": True, "max_arrow": 1},
+    # encode is a narrow projection riding the scan; top-10 membership
+    # joins a broadcast 10-row list — no global window, no extra shuffle
+    "q_vec_pq_adc": {"broadcast": True, "top_k": True},
 }
 
 

@@ -1,0 +1,150 @@
+"""Hybrid-retrieval operator contracts: BM25 known values, RRF fusion
+semantics, MMR greedy selection, PQ encode/ADC round trips."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_ingestor_spark.operators.retrieval import (
+    bm25_scores,
+    mmr_rerank,
+    ranked_topn,
+    rrf_fuse,
+)
+from vector_db_ingestor_spark.operators.similarity import (
+    pq_adc_tables,
+    pq_code,
+    pq_codebooks,
+)
+
+
+def _bm25_ref(corpus, terms, k1=1.2, b=0.75):
+    """Row-at-a-time reference implementation."""
+    toks = {d: t.lower().strip().split() for d, t in corpus}
+    n = float(len(toks))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {
+        t: sum(1 for v in toks.values() if t in v)
+        for t in terms
+    }
+    out = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(v) / avgdl)
+            )
+        if s > 0:
+            out[d] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    corpus = [
+        (1, "spark vector search engine"),
+        (2, "vector vector vector index"),
+        (3, "keyword only document"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, ["vector", "search"]).collect()
+    }
+    want = _bm25_ref(corpus, ["vector", "search"])
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-6)
+    # doc 1 matches both query terms and beats doc 2's tf=3 single-term
+    # match (BM25's tf saturation keeps repeated terms sub-linear)
+    assert got[1] > got[2]
+    # doc 3 and 4 match no query term: no row at all
+    assert 3 not in got and 4 not in got
+
+
+def test_rrf_fuse_single_and_both_channels(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "a_rank"])
+    b = spark.createDataFrame([(2, 1), (3, 2)], ["doc_id", "b_rank"])
+    rows = {
+        r["doc_id"]: r
+        for r in rrf_fuse({"a": a, "b": b}, k_rrf=60).collect()
+    }
+    assert rows[1]["rrf"] == pytest.approx(1 / 61, abs=1e-6)
+    assert rows[2]["rrf"] == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+    assert rows[3]["rrf"] == pytest.approx(1 / 62, abs=1e-6)
+    assert rows[1]["b_rank"] is None and rows[3]["a_rank"] is None
+
+
+def test_ranked_topn_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(3, 1.0), (1, 1.0), (2, 2.0)], ["doc_id", "s"]
+    )
+    got = [(r["doc_id"], r["rank"]) for r in ranked_topn(df, "s", "doc_id", 2).collect()]
+    assert sorted(got, key=lambda x: x[1]) == [(2, 1), (1, 2)]
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Three candidates: a (rel .9), b (rel .8, near-dup of a), c (rel
+    .5, orthogonal).  With lambda=0.7 the redundancy penalty must push
+    c ahead of b at step 2: mmr(b) = .7*.8 - .3*.95 = .275 < mmr(c) =
+    .7*.5 - .3*.0 = .35."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 0.9, 2, 0.95),
+            (1, 0.9, 3, 0.0),
+            (2, 0.8, 1, 0.95),
+            (2, 0.8, 3, 0.0),
+            (3, 0.5, 1, 0.0),
+            (3, 0.5, 2, 0.0),
+        ],
+        ["id_a", "rel_a", "id_b", "sim"],
+    )
+    got = [
+        (r["rank"], r["vec_id"], r["mmr"])
+        for r in mmr_rerank(pairs, lam=0.7, k=3).orderBy("rank").collect()
+    ]
+    assert [(g[0], g[1]) for g in got] == [(1, 1), (2, 3), (3, 2)]
+    assert got[0][2] == pytest.approx(0.63, abs=1e-6)
+    assert got[1][2] == pytest.approx(0.35, abs=1e-6)
+    assert got[2][2] == pytest.approx(0.275, abs=1e-6)
+
+
+def test_mmr_singleton_shortlist(spark):
+    pairs = spark.createDataFrame(
+        [(7, 0.4, None, None)],
+        "id_a long, rel_a double, id_b long, sim double",
+    )
+    got = mmr_rerank(pairs, lam=0.7, k=5).collect()
+    assert len(got) == 1
+    assert got[0]["vec_id"] == 7 and got[0]["rank"] == 1
+
+
+def test_pq_code_exact_centroid_and_first_wins(spark):
+    cbs = pq_codebooks(8, m=2, ksub=4)
+    # vector whose first subvector IS codebook[0][2] and second IS
+    # codebook[1][0] -> codes (2, 0) with distance 0
+    vec = [float(x) for x in cbs[0][2] + cbs[1][0]]
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    row = df.select(
+        pq_code(F.col("embedding"), cbs[0], 0).alias("c0"),
+        pq_code(F.col("embedding"), cbs[1], 4).alias("c1"),
+    ).collect()[0]
+    assert (row["c0"], row["c1"]) == (2, 0)
+    # duplicated centroid -> equal distances -> argmin takes the FIRST
+    dup = [cbs[0][2], cbs[0][2], cbs[0][1], cbs[0][0]]
+    row2 = df.select(pq_code(F.col("embedding"), dup, 0).alias("c")).collect()[0]
+    assert row2["c"] == 0
+
+
+def test_pq_adc_tables_are_subspace_dots():
+    cbs = pq_codebooks(8, m=2, ksub=3)
+    probe = [0.5] * 8
+    tabs = pq_adc_tables(probe, cbs)
+    assert len(tabs) == 2 and all(len(t) == 3 for t in tabs)
+    want = sum(0.5 * x for x in cbs[1][2])
+    assert tabs[1][2] == pytest.approx(want, abs=1e-12)

@@ -1,0 +1,249 @@
+"""Hybrid retrieval operators: BM25 keyword scoring, reciprocal-rank
+fusion, and MMR diversified re-ranking.
+
+Reference context: the reference's retrieval surface is dense-only
+top-k over Chroma's HNSW index (``src/PDFToChromaIngester.py:225-235``)
+followed by greedy RAG context assembly
+(``src/PDFToChromaIngester.py:250-287``).  A production retrieval stack
+pairs the dense channel with a keyword (BM25) channel, fuses the two
+rank lists with reciprocal-rank fusion, and diversifies the final list
+with maximal-marginal-relevance re-ranking — these operators complete
+that suite Spark-first:
+
+* :func:`bm25_scores` — pure DataFrame plan: one token explode with
+  map-side partial aggregation, document-frequency table broadcast back
+  (vocabulary-sized, like q_tfidf's df table), corpus stats as a
+  broadcast 1-row aggregate.  No Python in the hot path.
+* :func:`rrf_fuse` — full outer join of per-channel rank lists; each
+  list is already top-N (tiny), so fusion is a driver-light broadcast
+  join at any corpus scale.
+* :func:`mmr_rerank` — greedy selection is inherently sequential in k,
+  but it only ever runs on an O(N) shortlist (N fixed, independent of
+  corpus size), so it executes as ONE ``applyInPandas`` task over the
+  shortlist's pairwise-similarity rows.  The pairwise cosines are
+  computed JVM-side on the N x N self-join (N^2 rows of a constant-size
+  shortlist) and rounded BEFORE entering Python, so the Python step does
+  no float reduction of its own — the oracle can replay the identical
+  greedy argmax on identical doubles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vector_db_ingestor_spark.functions.vector import cosine_similarity
+
+# ------------------------------------------------------------- BM25
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document BM25 score for a bag-of-terms query.
+
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` (the non-negative
+    Robertson-Sparck-Jones form), ``score = sum_t idf_t * tf * (k1+1) /
+    (tf + k1 * (1 - b + b * dl/avgdl))``.  Only documents containing at
+    least one query term get a row (classic inverted-index behavior).
+
+    Shuffle budget: one partial-aggregated explode for tf (filtered to
+    the query terms BEFORE the aggregation, so the exchange carries only
+    matching tokens), one tiny hash agg for df (broadcast back), one
+    1-row corpus-stats agg (broadcast cross join).  At 100 TB the only
+    data-sized movement is the per-(doc, query-term) tf exchange.
+    """
+    base = docs.select(
+        F.col(id_col).alias("bm_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    tf = (
+        base.select("bm_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin([t.lower() for t in terms]))
+        .groupBy("bm_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("bm_id")
+        .agg(F.round(F.sum(idf * tf_part), round_dp).alias("bm25"))
+        .select(F.col("bm_id").alias(id_col), "bm25")
+    )
+
+
+def ranked_topn(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str,
+    n: int,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Top-n of a scored list with a dense deterministic rank
+    (score desc, id asc).  ``limit`` before the rank window keeps the
+    window over <= n rows — the global window is bounded by
+    construction, never data-sized."""
+    top = scored.orderBy(F.col(score_col).desc(), F.col(id_col).asc()).limit(n)
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return top.withColumn(rank_name, F.row_number().over(w))
+
+
+def rrf_fuse(
+    channels: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of named rank lists.
+
+    Each channel DataFrame is ``(id_col, <name>_rank)`` (already top-N,
+    so every input is tiny).  ``rrf = sum_channels 1/(k + rank)`` with
+    absent channels contributing 0; output keeps each channel's rank
+    column (null where the doc missed that channel's top-N).
+    """
+    names = list(channels)
+    fused: DataFrame | None = None
+    for name in names:
+        ch = channels[name]
+        fused = ch if fused is None else fused.join(ch, id_col, "full_outer")
+    assert fused is not None, "rrf_fuse needs at least one channel"
+    contrib = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        for name in names
+    ]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    return fused.withColumn("rrf", F.round(total, round_dp))
+
+
+# ------------------------------------------------------------- MMR
+
+
+def shortlist_with_sims(
+    embeddings: DataFrame,
+    probe_lit: Column,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-n relevance shortlist plus its pairwise cosine rows.
+
+    Output: one row per ordered shortlist pair ``(id_a, rel_a, id_b,
+    sim)`` with ``id_a != id_b`` (plus a self row with null sim so a
+    1-row shortlist still yields input).  Both rel and sim are rounded
+    JVM-side — the greedy step downstream never recomputes a float
+    reduction, so the oracle replays it exactly.
+
+    Scale shape: the corpus-sized work is the top-n scan
+    (TakeOrderedAndProject); everything after operates on n rows / n^2
+    pairs with n a fixed constant.
+    """
+    scored = embeddings.select(
+        F.col(id_col).alias("sid"),
+        F.col(vec_col).alias("svec"),
+        F.round(cosine_similarity(F.col(vec_col), probe_lit), round_dp).alias("rel"),
+    )
+    short = scored.orderBy(F.col("rel").desc(), F.col("sid").asc()).limit(n)
+    a = short.select(
+        F.col("sid").alias("id_a"), F.col("rel").alias("rel_a"), F.col("svec").alias("vec_a")
+    )
+    bside = short.select(F.col("sid").alias("id_b"), F.col("svec").alias("vec_b"))
+    pairs = (
+        a.join(bside, F.col("id_a") != F.col("id_b"), "left")
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), round_dp)
+        )
+        .select("id_a", "rel_a", "id_b", "sim")
+    )
+    return pairs
+
+
+_MMR_SCHEMA = T.StructType(
+    [
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("rel", T.DoubleType()),
+        T.StructField("mmr", T.DoubleType()),
+    ]
+)
+
+
+def mmr_rerank(
+    pairs: DataFrame,
+    lam: float = 0.7,
+    k: int = 8,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection over a shortlist.
+
+    ``mmr(c) = lam * rel(c) - (1 - lam) * max_{s in S} sim(c, s)``;
+    iteratively pick the argmax (ties -> lowest id), k rounds.  The
+    first pick has no selected set: its penalty term is 0.
+
+    The greedy loop is Python, but on ALREADY-ROUNDED doubles produced
+    JVM-side, and its own arithmetic (two multiplies, one subtract) is
+    bit-deterministic IEEE — so a SQL oracle evaluating the same
+    expressions on the same inputs picks the same argmax chain.  The
+    returned ``mmr`` column is rounded by the CALLER in Spark
+    (``F.round``) rather than in Python: Python ``round`` is
+    half-to-even while Spark/DuckDB round half-away — rounding JVM-side
+    keeps the cross-engine contract in one place.
+    """
+    lam = float(lam)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = {}
+        sim = {}
+        for row in pdf.itertuples(index=False):
+            rel[row.id_a] = row.rel_a
+            if row.id_b is not None and not pd.isna(row.id_b):
+                sim[(row.id_a, int(row.id_b))] = row.sim
+        selected: list[int] = []
+        out = []
+        remaining = sorted(rel)
+        for step in range(1, min(k, len(remaining) + len(selected)) + 1):
+            best_id = None
+            best_m = None
+            for c in remaining:
+                pen = 0.0
+                if selected:
+                    pen = max(sim.get((c, s), 0.0) for s in selected)
+                m = lam * rel[c] - (1.0 - lam) * pen
+                if best_id is None or m > best_m or (m == best_m and c < best_id):
+                    best_id, best_m = c, m
+            if best_id is None:
+                break
+            out.append((step, best_id, rel[best_id], best_m))
+            selected.append(best_id)
+            remaining.remove(best_id)
+        return pd.DataFrame(out, columns=["rank", "vec_id", "rel", "mmr"])
+
+    one = pairs.withColumn("g", F.lit(1))
+    picked = one.groupBy("g").applyInPandas(
+        lambda _, pdf: _greedy(pdf), schema=_MMR_SCHEMA
+    )
+    return picked.withColumn("mmr", F.round("mmr", 6))

@@ -480,3 +480,79 @@ def lsh_topk_multiprobe(
         .filter(F.col("rank") <= k)
         .select(probe_id_col, id_col, "score", "rank")
     )
+
+
+# ---------------------------------------------------- product quantization
+
+def pq_codebooks(
+    dim: int, m: int = 4, ksub: int = 16, seed_base: int = 2000
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: ``m`` subspaces x ``ksub`` centroids
+    of ``dim // m`` components each, md5-derived (the same generator as
+    :func:`_hyperplane`, at a disjoint seed range).
+
+    Like :func:`q_ann_ivf_assign`'s literal centroids, these pin the
+    closed-form MECHANICS of product quantization — subvector argmin
+    assignment, code storage, ADC lookup scoring — cross-engine; a
+    production deployment would train each sub-codebook with the same
+    seeded-Lloyd path :func:`ivf_train` already demonstrates (training
+    is float-iterative and therefore stays engine-side, exactly the
+    IVF story).
+    """
+    dsub = dim // m
+    return [
+        [_hyperplane(dsub, seed_base + s * ksub + j) for j in range(ksub)]
+        for s in range(m)
+    ]
+
+
+def pq_code(
+    vec: Column, codebook: list[list[float]], offset: int, round_dp: int = 6
+) -> Column:
+    """Code (centroid index) of one subvector against one sub-codebook.
+
+    Squared-L2 expanded as ``x.x - 2 x.c + c.c`` with ``c.c`` folded to
+    a Python literal — the SAME sequential-dot algebra the DuckDB
+    oracle evaluates (`list_dot_product`), so rounded distances are
+    bit-comparable and the argmin (first-wins tie-break via
+    array_position) picks the same code in both engines.  Narrow array
+    expression: no shuffle, no Python — assignment rides the scan, so
+    encoding a 100 TB corpus is one map stage.
+    """
+    from vector_db_ingestor_spark.functions.vector import dot
+
+    dsub = len(codebook[0])
+    sub = F.slice(vec.cast("array<double>"), offset + 1, dsub)
+    xx = dot(sub, sub)
+    dists = F.array(
+        *[
+            F.round(
+                xx
+                - F.lit(2.0) * dot(sub, F.lit([float(x) for x in c]))
+                + F.lit(float(sum(x * x for x in c))),
+                round_dp,
+            )
+            for c in codebook
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_adc_tables(
+    probe: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Per-subspace ADC lookup tables: ``t[s][j] = <probe_sub_s, c_sj>``
+    computed driver-side in Python and embedded as literals in BOTH
+    engines' plans — scoring a code is then m array lookups + m-1 adds,
+    no per-row dot products at all.  This is the whole point of PQ at
+    scale: the scan touches only the (m x 1 byte-ish) code columns,
+    never the raw vectors."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    out = []
+    for s in range(m):
+        subq = probe[s * dsub : (s + 1) * dsub]
+        out.append(
+            [float(sum(q * x for q, x in zip(subq, c))) for c in codebooks[s]]
+        )
+    return out

@@ -18,7 +18,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from vector_db_ingestor_spark.constants import PROBE_64, probe_sql_literal
+from vector_db_ingestor_spark.constants import (
+    EMBEDDING_DIM,
+    PROBE_64,
+    probe_sql_literal,
+)
 from vector_db_ingestor_spark.operators import text_analysis as ta
 from vector_db_ingestor_spark.operators.chunker import chunk_documents
 from vector_db_ingestor_spark.operators.context import assemble_context
@@ -4689,4 +4693,283 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sample_weight"),
         )
         .orderBy("source")
+    )
+
+
+# =====================================================================
+# round-5 additions: hybrid retrieval suite (BM25+RRF, MMR, PQ-ADC)
+# =====================================================================
+
+_BM25_TERMS = ["vector", "query", "hash"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql(terms: list[str], k1: float, b: float) -> str:
+    """DuckDB mirror of operators.retrieval.bm25_scores, constant-for-
+    constant (Python-computed literals rendered with repr so both
+    engines consume identical doubles)."""
+    term_list = ", ".join(f"'{t.lower()}'" for t in terms)
+    return f"""
+    base AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl
+        FROM base
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+        WHERE term IN ({term_list})
+        GROUP BY doc_id, dl, term
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bm AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * {k1 + 1.0!r})
+                   / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )"""
+
+
+def _hybrid_oracle(n: int = 20, k: int = 10, k_rrf: int = 60) -> str:
+    return f"""
+    WITH {_bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B)},
+    bm_top AS (
+        SELECT doc_id, CAST(rnk AS INTEGER) AS bm25_rank FROM (
+            SELECT doc_id, bm25,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+            FROM bm
+        ) WHERE rnk <= {n}
+    ),
+    dense AS (SELECT vec_id AS doc_id, {_SCORE_SQL} AS score FROM embeddings),
+    dense_top AS (
+        SELECT doc_id, CAST(rnk AS INTEGER) AS dense_rank FROM (
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+            FROM dense
+        ) WHERE rnk <= {n}
+    ),
+    fused AS (
+        SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+               d.dense_rank, s.bm25_rank,
+               round(coalesce(1.0 / ({float(k_rrf)!r} + d.dense_rank), 0.0)
+                     + coalesce(1.0 / ({float(k_rrf)!r} + s.bm25_rank), 0.0),
+                     6) AS rrf
+        FROM dense_top d FULL OUTER JOIN bm_top s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, dense_rank, bm25_rank, rrf, CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rnk
+        FROM fused
+    ) WHERE rnk <= {k}
+    """
+
+
+@query("q_hybrid_rrf", oracle=_hybrid_oracle())
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: dense cosine top-20 + BM25 keyword top-20,
+    fused with reciprocal-rank fusion (k=60), final top-10.  The
+    production shape of "vector store + keyword channel" retrieval the
+    reference's dense-only search (src/PDFToChromaIngester.py:225-235)
+    sits inside.  Scale: each channel's corpus-sized work is one scan
+    (dense: TakeOrderedAndProject heap top-n; BM25: partial-agg'd token
+    explode filtered to query terms pre-shuffle); fusion joins two
+    20-row lists — driver-light at any corpus size."""
+    from vector_db_ingestor_spark.functions.vector import cosine_similarity
+    from vector_db_ingestor_spark.operators.retrieval import (
+        bm25_scores,
+        ranked_topn,
+        rrf_fuse,
+    )
+    from vector_db_ingestor_spark.operators.topk import probe_literal
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            cosine_similarity(F.col("embedding"), probe_literal(PROBE_64)), 6
+        ).alias("score"),
+    )
+    dense_top = ranked_topn(dense, "score", "doc_id", 20).select(
+        "doc_id", F.col("rank").alias("dense_rank")
+    )
+    bm = bm25_scores(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+    bm_top = ranked_topn(bm, "bm25", "doc_id", 20).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    fused = rrf_fuse({"dense": dense_top, "bm25": bm_top}, id_col="doc_id")
+    return ranked_topn(fused, "rrf", "doc_id", 10).select(
+        "doc_id", "dense_rank", "bm25_rank", "rrf", "rank"
+    )
+
+
+def _mmr_oracle(n: int = 20, k: int = 8, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR as k CTE stages (argmax via ORDER BY/LIMIT 1
+    per stage — plain SQL, no recursive aggregation).  Selection orders
+    on the RAW mmr double (identical IEEE ops on identical rounded
+    inputs in both engines); only the output column is rounded."""
+    cos = (
+        "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+    )
+    parts = [
+        f"""short AS MATERIALIZED (
+        SELECT vec_id, embedding, {_SCORE_SQL} AS rel
+        FROM embeddings
+        ORDER BY rel DESC, vec_id ASC
+        LIMIT {n}
+    ),
+    sims AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS sim
+        FROM short a JOIN short b ON a.vec_id <> b.vec_id
+    ),
+    p1 AS MATERIALIZED (
+        SELECT 1 AS rank, vec_id, rel, {lam!r} * rel - {1.0 - lam!r} * 0.0 AS mmr
+        FROM short ORDER BY mmr DESC, vec_id ASC LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT vec_id FROM p1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+        SELECT {i} AS rank, s.vec_id, s.rel,
+               {lam!r} * s.rel - {1.0 - lam!r} * (
+                   SELECT max(sim) FROM sims
+                   WHERE id_a = s.vec_id
+                     AND id_b IN (SELECT vec_id FROM sel{i - 1})
+               ) AS mmr
+        FROM short s
+        WHERE s.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        ORDER BY mmr DESC, s.vec_id ASC LIMIT 1
+    ),
+    sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM p{i})"""
+        )
+    union = "\n        UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, k + 1))
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel, round(mmr, 6) AS mmr
+    FROM ({union})
+    """
+    )
+
+
+@query("q_topk_mmr", oracle=_mmr_oracle())
+def q_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking: exact top-20 relevance shortlist,
+    then greedy maximal-marginal-relevance selection of 8 (lambda=0.7)
+    — the diversity pass RAG stacks run between retrieval and context
+    assembly (reference's assembly: src/PDFToChromaIngester.py:250-287).
+    Corpus-sized work is ONE TakeOrdered scan; the k-step greedy runs
+    on the fixed-size shortlist's JVM-computed pairwise cosines inside
+    a single applyInPandas task, so Python never reduces floats — the
+    unrolled-SQL oracle replays the identical argmax chain."""
+    from vector_db_ingestor_spark.operators.retrieval import (
+        mmr_rerank,
+        shortlist_with_sims,
+    )
+    from vector_db_ingestor_spark.operators.topk import probe_literal
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = shortlist_with_sims(emb, probe_literal(PROBE_64), n=20)
+    return mmr_rerank(pairs, lam=0.7, k=8)
+
+
+def _pq_oracle(m: int = 4, ksub: int = 16, k: int = 10) -> str:
+    from vector_db_ingestor_spark.operators.similarity import (
+        pq_adc_tables,
+        pq_codebooks,
+    )
+
+    dsub = EMBEDDING_DIM // m
+    cbs = pq_codebooks(EMBEDDING_DIM, m, ksub)
+    tabs = pq_adc_tables(PROBE_64, cbs)
+
+    def lst(v: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+    sub_cols = ", ".join(
+        f"list_slice(embedding::DOUBLE[], {s * dsub + 1}, {(s + 1) * dsub}) AS s{s}"
+        for s in range(m)
+    )
+    dist_cols = []
+    for s in range(m):
+        cents = ", ".join(
+            f"round(list_dot_product(s{s}, s{s})"
+            f" - 2.0 * list_dot_product(s{s}, {lst(c)})"
+            f" + {sum(x * x for x in c)!r}, 6)"
+            for c in cbs[s]
+        )
+        dist_cols.append(f"[{cents}] AS d{s}")
+    code_cols = ", ".join(
+        f"CAST(list_position(d{s}, list_min(d{s})) - 1 AS INTEGER) AS c{s}"
+        for s in range(m)
+    )
+    adc = " + ".join(f"{lst(tabs[s])[:-10]}[c{s} + 1]" for s in range(m))
+    code_names = ", ".join(f"c{s}" for s in range(m))
+    return f"""
+    WITH sub AS (SELECT vec_id, {sub_cols} FROM embeddings),
+    dists AS (SELECT vec_id, {", ".join(dist_cols)} FROM sub),
+    codes AS (SELECT vec_id, {code_cols} FROM dists),
+    scored AS (
+        SELECT vec_id, {code_names}, round({adc}, 6) AS adc FROM codes
+    )
+    SELECT vec_id, {code_names}, adc,
+           vec_id IN (SELECT vec_id FROM scored
+                      ORDER BY adc DESC, vec_id ASC LIMIT {k}) AS in_topk
+    FROM scored
+    """
+
+
+@query("q_vec_pq_adc", oracle=_pq_oracle())
+def q_vec_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode + asymmetric-distance (ADC) scoring:
+    4 subspaces x 16 centroids, per-subvector argmin L2 code (rounded
+    distances, first-wins ties), probe scored via Python-precomputed
+    lookup-table literals — m array lookups + m-1 adds per row, the PQ
+    scan shape that never touches raw vectors at query time.  Literal
+    md5-derived codebooks make every stage closed-form and hash-checked
+    cross-engine (codebook TRAINING is the same engine-side seeded-
+    Lloyd path the IVF family already demonstrates — q_ann_ivf_assign's
+    contract, applied to PQ).  in_topk marks the ADC top-10
+    (TakeOrdered + broadcast join, no global window)."""
+    from vector_db_ingestor_spark.operators.similarity import (
+        pq_adc_tables,
+        pq_code,
+        pq_codebooks,
+    )
+
+    m, ksub = 4, 16
+    dsub = EMBEDDING_DIM // m
+    cbs = pq_codebooks(EMBEDDING_DIM, m, ksub)
+    tabs = pq_adc_tables(PROBE_64, cbs)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    enc = emb.select(
+        "vec_id",
+        *[pq_code(vec, cbs[s], s * dsub).alias(f"c{s}") for s in range(m)],
+    )
+    adc = F.element_at(F.lit(tabs[0]), F.col("c0") + 1)
+    for s in range(1, m):
+        adc = adc + F.element_at(F.lit(tabs[s]), F.col(f"c{s}") + 1)
+    scored = enc.withColumn("adc", F.round(adc, 6))
+    top = (
+        scored.orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.lit(True).alias("__t"))
+    )
+    return (
+        scored.join(F.broadcast(top), "vec_id", "left")
+        .withColumn("in_topk", F.coalesce(F.col("__t"), F.lit(False)))
+        .drop("__t")
     )
