@@ -91,6 +91,9 @@ HEADLINE = [
     "q_text_boilerplate",
     "q_pack_sequences",
     "q_mixture_weights",
+    "q_hybrid_rrf",
+    "q_topk_mmr",
+    "q_vec_pq_adc",
 ]
 
 

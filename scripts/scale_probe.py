@@ -202,6 +202,42 @@ def round4_probes(
     }
 
 
+def round5_probes(
+    spark: SparkSession, sf_dir: str, factor: int
+) -> dict[str, DataFrame]:
+    """Probes for the round-5 retrieval suite.  BM25: the per-copy
+    alphabet rotation means the query terms match only copy 0, so
+    matching rows stay CONSTANT while the scanned token stream grows —
+    the probe times exactly the corpus-sized explode stage that
+    dominates at 100 TB.  PQ encode: the narrow per-row argmin
+    projection (the one map stage that encodes a 100 TB corpus) must
+    ride the scan linearly."""
+    from vector_db_ingestor_spark.operators.retrieval import bm25_scores
+    from vector_db_ingestor_spark.operators.similarity import (
+        pq_code,
+        pq_codebooks,
+    )
+
+    docs = replicate_docs(load_table(spark, sf_dir, "documents"), factor)
+    emb = replicate_embeddings(
+        load_table(spark, sf_dir, "embeddings"), factor, EMBEDDING_DIM
+    )
+    m, ksub = 4, 16
+    dsub = EMBEDDING_DIM // m
+    cbs = pq_codebooks(EMBEDDING_DIM, m, ksub)
+    enc = emb.select(
+        "vec_id",
+        *[
+            pq_code(F.col("embedding"), cbs[s], s * dsub).alias(f"c{s}")
+            for s in range(m)
+        ],
+    )
+    return {
+        "bm25_scores": bm25_scores(docs, ["vector", "query", "hash"]),
+        "pq_encode": enc,
+    }
+
+
 def probes(spark: SparkSession, sf_dir: str, factor: int) -> dict[str, DataFrame]:
     from vector_db_ingestor_spark.operators.dedup import (
         embedding_near_dups,
@@ -327,6 +363,15 @@ def main() -> None:
                 counts.setdefault(name, {})[factor] = df.count()  # + warm
             else:
                 df.write.format("noop").mode("overwrite").save()  # warm
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            results.setdefault(name, {})[factor] = statistics.median(ts)
+            print(f"x{factor:<3d} {name}: {results[name][factor]:.2f}s")
+        for name, df in round5_probes(spark, sf_dir, factor).items():
+            df.write.format("noop").mode("overwrite").save()  # warm
             ts = []
             for _ in range(reps):
                 t0 = time.perf_counter()

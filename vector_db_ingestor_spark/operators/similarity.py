@@ -511,29 +511,31 @@ def pq_code(
 ) -> Column:
     """Code (centroid index) of one subvector against one sub-codebook.
 
-    Squared-L2 expanded as ``x.x - 2 x.c + c.c`` with ``c.c`` folded to
-    a Python literal — the SAME sequential-dot algebra the DuckDB
-    oracle evaluates (`list_dot_product`), so rounded distances are
-    bit-comparable and the argmin (first-wins tie-break via
-    array_position) picks the same code in both engines.  Narrow array
-    expression: no shuffle, no Python — assignment rides the scan, so
-    encoding a 100 TB corpus is one map stage.
+    Argmin of the REDUCED squared-L2 ``d_j = -2 x.c_j + c_j.c_j`` (the
+    row-constant ``x.x`` term cannot change the argmin, so it is
+    dropped — the standard PQ trick; both engines round the same
+    reduced form, so parity holds by construction).  ``c_j.c_j`` is a
+    Python literal; the per-centroid dots run inside ONE ``transform``
+    over an array-of-centroids literal — the expression tree is O(1)
+    in ``ksub`` (one lambda, two literals), not O(ksub) separate
+    slice+fold trees, which is what keeps plan analysis and the
+    interpreted-HOF row cost flat as codebooks grow.  First-wins
+    tie-break via ``array_position``; same sequential-dot algebra as
+    DuckDB `list_dot_product`.  Narrow array expression: no shuffle,
+    no Python — assignment rides the scan, so encoding a 100 TB corpus
+    is one map stage.
     """
     from vector_db_ingestor_spark.functions.vector import dot
 
     dsub = len(codebook[0])
     sub = F.slice(vec.cast("array<double>"), offset + 1, dsub)
-    xx = dot(sub, sub)
-    dists = F.array(
-        *[
-            F.round(
-                xx
-                - F.lit(2.0) * dot(sub, F.lit([float(x) for x in c]))
-                + F.lit(float(sum(x * x for x in c))),
-                round_dp,
-            )
-            for c in codebook
-        ]
+    cents = F.lit([[float(x) for x in c] for c in codebook])
+    ccs = F.lit([float(sum(x * x for x in c)) for c in codebook])
+    dists = F.transform(
+        cents,
+        lambda c, i: F.round(
+            F.lit(-2.0) * dot(sub, c) + F.element_at(ccs, i + F.lit(1)), round_dp
+        ),
     )
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 

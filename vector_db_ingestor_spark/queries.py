@@ -4902,11 +4902,12 @@ def _pq_oracle(m: int = 4, ksub: int = 16, k: int = 10) -> str:
         f"list_slice(embedding::DOUBLE[], {s * dsub + 1}, {(s + 1) * dsub}) AS s{s}"
         for s in range(m)
     )
+    # reduced squared-L2 (row-constant x.x dropped — argmin-invariant;
+    # both engines round the same reduced form, see pq_code)
     dist_cols = []
     for s in range(m):
         cents = ", ".join(
-            f"round(list_dot_product(s{s}, s{s})"
-            f" - 2.0 * list_dot_product(s{s}, {lst(c)})"
+            f"round(-2.0 * list_dot_product(s{s}, {lst(c)})"
             f" + {sum(x * x for x in c)!r}, 6)"
             for c in cbs[s]
         )
@@ -4962,7 +4963,11 @@ def q_vec_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = F.element_at(F.lit(tabs[0]), F.col("c0") + 1)
     for s in range(1, m):
         adc = adc + F.element_at(F.lit(tabs[s]), F.col(f"c{s}") + 1)
-    scored = enc.withColumn("adc", F.round(adc, 6))
+    # materialize the codes once: both the top-10 heap and the output
+    # join consume the same encode (at deployment scale the codes are a
+    # persisted table built once, like the IVF index — re-encoding per
+    # consumer is the one shape PQ exists to avoid)
+    scored = enc.withColumn("adc", F.round(adc, 6)).localCheckpoint(eager=False)
     top = (
         scored.orderBy(F.col("adc").desc(), F.col("vec_id").asc())
         .limit(10)
