@@ -32,6 +32,11 @@ CASES = [
     # join-key null filter must not re-evaluate the kernel
     # (coalesce(fp, 0) — round-5 fix, operators/dedup.py)
     ("q_dedup_simhash", "fused_python"),
+    # round-5 retrieval suite: both channel shortlists are heap top-n;
+    # the MMR greedy is ONE FlatMapGroupsInPandas over the shortlist
+    ("q_hybrid_rrf", "take_ordered"),
+    ("q_topk_mmr", "take_ordered"),
+    ("q_vec_pq_adc", "take_ordered"),
 ]
 
 
