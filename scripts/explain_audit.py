@@ -134,9 +134,11 @@ AUDITS: dict[str, dict] = {
     # BM25's df table + corpus stats broadcast onto the partial-agg'd
     # tf stream; both channel shortlists are TakeOrdered heaps
     "q_hybrid_rrf": {"broadcast": True, "partial_agg": True, "top_k": True},
-    # one corpus-sized TakeOrdered scan; the greedy runs in ONE
-    # fused Arrow stage over the fixed-size shortlist pairs
-    "q_topk_mmr": {"top_k": True, "max_arrow": 1},
+    # the corpus-sized TakeOrdered scan runs ONCE inside the
+    # shortlist's localCheckpoint lineage (so it is absent from the
+    # final plan string); the observable guarantee is the greedy in
+    # ONE FlatMapGroupsInPandas stage over the shortlist pairs
+    "q_topk_mmr": {"max_arrow": 1},
     # encode is a narrow projection riding the scan; top-10 membership
     # joins a broadcast 10-row list — no global window, no extra shuffle
     "q_vec_pq_adc": {"broadcast": True, "top_k": True},
@@ -189,7 +191,11 @@ def audit(key: str, plan: str, exp: dict) -> list[tuple[str, bool, str]]:
         ok = "ReusedExchange" in plan
         out.append(("reused-exchange", ok, "one exchange feeds multiple consumers"))
     if "max_arrow" in exp:
-        n = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+        n = (
+            plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas")
+        )
         ok = n <= exp["max_arrow"]
         out.append((f"python-evals<={exp['max_arrow']}", ok, f"{n} Python eval node(s)"))
     if exp.get("partition_pruned"):

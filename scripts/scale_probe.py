@@ -217,6 +217,7 @@ def round5_probes(
         pq_code,
         pq_codebooks,
     )
+    from vector_db_ingestor_spark.queries import _BM25_TERMS
 
     docs = replicate_docs(load_table(spark, sf_dir, "documents"), factor)
     emb = replicate_embeddings(
@@ -233,7 +234,7 @@ def round5_probes(
         ],
     )
     return {
-        "bm25_scores": bm25_scores(docs, ["vector", "query", "hash"]),
+        "bm25_scores": bm25_scores(docs, _BM25_TERMS),
         "pq_encode": enc,
     }
 
@@ -329,7 +330,7 @@ def main() -> None:
     counts: dict[str, dict[int, int]] = {}
     rows_at: dict[int, int] = {}
     for factor in factors:
-        qs = probes(spark, sf_dir, factor)
+        qs = {**probes(spark, sf_dir, factor), **round5_probes(spark, sf_dir, factor)}
         rows_at[factor] = replicate_docs(
             load_table(spark, sf_dir, "documents"), factor
         ).count()
@@ -363,15 +364,6 @@ def main() -> None:
                 counts.setdefault(name, {})[factor] = df.count()  # + warm
             else:
                 df.write.format("noop").mode("overwrite").save()  # warm
-            ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                ts.append(time.perf_counter() - t0)
-            results.setdefault(name, {})[factor] = statistics.median(ts)
-            print(f"x{factor:<3d} {name}: {results[name][factor]:.2f}s")
-        for name, df in round5_probes(spark, sf_dir, factor).items():
-            df.write.format("noop").mode("overwrite").save()  # warm
             ts = []
             for _ in range(reps):
                 t0 = time.perf_counter()

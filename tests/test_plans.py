@@ -32,10 +32,12 @@ CASES = [
     # join-key null filter must not re-evaluate the kernel
     # (coalesce(fp, 0) — round-5 fix, operators/dedup.py)
     ("q_dedup_simhash", "fused_python"),
-    # round-5 retrieval suite: both channel shortlists are heap top-n;
-    # the MMR greedy is ONE FlatMapGroupsInPandas over the shortlist
+    # round-5 retrieval suite: both hybrid channel shortlists are heap
+    # top-n; the MMR greedy is ONE FlatMapGroupsInPandas over the
+    # checkpointed shortlist (its TakeOrdered scan runs once in the
+    # checkpoint lineage, outside the final plan string)
     ("q_hybrid_rrf", "take_ordered"),
-    ("q_topk_mmr", "take_ordered"),
+    ("q_topk_mmr", "fused_python"),
     ("q_vec_pq_adc", "take_ordered"),
 ]
 
@@ -60,7 +62,11 @@ def test_plan_shape(spark, key, shape):
     elif shape == "take_ordered":
         assert "TakeOrderedAndProject" in plan, plan
     elif shape == "fused_python":
-        n = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+        n = (
+            plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas")
+        )
         assert n <= 1, f"{n} python eval nodes in {key}"
     else:  # pragma: no cover
         raise AssertionError(f"unknown shape {shape}")

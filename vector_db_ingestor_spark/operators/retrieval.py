@@ -168,7 +168,15 @@ def shortlist_with_sims(
         F.col(vec_col).alias("svec"),
         F.round(cosine_similarity(F.col(vec_col), probe_lit), round_dp).alias("rel"),
     )
-    short = scored.orderBy(F.col("rel").desc(), F.col("sid").asc()).limit(n)
+    # materialize the n-row shortlist before the self-join: TakeOrdered
+    # is not an Exchange, so without this both join sides re-scan and
+    # re-score the full corpus — the one cost the design promises to
+    # pay once
+    short = (
+        scored.orderBy(F.col("rel").desc(), F.col("sid").asc())
+        .limit(n)
+        .localCheckpoint(eager=False)
+    )
     a = short.select(
         F.col("sid").alias("id_a"), F.col("rel").alias("rel_a"), F.col("svec").alias("vec_a")
     )
@@ -197,6 +205,7 @@ def mmr_rerank(
     pairs: DataFrame,
     lam: float = 0.7,
     k: int = 8,
+    round_dp: int = 6,
 ) -> DataFrame:
     """Maximal-marginal-relevance selection over a shortlist.
 
@@ -208,10 +217,9 @@ def mmr_rerank(
     JVM-side, and its own arithmetic (two multiplies, one subtract) is
     bit-deterministic IEEE — so a SQL oracle evaluating the same
     expressions on the same inputs picks the same argmax chain.  The
-    returned ``mmr`` column is rounded by the CALLER in Spark
-    (``F.round``) rather than in Python: Python ``round`` is
-    half-to-even while Spark/DuckDB round half-away — rounding JVM-side
-    keeps the cross-engine contract in one place.
+    output ``mmr`` column is rounded JVM-side AFTER the greedy (the
+    ``F.round`` on the last line), never in Python: Python ``round``
+    is half-to-even while Spark/DuckDB round half-away.
     """
     lam = float(lam)
 
@@ -225,7 +233,7 @@ def mmr_rerank(
         selected: list[int] = []
         out = []
         remaining = sorted(rel)
-        for step in range(1, min(k, len(remaining) + len(selected)) + 1):
+        for step in range(1, min(k, len(remaining)) + 1):
             best_id = None
             best_m = None
             for c in remaining:
@@ -246,4 +254,4 @@ def mmr_rerank(
     picked = one.groupBy("g").applyInPandas(
         lambda _, pdf: _greedy(pdf), schema=_MMR_SCHEMA
     )
-    return picked.withColumn("mmr", F.round("mmr", 6))
+    return picked.withColumn("mmr", F.round("mmr", round_dp))

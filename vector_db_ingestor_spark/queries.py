@@ -4895,8 +4895,11 @@ def _pq_oracle(m: int = 4, ksub: int = 16, k: int = 10) -> str:
     cbs = pq_codebooks(EMBEDDING_DIM, m, ksub)
     tabs = pq_adc_tables(PROBE_64, cbs)
 
+    def bare(v: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in v) + "]"
+
     def lst(v: list[float]) -> str:
-        return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+        return bare(v) + "::DOUBLE[]"
 
     sub_cols = ", ".join(
         f"list_slice(embedding::DOUBLE[], {s * dsub + 1}, {(s + 1) * dsub}) AS s{s}"
@@ -4916,7 +4919,7 @@ def _pq_oracle(m: int = 4, ksub: int = 16, k: int = 10) -> str:
         f"CAST(list_position(d{s}, list_min(d{s})) - 1 AS INTEGER) AS c{s}"
         for s in range(m)
     )
-    adc = " + ".join(f"{lst(tabs[s])[:-10]}[c{s} + 1]" for s in range(m))
+    adc = " + ".join(f"{bare(tabs[s])}[c{s} + 1]" for s in range(m))
     code_names = ", ".join(f"c{s}" for s in range(m))
     return f"""
     WITH sub AS (SELECT vec_id, {sub_cols} FROM embeddings),
