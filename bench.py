@@ -6,12 +6,13 @@ Prints ONE JSON line:
    "queries": {key: sec, ...}, "n": reps, "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full JVM-side
-materialization, no driver collect).  The suite runs
-$SPARK_GRAFT_BENCH_REPS times (default 3) and reports the per-query
+materialization, no driver collect).  Every query gets ONE untimed
+warm-up pass (absorbing codegen compilation, broadcast builds, and
+one-time index builds like q_ann_ivf's), then runs
+$SPARK_GRAFT_BENCH_REPS times (default 5) and reports the per-query
 MEDIAN — single-shot local timings swing 3-10x under driver contention
 (GC, compilation, page cache), so round-over-round comparisons need
-warm repeats to be signal.  The first rep also absorbs one-time index
-builds (q_ann_ivf), leaving the medians measuring the query path.
+warm repeats to be signal.
 The baseline context: the reference is a sequential single-threaded
 pipeline with no published numbers (BASELINE.md), so the bar is the
 driver's "within 2x of BASELINE at the same sf".

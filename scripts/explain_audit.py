@@ -343,8 +343,11 @@ def main() -> None:
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # pragma: no cover - audit-time visibility
-            lines.append(f"| {key} | global-window-bounded | FAIL | plan error: {exc} |")
-            lines.append(f"| {key} | python-eval-fanout | FAIL | plan error: {exc} |")
+            # exception text can hold newlines/pipes that would break
+            # the Markdown table exactly when the evidence matters
+            msg = " ".join(str(exc).split()).replace("|", "/")[:200]
+            lines.append(f"| {key} | global-window-bounded | FAIL | plan error: {msg} |")
+            lines.append(f"| {key} | python-eval-fanout | FAIL | plan error: {msg} |")
             failures += 1
             window_fails += 1
             fanout_fails += 1

@@ -315,6 +315,19 @@ def stage_probes(
     }
 
 
+def _time_median(df: DataFrame, reps: int) -> float:
+    """Warm once with the SAME action that is timed (a noop write —
+    count() warms a different physical plan and leaves the first timed
+    rep cold), then return the median of reps timed writes."""
+    df.write.format("noop").mode("overwrite").save()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -329,50 +342,30 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {}
     counts: dict[str, dict[int, int]] = {}
     rows_at: dict[int, int] = {}
-    for factor in factors:
-        qs = {**probes(spark, sf_dir, factor), **round5_probes(spark, sf_dir, factor)}
-        rows_at[factor] = replicate_docs(
-            load_table(spark, sf_dir, "documents"), factor
-        ).count()
-        for name, df in qs.items():
-            df.write.format("noop").mode("overwrite").save()  # warm
-            ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                ts.append(time.perf_counter() - t0)
-            results.setdefault(name, {})[factor] = statistics.median(ts)
-            print(f"x{factor:<3d} {name}: {results[name][factor]:.2f}s")
-        for name, df in stage_probes(spark, sf_dir, factor).items():
-            # the count doubles as the warm-up run, so each stage job
-            # executes reps+1 times total, not reps+2
-            counts.setdefault(name, {})[factor] = df.count()
-            ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                ts.append(time.perf_counter() - t0)
-            results.setdefault(name, {})[factor] = statistics.median(ts)
-            print(
-                f"x{factor:<3d} {name}: {results[name][factor]:.2f}s"
-                f" rows={counts[name][factor]}"
-            )
-        for name, df in round4_probes(
-            spark, sf_dir, factor, work_dir, ivf_rows
-        ).items():
-            if name in ("pack_sequences", "stream_join_attrib"):
-                counts.setdefault(name, {})[factor] = df.count()  # + warm
-            else:
-                df.write.format("noop").mode("overwrite").save()  # warm
-            ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                ts.append(time.perf_counter() - t0)
-            results.setdefault(name, {})[factor] = statistics.median(ts)
-            print(f"x{factor:<3d} {name}: {results[name][factor]:.2f}s")
-    spark.stop()
-    shutil.rmtree(work_dir, ignore_errors=True)
+    try:
+        for factor in factors:
+            rows_at[factor] = replicate_docs(
+                load_table(spark, sf_dir, "documents"), factor
+            ).count()
+            stage = stage_probes(spark, sf_dir, factor)
+            qs = {
+                **probes(spark, sf_dir, factor),
+                **round5_probes(spark, sf_dir, factor),
+                **stage,
+                **round4_probes(spark, sf_dir, factor, work_dir, ivf_rows),
+            }
+            for name, df in qs.items():
+                # candidate/output volume only for the stage-split keys —
+                # their rows-growth IS the evidence the split table reports
+                note = ""
+                if name in stage:
+                    counts.setdefault(name, {})[factor] = df.count()
+                    note = f" rows={counts[name][factor]}"
+                results.setdefault(name, {})[factor] = _time_median(df, reps)
+                print(f"x{factor:<3d} {name}: {results[name][factor]:.2f}s{note}")
+    finally:
+        spark.stop()
+        shutil.rmtree(work_dir, ignore_errors=True)
 
     lines = [
         "# SCALE_PROBE — operator scaling at 1x / 3x / 10x sf0.1",

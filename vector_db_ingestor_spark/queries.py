@@ -1386,10 +1386,12 @@ def _ivf_open(spark: SparkSession, sf_dir: str):
     index_path = os.path.join(
         repo_root, "spark-warehouse", f"ivf_index_{tag}_c8_i2_{fp}"
     )
-    # without a fingerprint the persisted marker proves nothing about
-    # freshness — rebuild unconditionally rather than serve stale
-    # assignments forever
-    if fp.startswith("nofp"):
+    # without a source fingerprint a PRE-EXISTING marker proves nothing
+    # about freshness, but the nofp path embeds this application's id —
+    # a complete index there was built by THIS session, so reuse it
+    # (a bench loop re-opens the index many times per session; one
+    # build, not one per call)
+    if fp.startswith("nofp") and not ivf_index_complete(spark, index_path):
         # session-unique paths would otherwise accumulate one
         # index-sized directory per application on a shared warehouse:
         # best-effort removal when THIS session exits (its own path
