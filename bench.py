@@ -42,7 +42,10 @@ HEADLINE = [
     "q_window_frame",
     "q_sort_limit",
     "q_dedup_exact",
-    "q_dedup_ngram",
+    # q_dedup_ngram (uncapped) is deliberately NOT headline: its
+    # lang-blocked pair volume is quadratic-within-block (the repo's
+    # own docs classify it verify-stage-only, operators/dedup.py) —
+    # the declared 100 TB paths are ngram_capped + minhash_verified
     "q_dedup_ngram_capped",
     "q_context_budget",
     "q_doc_stats",

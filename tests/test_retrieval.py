@@ -19,8 +19,18 @@ from vector_db_ingestor_spark.operators.similarity import (
 )
 
 
+def _r6(x: float) -> float:
+    """Round half-away-from-zero at 6dp (Spark/DuckDB `round`, not
+    Python's banker's rounding)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
 def _bm25_ref(corpus, terms, k1=1.2, b=0.75):
-    """Row-at-a-time reference implementation."""
+    """Row-at-a-time reference implementation.  Each term contribution
+    is rounded at 6dp before the sum, mirroring bm25_scores' order-
+    insensitive reduction."""
     toks = {d: t.lower().strip().split() for d, t in corpus}
     n = float(len(toks))
     avgdl = sum(len(v) for v in toks.values()) / n
@@ -31,16 +41,20 @@ def _bm25_ref(corpus, terms, k1=1.2, b=0.75):
     out = {}
     for d, v in toks.items():
         s = 0.0
+        matched = False
         for t in terms:
             tf = v.count(t)
             if tf == 0 or df[t] == 0:
                 continue
+            matched = True
             idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
-            s += idf * (tf * (k1 + 1.0)) / (
-                tf + k1 * (1.0 - b + b * len(v) / avgdl)
+            s += _r6(
+                idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * len(v) / avgdl)
+                )
             )
-        if s > 0:
-            out[d] = round(s, 6)
+        if matched:
+            out[d] = _r6(s)
     return out
 
 

@@ -60,6 +60,11 @@ def bm25_scores(
     matching tokens), one tiny hash agg for df (broadcast back), one
     1-row corpus-stats agg (broadcast cross join).  At 100 TB the only
     data-sized movement is the per-(doc, query-term) tf exchange.
+
+    Each term's contribution is rounded to ``round_dp`` BEFORE the
+    per-doc sum (and again after): cross-engine oracles sum in their
+    own partial-agg order, and pre-rounding the <=len(terms) addends
+    keeps a score landing on a rounding boundary from hash-diverging.
     """
     base = docs.select(
         F.col(id_col).alias("bm_id"),
@@ -88,7 +93,7 @@ def bm25_scores(
         tf.join(F.broadcast(dfq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("bm_id")
-        .agg(F.round(F.sum(idf * tf_part), round_dp).alias("bm25"))
+        .agg(F.round(F.sum(F.round(idf * tf_part, round_dp)), round_dp).alias("bm25"))
         .select(F.col("bm_id").alias(id_col), "bm25")
     )
 
@@ -213,6 +218,12 @@ def mmr_rerank(
     iteratively pick the argmax (ties -> lowest id), k rounds.  The
     first pick has no selected set: its penalty term is 0.
 
+    Input contract: ``pairs`` must contain EVERY ordered (id_a, id_b)
+    pair of the shortlist (what :func:`shortlist_with_sims` emits) —
+    a missing pair raises ``KeyError`` rather than being silently
+    scored as similarity 0, which would diverge from the SQL oracle's
+    NULL-yielding ``max(sim)`` on the same gap.
+
     The greedy loop is Python, but on ALREADY-ROUNDED doubles produced
     JVM-side, and its own arithmetic (two multiplies, one subtract) is
     bit-deterministic IEEE — so a SQL oracle evaluating the same
@@ -239,7 +250,9 @@ def mmr_rerank(
             for c in remaining:
                 pen = 0.0
                 if selected:
-                    pen = max(sim.get((c, s), 0.0) for s in selected)
+                    # KeyError on a missing pair by design: see the
+                    # all-pairs input contract in the docstring
+                    pen = max(sim[(c, s)] for s in selected)
                 m = lam * rel[c] - (1.0 - lam) * pen
                 if best_id is None or m > best_m or (m == best_m and c < best_id):
                     best_id, best_m = c, m

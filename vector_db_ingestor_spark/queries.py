@@ -4730,11 +4730,11 @@ def _bm25_sql(terms: list[str], k1: float, b: float) -> str:
     dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     bm AS (
         SELECT tf.doc_id,
-               round(sum(
+               round(sum(round(
                    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                    * (tf * {k1 + 1.0!r})
                    / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))
-               ), 6) AS bm25
+               , 6)), 6) AS bm25
         FROM tf JOIN dfq USING (term) CROSS JOIN stats
         GROUP BY tf.doc_id
     )"""
