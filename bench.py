@@ -97,6 +97,7 @@ HEADLINE = [
     "q_mixture_weights",
     "q_hybrid_rrf",
     "q_topk_mmr",
+    "q_topk_mmr_batch",
     "q_vec_pq_adc",
 ]
 

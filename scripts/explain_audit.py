@@ -139,6 +139,8 @@ AUDITS: dict[str, dict] = {
     # final plan string); the observable guarantee is the greedy in
     # ONE FlatMapGroupsInPandas stage over the shortlist pairs
     "q_topk_mmr": {"max_arrow": 1},
+    # batched MMR: one grouped Arrow node re-ranks every query
+    "q_topk_mmr_batch": {"max_arrow": 1},
     # encode is a narrow projection riding the scan; top-10 membership
     # joins a broadcast 10-row list — no global window, no extra shuffle
     "q_vec_pq_adc": {"broadcast": True, "top_k": True},

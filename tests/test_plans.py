@@ -38,6 +38,8 @@ CASES = [
     # checkpoint lineage, outside the final plan string)
     ("q_hybrid_rrf", "take_ordered"),
     ("q_topk_mmr", "fused_python"),
+    # the whole 3-probe batch re-ranks through ONE grouped Arrow node
+    ("q_topk_mmr_batch", "fused_python"),
     ("q_vec_pq_adc", "take_ordered"),
 ]
 

@@ -138,6 +138,50 @@ def test_mmr_singleton_shortlist(spark):
     assert got[0]["vec_id"] == 7 and got[0]["rank"] == 1
 
 
+def test_mmr_missing_pair_raises(spark):
+    """A pairs input violating the all-pairs contract must fail loudly
+    (KeyError inside the greedy), never silently score the gap as 0 —
+    that would diverge from the SQL oracle's NULL-yielding max(sim)."""
+    pairs = spark.createDataFrame(
+        [(1, 0.9, 2, 0.5), (2, 0.8, None, None)],  # (2,1) pair missing
+        "id_a long, rel_a double, id_b long, sim double",
+    )
+    with pytest.raises(Exception, match="KeyError"):
+        mmr_rerank(pairs, lam=0.7, k=2).collect()
+
+
+def test_mmr_batch_matches_per_query_single(spark):
+    """Each query in a batch must get EXACTLY the ranking the
+    single-probe path produces on that query's shortlist alone."""
+    from vector_db_ingestor_spark.constants import PROBE_BATCH
+    from vector_db_ingestor_spark.operators.retrieval import (
+        mmr_rerank_batch,
+        shortlist_with_sims,
+        shortlist_with_sims_batch,
+    )
+    from vector_db_ingestor_spark.operators.topk import probe_literal
+    from vector_db_ingestor_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = spark.createDataFrame(
+        list(enumerate(PROBE_BATCH[:2])), "query_id INT, query_vec ARRAY<DOUBLE>"
+    )
+    batch = mmr_rerank_batch(
+        shortlist_with_sims_batch(emb, probes, n=10), lam=0.7, k=5
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["mmr"])
+        for r in batch.collect()
+    }
+    assert len(got) == 10
+    for qid, vec in enumerate(PROBE_BATCH[:2]):
+        single = mmr_rerank(
+            shortlist_with_sims(emb, probe_literal(vec), n=10), lam=0.7, k=5
+        )
+        for r in single.collect():
+            assert got[(qid, r["rank"])] == (r["vec_id"], r["mmr"]), (qid, r)
+
+
 def test_pq_code_exact_centroid_and_first_wins(spark):
     cbs = pq_codebooks(8, m=2, ksub=4)
     # vector whose first subvector IS codebook[0][2] and second IS

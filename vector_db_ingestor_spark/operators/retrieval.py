@@ -206,6 +206,40 @@ _MMR_SCHEMA = T.StructType(
 )
 
 
+def _greedy_mmr(pdf: pd.DataFrame, lam: float, k: int) -> pd.DataFrame:
+    """Greedy MMR argmax chain over one shortlist's pair rows (the
+    Arrow batch of :func:`mmr_rerank` / :func:`mmr_rerank_batch`).
+    Operates on ALREADY-ROUNDED doubles; performs no float reductions
+    of its own beyond the two-multiply-one-subtract mmr expression."""
+    rel: dict[int, float] = {}
+    sim: dict[tuple[int, int], float] = {}
+    for row in pdf.itertuples(index=False):
+        rel[row.id_a] = row.rel_a
+        if row.id_b is not None and not pd.isna(row.id_b):
+            sim[(row.id_a, int(row.id_b))] = row.sim
+    selected: list[int] = []
+    out = []
+    remaining = sorted(rel)
+    for step in range(1, min(k, len(remaining)) + 1):
+        best_id = None
+        best_m = None
+        for c in remaining:
+            pen = 0.0
+            if selected:
+                # KeyError on a missing pair by design: see the
+                # all-pairs input contract in mmr_rerank's docstring
+                pen = max(sim[(c, s)] for s in selected)
+            m = lam * rel[c] - (1.0 - lam) * pen
+            if best_id is None or m > best_m or (m == best_m and c < best_id):
+                best_id, best_m = c, m
+        if best_id is None:
+            break
+        out.append((step, best_id, rel[best_id], best_m))
+        selected.append(best_id)
+        remaining.remove(best_id)
+    return pd.DataFrame(out, columns=["rank", "vec_id", "rel", "mmr"])
+
+
 def mmr_rerank(
     pairs: DataFrame,
     lam: float = 0.7,
@@ -233,38 +267,94 @@ def mmr_rerank(
     is half-to-even while Spark/DuckDB round half-away.
     """
     lam = float(lam)
-
-    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        rel = {}
-        sim = {}
-        for row in pdf.itertuples(index=False):
-            rel[row.id_a] = row.rel_a
-            if row.id_b is not None and not pd.isna(row.id_b):
-                sim[(row.id_a, int(row.id_b))] = row.sim
-        selected: list[int] = []
-        out = []
-        remaining = sorted(rel)
-        for step in range(1, min(k, len(remaining)) + 1):
-            best_id = None
-            best_m = None
-            for c in remaining:
-                pen = 0.0
-                if selected:
-                    # KeyError on a missing pair by design: see the
-                    # all-pairs input contract in the docstring
-                    pen = max(sim[(c, s)] for s in selected)
-                m = lam * rel[c] - (1.0 - lam) * pen
-                if best_id is None or m > best_m or (m == best_m and c < best_id):
-                    best_id, best_m = c, m
-            if best_id is None:
-                break
-            out.append((step, best_id, rel[best_id], best_m))
-            selected.append(best_id)
-            remaining.remove(best_id)
-        return pd.DataFrame(out, columns=["rank", "vec_id", "rel", "mmr"])
-
     one = pairs.withColumn("g", F.lit(1))
     picked = one.groupBy("g").applyInPandas(
-        lambda _, pdf: _greedy(pdf), schema=_MMR_SCHEMA
+        lambda _, pdf: _greedy_mmr(pdf, lam, k), schema=_MMR_SCHEMA
     )
+    return picked.withColumn("mmr", F.round("mmr", round_dp))
+
+
+def shortlist_with_sims_batch(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    probe_vec_col: str = "query_vec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-query top-n shortlists plus pairwise cosine rows for a PROBE
+    BATCH, from ONE corpus scan (the batched twin of
+    :func:`shortlist_with_sims`).
+
+    The tiny probe set broadcasts onto the scan (`topk_cosine_batch`'s
+    shape: B queries cost ~1 scan, not B); per-query ranking is one
+    window shuffle on the probe id; the self-join for sims then touches
+    only B x n rows.  Output adds ``probe_id_col`` to the single-probe
+    pair schema.
+    """
+    scored = embeddings.crossJoin(F.broadcast(probes)).select(
+        F.col(probe_id_col).alias("qid"),
+        F.col(id_col).alias("sid"),
+        F.col(vec_col).alias("svec"),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(probe_vec_col)), round_dp
+        ).alias("rel"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("sid").asc())
+    short = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+        .localCheckpoint(eager=False)
+    )
+    a = short.select(
+        "qid",
+        F.col("sid").alias("id_a"),
+        F.col("rel").alias("rel_a"),
+        F.col("svec").alias("vec_a"),
+    )
+    bside = short.select(
+        F.col("qid").alias("qid_b"),
+        F.col("sid").alias("id_b"),
+        F.col("svec").alias("vec_b"),
+    )
+    return (
+        a.join(
+            bside,
+            (F.col("qid") == F.col("qid_b")) & (F.col("id_a") != F.col("id_b")),
+            "left",
+        )
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), round_dp)
+        )
+        .select(F.col("qid").alias(probe_id_col), "id_a", "rel_a", "id_b", "sim")
+    )
+
+
+def mmr_rerank_batch(
+    pairs: DataFrame,
+    lam: float = 0.7,
+    k: int = 8,
+    probe_id_col: str = "query_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Grouped MMR: every query in a probe batch re-ranks CONCURRENTLY
+    — ``groupBy(query_id).applyInPandas`` runs one greedy task per
+    query (one Arrow eval node in the plan), instead of serializing the
+    batch through :func:`mmr_rerank`'s single task.  Same per-query
+    semantics and all-pairs input contract as the single-probe form.
+    """
+    lam = float(lam)
+    schema = T.StructType(
+        [T.StructField(probe_id_col, T.IntegerType()), *_MMR_SCHEMA.fields]
+    )
+
+    def _per_query(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _greedy_mmr(pdf, lam, k)
+        out.insert(0, probe_id_col, key[0])
+        return out
+
+    picked = pairs.groupBy(probe_id_col).applyInPandas(_per_query, schema=schema)
     return picked.withColumn("mmr", F.round("mmr", round_dp))

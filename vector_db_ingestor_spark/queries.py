@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from vector_db_ingestor_spark.constants import (
     EMBEDDING_DIM,
     PROBE_64,
+    PROBE_BATCH,
     probe_sql_literal,
 )
 from vector_db_ingestor_spark.operators import text_analysis as ta
@@ -53,12 +54,20 @@ def query(name: str, oracle: str | None = None):
 
 
 _PROBE_SQL = probe_sql_literal()
-# cosine against the fixed probe, rendered exactly like functions/vector.py
-_SCORE_SQL = (
-    f"round(list_dot_product(embedding::DOUBLE[], {_PROBE_SQL})"
-    f" / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
-    f" * sqrt(list_dot_product({_PROBE_SQL}, {_PROBE_SQL}))), 6)"
-)
+
+
+def _score_sql_for(probe_lit: str) -> str:
+    """Cosine against a probe literal, rendered exactly like
+    functions/vector.py."""
+    return (
+        f"round(list_dot_product(embedding::DOUBLE[], {probe_lit})"
+        f" / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+        f" * sqrt(list_dot_product({probe_lit}, {probe_lit}))), 6)"
+    )
+
+
+# cosine against the fixed probe
+_SCORE_SQL = _score_sql_for(_PROBE_SQL)
 
 
 # =====================================================================
@@ -4813,55 +4822,66 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mmr_oracle(n: int = 20, k: int = 8, lam: float = 0.7) -> str:
+def _mmr_ctes(p: str, score_sql: str, n: int, k: int, lam: float) -> str:
     """Unrolled greedy MMR as k CTE stages (argmax via ORDER BY/LIMIT 1
-    per stage — plain SQL, no recursive aggregation).  Selection orders
-    on the RAW mmr double (identical IEEE ops on identical rounded
-    inputs in both engines); only the output column is rounded."""
+    per stage — plain SQL, no recursive aggregation), all names
+    prefixed with ``p`` so a probe batch can stack one chain per probe.
+    Selection orders on the RAW mmr double (identical IEEE ops on
+    identical rounded inputs in both engines); only the output column
+    is rounded."""
     cos = (
         "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
         " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
         " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
     )
     parts = [
-        f"""short AS MATERIALIZED (
-        SELECT vec_id, embedding, {_SCORE_SQL} AS rel
+        f"""{p}short AS MATERIALIZED (
+        SELECT vec_id, embedding, {score_sql} AS rel
         FROM embeddings
         ORDER BY rel DESC, vec_id ASC
         LIMIT {n}
     ),
-    sims AS MATERIALIZED (
+    {p}sims AS MATERIALIZED (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS sim
-        FROM short a JOIN short b ON a.vec_id <> b.vec_id
+        FROM {p}short a JOIN {p}short b ON a.vec_id <> b.vec_id
     ),
-    p1 AS MATERIALIZED (
+    {p}p1 AS MATERIALIZED (
         SELECT 1 AS rank, vec_id, rel, {lam!r} * rel - {1.0 - lam!r} * 0.0 AS mmr
-        FROM short ORDER BY mmr DESC, vec_id ASC LIMIT 1
+        FROM {p}short ORDER BY mmr DESC, vec_id ASC LIMIT 1
     ),
-    sel1 AS MATERIALIZED (SELECT vec_id FROM p1)"""
+    {p}sel1 AS MATERIALIZED (SELECT vec_id FROM {p}p1)"""
     ]
     for i in range(2, k + 1):
         parts.append(
-            f"""p{i} AS MATERIALIZED (
+            f"""{p}p{i} AS MATERIALIZED (
         SELECT {i} AS rank, s.vec_id, s.rel,
                {lam!r} * s.rel - {1.0 - lam!r} * (
-                   SELECT max(sim) FROM sims
+                   SELECT max(sim) FROM {p}sims
                    WHERE id_a = s.vec_id
-                     AND id_b IN (SELECT vec_id FROM sel{i - 1})
+                     AND id_b IN (SELECT vec_id FROM {p}sel{i - 1})
                ) AS mmr
-        FROM short s
-        WHERE s.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        FROM {p}short s
+        WHERE s.vec_id NOT IN (SELECT vec_id FROM {p}sel{i - 1})
         ORDER BY mmr DESC, s.vec_id ASC LIMIT 1
     ),
-    sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM p{i})"""
+    {p}sel{i} AS MATERIALIZED (SELECT vec_id FROM {p}sel{i - 1} UNION ALL SELECT vec_id FROM {p}p{i})"""
         )
-    union = "\n        UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, k + 1))
+    return ",\n    ".join(parts)
+
+
+def _mmr_union(p: str, k: int) -> str:
+    return "\n        UNION ALL ".join(
+        f"SELECT * FROM {p}p{i}" for i in range(1, k + 1)
+    )
+
+
+def _mmr_oracle(n: int = 20, k: int = 8, lam: float = 0.7) -> str:
     return (
         "\n    WITH "
-        + ",\n    ".join(parts)
+        + _mmr_ctes("", _SCORE_SQL, n, k, lam)
         + f"""
     SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel, round(mmr, 6) AS mmr
-    FROM ({union})
+    FROM ({_mmr_union("", k)})
     """
     )
 
@@ -4885,6 +4905,52 @@ def q_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = shortlist_with_sims(emb, probe_literal(PROBE_64), n=20)
     return mmr_rerank(pairs, lam=0.7, k=8)
+
+
+_MMR_BATCH_PROBES: list[tuple[int, list[float]]] = list(enumerate(PROBE_BATCH))
+
+
+def _mmr_batch_oracle(n: int = 20, k: int = 8, lam: float = 0.7) -> str:
+    """One unrolled greedy chain per probe (prefixed CTE names), final
+    UNION ALL tagged with query_id — the per-query semantics are
+    EXACTLY _mmr_oracle's, replayed once per probe."""
+    ctes, selects = [], []
+    for qid, vec in _MMR_BATCH_PROBES:
+        p = f"q{qid}_"
+        ctes.append(_mmr_ctes(p, _score_sql_for(probe_sql_literal(vec)), n, k, lam))
+        selects.append(
+            f"""SELECT {qid} AS query_id, CAST(rank AS INTEGER) AS rank,
+               vec_id, rel, round(mmr, 6) AS mmr
+        FROM ({_mmr_union(p, k)})"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@query("q_topk_mmr_batch", oracle=_mmr_batch_oracle())
+def q_topk_mmr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched MMR: the 3-probe batch (PROBE_BATCH, q_topk_batch's
+    query list) shortlisted from ONE broadcast-probe corpus scan, then
+    re-ranked CONCURRENTLY — groupBy(query_id).applyInPandas runs one
+    greedy task per query through a single Arrow eval node, the shape a
+    RAG serving batch needs (vs q_topk_mmr's one-task serial greedy).
+    Per-query results are hash-checked against one unrolled-CTE oracle
+    chain per probe."""
+    from vector_db_ingestor_spark.operators.retrieval import (
+        mmr_rerank_batch,
+        shortlist_with_sims_batch,
+    )
+
+    probes = spark.createDataFrame(
+        _MMR_BATCH_PROBES, schema="query_id INT, query_vec ARRAY<DOUBLE>"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = shortlist_with_sims_batch(emb, probes, n=20)
+    return mmr_rerank_batch(pairs, lam=0.7, k=8)
 
 
 def _pq_oracle(m: int = 4, ksub: int = 16, k: int = 10) -> str:
