@@ -99,6 +99,7 @@ HEADLINE = [
     "q_topk_mmr",
     "q_topk_mmr_batch",
     "q_vec_pq_adc",
+    "q_vec_pq_train",
 ]
 
 

@@ -144,6 +144,10 @@ AUDITS: dict[str, dict] = {
     # encode is a narrow projection riding the scan; top-10 membership
     # joins a broadcast 10-row list — no global window, no extra shuffle
     "q_vec_pq_adc": {"broadcast": True, "top_k": True},
+    # the returned plan is the final encode: a narrow argmin projection
+    # riding the scan (training's per-step jobs run at build time, like
+    # ivf_train — driver-held model state)
+    "q_vec_pq_train": {"max_exchange": 0},
 }
 
 

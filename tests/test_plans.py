@@ -41,6 +41,8 @@ CASES = [
     # the whole 3-probe batch re-ranks through ONE grouped Arrow node
     ("q_topk_mmr_batch", "fused_python"),
     ("q_vec_pq_adc", "take_ordered"),
+    # the final encode (post-training) is a projection riding the scan
+    ("q_vec_pq_train", "no_shuffle"),
 ]
 
 

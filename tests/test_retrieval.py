@@ -199,6 +199,71 @@ def test_pq_code_exact_centroid_and_first_wins(spark):
     assert row2["c"] == 0
 
 
+def test_pq_train_recovers_cluster_means(spark):
+    """Two well-separated clusters whose members use exact-quarter
+    offsets (binary-exact sums, so expected means are computable
+    exactly in Python): after 2 Lloyd steps the codebook must hold the
+    rounded cluster means and members must code consistently.  The
+    first two md5-ordered ids are planted one per cluster so the
+    seeded init provably covers both."""
+    import hashlib
+
+    from vector_db_ingestor_spark.operators.similarity import pq_train
+
+    ids = list(range(12))
+    order = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    in_a = {order[0]} | set(order[2::2])
+    base = {True: [1.0, 2.0, 3.0, 4.0], False: [-3.0, -1.0, -4.0, -2.0]}
+    vecs = {
+        i: [x + 0.25 * (i % 3) for x in base[i in in_a]] * 2 for i in ids
+    }
+    df = spark.createDataFrame(
+        [(i, vecs[i]) for i in ids], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    cbs = pq_train(df, dim=8, m=2, ksub=2, iters=2)
+    for s in range(2):
+        got = {tuple(c) for c in cbs[s]}
+        want = set()
+        for cluster in (True, False):
+            members = [i for i in ids if (i in in_a) == cluster]
+            want.add(
+                tuple(
+                    round(sum(vecs[i][s * 4 + d] for i in members) / len(members), 4)
+                    for d in range(4)
+                )
+            )
+        assert got == want, (s, got, want)
+    # members of one cluster share a code, clusters differ, and the
+    # duplicated per-subspace pattern codes identically in both
+    codes = df.select(
+        "vec_id",
+        pq_code(F.col("embedding"), cbs[0], 0).alias("c0"),
+        pq_code(F.col("embedding"), cbs[1], 4).alias("c1"),
+    ).collect()
+    by_cluster = {True: set(), False: set()}
+    for r in codes:
+        assert r["c0"] == r["c1"]
+        by_cluster[r["vec_id"] in in_a].add(r["c0"])
+    assert len(by_cluster[True]) == 1 and len(by_cluster[False]) == 1
+    assert by_cluster[True] != by_cluster[False]
+
+
+def test_pq_train_empty_clusters_keep_previous(spark):
+    """All-identical corpus with ksub=3: every vector codes to the
+    first centroid, so clusters 1 and 2 stay empty through both Lloyd
+    steps and must retain their init centroids (no NaN/None)."""
+    from vector_db_ingestor_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame(
+        [(i, [0.25, 0.5, -0.5, 1.0]) for i in range(4)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cbs = pq_train(df, dim=4, m=2, ksub=3, iters=2)
+    for s in range(2):
+        assert cbs[s][0] == cbs[s][1] == cbs[s][2]
+        assert all(x == round(x, 4) for x in cbs[s][0])
+
+
 def test_pq_adc_tables_are_subspace_dots():
     cbs = pq_codebooks(8, m=2, ksub=3)
     probe = [0.5] * 8

@@ -558,3 +558,91 @@ def pq_adc_tables(
             [float(sum(q * x for q, x in zip(subq, c))) for c in codebooks[s]]
         )
     return out
+
+
+def pq_train(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_dp: int = 4,
+    dist_dp: int = 6,
+) -> list[list[list[float]]]:
+    """Train PQ sub-codebooks with a CROSS-ENGINE-MIRRORABLE seeded
+    Lloyd — the training-time analogue of ``q_ann_ivf_assign``'s
+    literal-centroid contract: every float that enters the model is
+    rounded ENGINE-side, so an oracle can replay init, every Lloyd
+    step, and the final assignment from the same parquet.
+
+    * init — the ``ksub`` vectors with smallest ``md5(cast(id as
+      string))`` (tie: id): a deterministic pseudo-random sample both
+      engines order identically, components rounded to ``cent_dp``.
+    * each Lloyd step — assign every subvector with :func:`pq_code`'s
+      rounded reduced-L2 argmin (first-wins ties), then recompute each
+      centroid component as ``round(avg(x), cent_dp)`` INSIDE the
+      aggregation.  Rounding the model after every step squashes
+      engine-specific partial-sum order — the one float nondeterminism
+      Lloyd has (:func:`ivf_train` is the full-precision path when
+      training quality matters more than cross-engine replay).  Empty
+      clusters keep their previous centroid.  All ``m`` subspaces
+      aggregate in ONE explode + hash-agg pass per iteration (fan-out
+      ``m``, group key (subspace, code), m*ksub groups) — at 100 TB
+      each step is one map stage + one small agg, same as
+      :func:`ivf_train`'s.
+    * model state is driver-held (m x ksub x dsub rounded floats) and
+      re-enters each step as literals — the iterative plan never grows.
+    """
+    dsub = dim // m
+    v = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    init = (
+        v.orderBy(F.md5(F.col("__id").cast("string").cast("binary")), F.col("__id"))
+        .limit(ksub)
+        .select(F.transform("__v", lambda x: F.round(x, cent_dp)).alias("__v"))
+        .collect()
+    )
+    cbs = [
+        [[float(x) for x in r["__v"][s * dsub : (s + 1) * dsub]] for r in init]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    pq_code(
+                        F.col("__v"), cbs[s], s * dsub, round_dp=dist_dp
+                    ).alias("c"),
+                    F.slice("__v", s * dsub + 1, dsub).alias("sub"),
+                )
+                for s in range(m)
+            ]
+        )
+        rows = (
+            v.select(F.explode(entries).alias("e"))
+            .select(
+                F.col("e.s").alias("s"),
+                F.col("e.c").alias("c"),
+                F.col("e.sub").alias("sub"),
+            )
+            .groupBy("s", "c")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("sub")[i]), cent_dp).alias(f"a{i}")
+                    for i in range(dsub)
+                ]
+            )
+            .collect()
+        )
+        got = {
+            (r["s"], r["c"]): [float(r[f"a{i}"]) for i in range(dsub)] for r in rows
+        }
+        cbs = [
+            [got.get((s, j), cbs[s][j]) for j in range(ksub)] for s in range(m)
+        ]
+    return cbs
