@@ -150,6 +150,57 @@ def test_ivf_topk_batch_matches_single_probe(spark, tmp_path):
         assert by_q[qid] == single, f"query {qid}"
 
 
+def test_ivf_append_frozen_centroids(spark, tmp_path):
+    """Append path: new rows become searchable WITHOUT retraining,
+    partition pruning stays intact, the drift report accounts for
+    them, and an incomplete index is refused."""
+    from vector_db_ingestor_spark.constants import EMBEDDING_DIM, PROBE_64
+    from vector_db_ingestor_spark.operators import similarity as S
+    from vector_db_ingestor_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_idx")
+    S.ivf_write(emb, path, dim=EMBEDDING_DIM, n_centroids=4, iters=1)
+    n0 = spark.read.parquet(path).count()
+
+    # the appended batch contains the probe itself: post-append search
+    # MUST surface it at rank 1 (cosine 1.0 beats every fixture vector)
+    new = spark.createDataFrame(
+        [(10_000_000 + i, [float(x) for x in PROBE_64], 0) for i in range(3)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+    )
+    frozen = S.ivf_append(new, path)
+
+    indexed, centroids = S.ivf_read(spark, path)
+    assert centroids == frozen, "append must not move the model"
+    assert indexed.count() == n0 + 3
+    top = S.ivf_topk(indexed, centroids, PROBE_64, k=5, nprobe=2)
+    got = top.collect()
+    assert {r.vec_id for r in got[:3]} == {10_000_000, 10_000_001, 10_000_002}
+    assert got[0].score == 1.0
+    # the probed cid IN (...) must still land in PartitionFilters —
+    # appended files join existing cid= dirs, they don't flatten them
+    top.collect()
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cid" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], plan
+
+    drift = {r.cid: r for r in S.ivf_drift_report(indexed).collect()}
+    assert sum(r.n for r in drift.values()) == n0 + 3
+    new_cid = got[0].cid
+    assert drift[new_cid].n >= 3
+    assert abs(sum(r.share for r in drift.values()) - 1.0) < 1e-4
+    mean_n = (n0 + 3) / len(drift)
+    assert drift[new_cid].skew == pytest.approx(
+        drift[new_cid].n / mean_n, abs=1e-4
+    )
+
+    # refuse an incomplete index (marker missing)
+    with pytest.raises(ValueError, match="_INDEX_SUCCESS"):
+        S.ivf_append(new, str(tmp_path / "not_an_index"))
+
+
 def test_ivf_assign_rounding_is_production_faithful(spark):
     """The hash-checked companion key (q_ann_ivf_assign) argmaxes
     6dp-ROUNDED sims so DuckDB can mirror it; the production index

@@ -293,6 +293,79 @@ def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     return indexed, [list(r.cvec) for r in rows]
 
 
+def ivf_append(
+    new_embeddings: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """APPEND TIME: absorb a new batch into a prebuilt IVF index
+    WITHOUT retraining — the incremental-maintenance path the
+    reference gets from Chroma's add -> HNSW update
+    (``src/PDFToChromaIngester.py:189-193``).
+
+    Centroids stay FROZEN: new rows are assigned ``cid`` against the
+    persisted model (one scan-stage :func:`_assign_cid` projection)
+    and appended into their ``cid=`` partition directories.  Untouched
+    partitions' files are never rewritten, and the centroid sidecar is
+    unchanged, so query-time ``PartitionFilters`` pruning and every
+    existing shortlist stay valid — appends only ADD files to probed
+    partitions.  The model standing still while the data moves is the
+    cost of no retraining: watch :func:`ivf_drift_report` and rebuild
+    with :func:`ivf_write` when occupancy skew crosses your tolerance.
+    Refuses an incomplete index (no ``_INDEX_SUCCESS`` marker).
+    Returns the frozen centroids so callers can search immediately.
+    """
+    spark = new_embeddings.sparkSession
+    if not ivf_index_complete(spark, path):
+        raise ValueError(f"not a complete IVF index (no _INDEX_SUCCESS): {path}")
+    rows = spark.read.parquet(path + "/_centroids").orderBy("cid").collect()
+    centroids = [list(r.cvec) for r in rows]
+    # align the batch to the collection's exact schema: parquet appends
+    # with a wider type (e.g. array<double> into an array<float>
+    # collection) write fine but BREAK every subsequent read of the
+    # partition — a silently index-corrupting footgun
+    stored = [f for f in spark.read.parquet(path).schema.fields if f.name != "cid"]
+    batch_cols = set(new_embeddings.columns)
+    if batch_cols != {f.name for f in stored}:
+        raise ValueError(
+            f"append batch columns {sorted(batch_cols)} != index "
+            f"columns {sorted(f.name for f in stored)}"
+        )
+    aligned = new_embeddings.select(
+        *[F.col(f.name).cast(f.dataType) for f in stored]
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    (
+        aligned.withColumn("cid", _assign_cid(vec, centroids))
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    return centroids
+
+
+def ivf_drift_report(indexed: DataFrame) -> DataFrame:
+    """Per-centroid occupancy of a (possibly appended) IVF collection:
+    ``(cid, n, share, skew)`` with ``skew = n / mean(n)``.
+
+    A frozen-centroid index degrades as appends shift the data
+    distribution — a hot centroid makes every probe of that cid scan
+    ``skew``x the ideal row count.  Rule of thumb: retrain
+    (:func:`ivf_write`) when ``max(skew)`` exceeds ~4.  One small hash
+    agg over the cid column (partition-pruned scan reads no vectors).
+    """
+    counts = indexed.groupBy("cid").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("double").alias("__tot"), F.count("*").alias("__k")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n",
+        F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
+        F.round(F.col("n") * F.col("__k") / F.col("__tot"), 6).alias("skew"),
+    )
+
+
 def ivf_shortlist(
     centroids: list[list[float]], probe: list[float], nprobe: int
 ) -> list[int]:
