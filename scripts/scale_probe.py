@@ -81,9 +81,18 @@ def replicate_docs(df: DataFrame, factor: int) -> DataFrame:
     rotated = F.col("text")
     for k in range(factor - 1, 0, -1):
         rot = ALPHABET[k % 26:] + ALPHABET[: k % 26]
-        rotated = F.when(
-            F.col("__k") == k, F.translate(F.col("text"), ALPHABET, rot)
-        ).otherwise(rotated)
+        t = F.translate(F.col("text"), ALPHABET, rot)
+        if k >= 26:
+            # rotations repeat mod 26: without this, copy k is an EXACT
+            # clone of copy k-26 and cross-copy near-dup pairs reappear
+            # (the clone-pair quadratic the bijections exist to prevent
+            # — first seen as minhash candidates growing 11.6x for 3x
+            # data in the 30x deep probe).  Tagging every token with a
+            # copy-unique marker (U+00A7 appears in no fixture and in
+            # no rotation's image) keeps intra-copy gram equality exact
+            # while making cross-copy grams disjoint again.
+            t = F.regexp_replace(t, r"(\S+)", f"§{k}§$1")
+        rotated = F.when(F.col("__k") == k, t).otherwise(rotated)
     return out.withColumn("text", rotated).drop("__k")
 
 
@@ -315,6 +324,73 @@ def stage_probes(
     }
 
 
+def deep_probes(
+    spark: SparkSession, sf_dir: str, factor: int
+) -> dict[str, DataFrame]:
+    """The dedup families re-probed at a deeper factor (30x): one
+    decade (1x->10x) can hide a slow quadratic behind amortizing
+    constants, so the round-6 probe adds a second decade-ish step.
+    Linear-in-rows designs should show 30x/10x time ratios near 3."""
+    from vector_db_ingestor_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = stage_probes(spark, sf_dir, factor)
+    docs = replicate_docs(load_table(spark, sf_dir, "documents"), factor)
+    d["ngram_capped"] = ngram_jaccard_pairs(
+        docs, block_col="lang", n=2, threshold=0.2, max_df=5
+    )
+    return d
+
+
+def ngram_crossover(
+    spark: SparkSession,
+    sf_dir: str,
+    factors: tuple[int, ...] = (1, 3, 10, 30),
+    max_df: int = 5,
+) -> dict[int, tuple[int, int]]:
+    """Pair-join input volume for n-gram jaccard, uncapped vs
+    hot-gram-capped, under SHARED-VOCABULARY growth (copies keep the
+    original text verbatim, so corpus-wide gram document-frequencies
+    scale WITH the corpus — the realistic 100 TB regime; the main
+    probe's per-copy token rotation deliberately holds per-gram df
+    constant, which is exactly the regime where the uncapped quadratic
+    stays hidden).  Reported: sum over (block, gram) of C(df, 2) — the
+    rows the gram-sharing pair join must process, the quantity wall
+    time follows.  Computed analytically from one df-count aggregation
+    (no join is executed), so 30x is cheap to measure.  Under verbatim
+    growth every gram eventually exceeds the cap, so the capped column
+    collapsing toward 0 is expected (real corpora add new RARE grams as
+    they grow); the evidence is the uncapped column's ~factor^2 blowup.
+    """
+    from vector_db_ingestor_spark.operators.dedup import word_shingles
+
+    out: dict[int, tuple[int, int]] = {}
+    for f in factors:
+        docs = load_table(spark, sf_dir, "documents")
+        if f > 1:
+            docs = _replicated(docs, "doc_id", f).drop("__k")
+        toks = (
+            docs.select(
+                F.col("lang").alias("blk"),
+                F.explode(word_shingles(F.col("text"), 2)).alias("g"),
+            )
+            .groupBy("blk", F.xxhash64("g").alias("gram"))
+            .count()
+        )
+        pairs = F.col("count") * (F.col("count") - 1) / 2
+        row = toks.agg(
+            F.sum(pairs).alias("uncapped"),
+            F.sum(
+                F.when(F.col("count") <= max_df, pairs).otherwise(0.0)
+            ).alias("capped"),
+        ).collect()[0]
+        out[f] = (int(row["uncapped"]), int(row["capped"] or 0))
+        print(
+            f"x{f}: ngram pair-join rows uncapped={out[f][0]} "
+            f"capped(df<={max_df})={out[f][1]}"
+        )
+    return out
+
+
 def _time_median(df: DataFrame, reps: int) -> float:
     """Warm once with the SAME action that is timed (a noop write —
     count() warms a different physical plan and leaves the first timed
@@ -363,12 +439,21 @@ def main() -> None:
                     note = f" rows={counts[name][factor]}"
                 results.setdefault(name, {})[factor] = _time_median(df, reps)
                 print(f"x{factor:<3d} {name}: {results[name][factor]:.2f}s{note}")
+        # round-6 depth: second decade-ish step for the dedup families
+        deep_factor = 30
+        deep = deep_probes(spark, sf_dir, deep_factor)
+        for name, df in deep.items():
+            if name in ("minhash_cand", "minhash_full", "embed_cand", "embed_full"):
+                counts.setdefault(name, {})[deep_factor] = df.count()
+            results.setdefault(name, {})[deep_factor] = _time_median(df, reps)
+            print(f"x{deep_factor:<3d} {name}: {results[name][deep_factor]:.2f}s")
+        xover = ngram_crossover(spark, sf_dir)
     finally:
         spark.stop()
         shutil.rmtree(work_dir, ignore_errors=True)
 
     lines = [
-        "# SCALE_PROBE — operator scaling at 1x / 3x / 10x sf0.1",
+        "# SCALE_PROBE — operator scaling at 1x / 3x / 10x sf0.1 (+30x deep)",
         "",
         f"Corpus rows: {rows_at}",
         "Warm medians over noop sink; deterministic id-offset replication",
@@ -403,6 +488,54 @@ def main() -> None:
         lines.append(
             f"| {name} | {by_f[1]} | {by_f[3]} | {by_f[10]} | {r:.1f} |"
         )
+    deep_names = [n for n in results if 30 in results[n]]
+    if deep_names:
+        lines += [
+            "",
+            "## 30x deep probe — dedup families",
+            "",
+            "One decade can hide a slow quadratic behind amortizing",
+            "constants, so the dedup families re-run at 30x (3x the 10x",
+            "corpus).  Linear-in-rows designs show 30x/10x time ratios",
+            "near 3; candidate rows at 30x confirm volume, not constants,",
+            "drives the growth.",
+            "",
+            "| operator | 10x | 30x | 30x/10x (linear=3.0) | rows 30x | rows 30x/10x |",
+            "|---|---|---|---|---|---|",
+        ]
+        for name in deep_names:
+            by_f = results[name]
+            rows30 = counts.get(name, {}).get(30)
+            rows10 = counts.get(name, {}).get(10)
+            rr = f"{rows30 / rows10:.1f}" if rows30 and rows10 else "-"
+            lines.append(
+                f"| {name} | {by_f[10]:.2f}s | {by_f[30]:.2f}s "
+                f"| {by_f[30] / by_f[10]:.1f} | {rows30 if rows30 is not None else '-'} | {rr} |"
+            )
+    if xover:
+        base_u = max(xover[min(xover)][0], 1)
+        lines += [
+            "",
+            "## Uncapped vs capped n-gram pair-join volume (shared-vocabulary growth)",
+            "",
+            "Copies keep the text VERBATIM here, so per-gram document",
+            "frequency grows with the corpus — the realistic 100 TB regime",
+            "(the wall-time tables above use per-copy token rotation, which",
+            "holds df constant and is exactly where the uncapped quadratic",
+            "hides).  Reported: sum over (block, gram) of C(df, 2) — the",
+            "rows the gram-sharing pair join must process; ~factor^2 growth",
+            "in the uncapped column is the quadratic corner that disqualifies",
+            "q_dedup_ngram (uncapped) as a 100 TB path.  Under verbatim",
+            "growth every gram eventually crosses the cap, so the capped",
+            "column collapsing is expected (real corpora add new RARE grams);",
+            "the declared scale paths are ngram_capped + minhash_verified.",
+            "",
+            "| factor | uncapped join rows | vs 1x (linear=factor) | capped df<=5 join rows |",
+            "|---|---|---|---|",
+        ] + [
+            f"| {f}x | {u} | {u / base_u:.1f} | {c} |"
+            for f, (u, c) in sorted(xover.items())
+        ]
     b4 = results.get("ivf_topk_batch4", {})
     s1 = results.get("ivf_topk_single", {})
     if b4 and s1:
