@@ -14,7 +14,7 @@ HNSW; the scalable equivalents are:
   bucket (optionally multi-probe neighboring buckets).  Deterministic
   (hyperplanes from a closed-form formula), no model fitting, and the
   bucket join is a plain hash join — the 100 TB path.
-* **IVF (inverted file)** (:func:`ivf_build`, :func:`ivf_topk`) —
+* **IVF (inverted file)** (:func:`ivf_write`, :func:`ivf_topk`) —
   k-means-style centroids (a few fixed Lloyd iterations, deterministic
   seeded init from content hashes), vectors assigned to nearest
   centroid; probes search the ``nprobe`` nearest centroid lists.
@@ -217,27 +217,6 @@ def ivf_train(
     return centroids
 
 
-def ivf_build(
-    embeddings: DataFrame,
-    dim: int,
-    n_centroids: int = 16,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """Build an IVF index: (assignments, centroids) DataFrames."""
-    centroids = ivf_train(embeddings, dim, n_centroids, iters, id_col, vec_col)
-    assignments = embeddings.select(
-        F.col(id_col),
-        _assign_cid(F.col(vec_col).cast("array<double>"), centroids).alias("cid"),
-    )
-    spark = embeddings.sparkSession
-    cents = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], schema="cid INT, cvec ARRAY<DOUBLE>"
-    )
-    return assignments, cents
-
-
 def ivf_write(
     embeddings: DataFrame,
     path: str,
@@ -396,8 +375,7 @@ def ivf_topk(
     """QUERY TIME: approximate top-k for one probe over a prebuilt
     index — NO training, NO full-table pass.
 
-    ``indexed`` carries a ``cid`` column (from :func:`ivf_read` /
-    :func:`ivf_build`); ``centroids`` is the driver-held model.  The
+    ``indexed`` carries a ``cid`` column (from :func:`ivf_read`); ``centroids`` is the driver-held model.  The
     probe's centroid shortlist is computed driver-side (tiny), so the
     plan is a single scan with ``cid IN (...)`` +
     ``TakeOrderedAndProject``.  With the collection written
