@@ -100,6 +100,7 @@ HEADLINE = [
     "q_topk_mmr_batch",
     "q_vec_pq_adc",
     "q_vec_pq_train",
+    "q_ann_ivf_train",
 ]
 
 

@@ -148,6 +148,7 @@ AUDITS: dict[str, dict] = {
     # riding the scan (training's per-step jobs run at build time, like
     # ivf_train — driver-held model state)
     "q_vec_pq_train": {"max_exchange": 0},
+    "q_ann_ivf_train": {"max_exchange": 0},
 }
 
 

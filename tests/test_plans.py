@@ -43,6 +43,7 @@ CASES = [
     ("q_vec_pq_adc", "take_ordered"),
     # the final encode (post-training) is a projection riding the scan
     ("q_vec_pq_train", "no_shuffle"),
+    ("q_ann_ivf_train", "no_shuffle"),
 ]
 
 

@@ -5054,16 +5054,19 @@ def q_vec_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQT = {"m": 4, "ksub": 8, "iters": 2, "cent_dp": 4, "dist_dp": 6}
 
 
-def _pq_train_oracle(dim: int = 64) -> str:
+def _pq_train_ctes(
+    dim: int, m: int, ksub: int, iters: int, cent_dp: int, dist_dp: int
+) -> list[str]:
     """DuckDB replay of pq_train's ENTIRE seeded Lloyd: md5-ordered
     init, per-iteration assign (reduced-L2 argmin, rounded, first-wins
     via ORDER BY dist, j) and centroid recompute (per-component
     round(avg, cent_dp), empty clusters keep the previous centroid via
-    LEFT JOIN + COALESCE), then the final per-subspace code — so the
-    float-iterative TRAINING itself is hash-checked cross-engine, not
-    just assignment against pre-agreed literals."""
-    m, ksub, iters = _PQT["m"], _PQT["ksub"], _PQT["iters"]
-    cent_dp, dist_dp = _PQT["cent_dp"], _PQT["dist_dp"]
+    LEFT JOIN + COALESCE), then the final per-subspace code ``fin_s``
+    — so the float-iterative TRAINING itself is hash-checked
+    cross-engine, not just assignment against pre-agreed literals.
+    Returns the CTE list; callers assemble the final select
+    (:func:`_pq_train_oracle` for codes, :func:`_ivf_train_oracle` for
+    the m=1 cid + shortlist shape)."""
     dsub = dim // m
     dist = (
         f"round(-2.0 * list_dot_product(e.sub, cb.cvec)"
@@ -5123,6 +5126,12 @@ def _pq_train_oracle(dim: int = 64) -> str:
         ) WHERE rn = 1
     )"""
         )
+    return ctes
+
+
+def _pq_train_oracle(dim: int = 64) -> str:
+    m, ksub, iters = _PQT["m"], _PQT["ksub"], _PQT["iters"]
+    ctes = _pq_train_ctes(dim, m, ksub, iters, _PQT["cent_dp"], _PQT["dist_dp"])
     joins = " ".join(f"JOIN fin_{s} USING (vec_id)" for s in range(1, m))
     cols = ", ".join(f"c{s}" for s in range(m))
     return (
@@ -5169,3 +5178,79 @@ def q_vec_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(m)
         ],
     )
+
+
+_IVFT = {"ksub": 8, "iters": 2, "nprobe": 4, "cent_dp": 4, "dist_dp": 6}
+
+
+def _reduced_l2(probe: list[float], cent: list[float], dp: int) -> float:
+    """Driver-side reduced squared-L2 ``-2 p.c + c.c`` with the same
+    left-to-right reduction and rounding both engines use (Python sum
+    == sequential list_dot_product; probe/centroid doubles identical)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    v = -2.0 * sum(p * x for p, x in zip(probe, cent)) + sum(x * x for x in cent)
+    return float(Decimal(repr(v)).quantize(Decimal(f"1e-{dp}"), ROUND_HALF_UP))
+
+
+def _ivf_train_oracle(dim: int = 64) -> str:
+    """m=1 instance of the pq_train CTE replay plus the nprobe
+    shortlist over the TRAINED centroids: the whole IVF
+    train->assign->shortlist path re-derived by DuckDB from the
+    parquet.  L2 metric throughout (standard k-means Lloyd; the
+    cosine-metric production family keeps its q_ann_ivf_assign
+    companion)."""
+    ksub, iters, nprobe = _IVFT["ksub"], _IVFT["iters"], _IVFT["nprobe"]
+    ctes = _pq_train_ctes(dim, 1, ksub, iters, _IVFT["cent_dp"], _IVFT["dist_dp"])
+    ctes.append(
+        f"""short AS (
+        SELECT j FROM cb{iters}_0
+        ORDER BY round(-2.0 * list_dot_product(cvec, {_PROBE_SQL})
+                       + list_dot_product(cvec, cvec), {_IVFT["dist_dp"]}) ASC,
+                 j ASC
+        LIMIT {nprobe}
+    )"""
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT vec_id, c0 AS cid, c0 IN (SELECT j FROM short) AS in_shortlist
+    FROM fin_0
+    """
+    )
+
+
+@query("q_ann_ivf_train", oracle=_ivf_train_oracle())
+def q_ann_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF TRAINING hash-checked end-to-end: the mirrorable seeded
+    Lloyd (pq_train with m=1 — one 'subspace' spanning the full
+    vector), then cid assignment against the trained centroids and the
+    probe's nprobe=4 shortlist membership, all re-derived by the
+    oracle from the parquet.  Completes the IVF evidence ladder: the
+    production keys (q_ann_ivf/_batch, full-precision training) stay
+    rows-only by design, q_ann_ivf_assign pins assignment+shortlist
+    against literal centroids, and this key pins the TRAINING itself
+    in its rounded-mirrorable variant (L2 Lloyd, like q_vec_pq_train).
+    Scale: identical plan family to ivf_train — per-step narrow assign
+    + one ksub-group agg, driver-held model."""
+    from vector_db_ingestor_spark.operators.similarity import pq_code, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_train(
+        emb,
+        dim=EMBEDDING_DIM,
+        m=1,
+        ksub=_IVFT["ksub"],
+        iters=_IVFT["iters"],
+        cent_dp=_IVFT["cent_dp"],
+        dist_dp=_IVFT["dist_dp"],
+    )
+    cents = cbs[0]
+    dists = [(_reduced_l2(PROBE_64, c, _IVFT["dist_dp"]), j) for j, c in enumerate(cents)]
+    short = [j for _, j in sorted(dists)[: _IVFT["nprobe"]]]
+    vec = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        pq_code(vec, cents, 0, round_dp=_IVFT["dist_dp"]).alias("cid"),
+    ).withColumn("in_shortlist", F.col("cid").isin(short))
