@@ -1,6 +1,9 @@
-"""Property-based tests: BM25, MMR greedy, and PQ code assignment must
-agree with brute-force Python references on arbitrary inputs (ties,
-single-row shortlists, empty matches, duplicate centroids)."""
+"""Property-based tests: BM25, MMR greedy, PQ code assignment, and the
+mirrorable PQ/IVF Lloyd trainer must agree with brute-force Python
+references on arbitrary inputs (ties, single-row shortlists, empty
+matches, duplicate centroids, empty clusters).  The oracle gate proves
+Spark == DuckDB; these prove the shared algorithm is the INTENDED one,
+independent of both engines."""
 
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -125,3 +128,74 @@ def test_pq_code_matches_reference_argmin(spark, vec, dup_first_two):
         dists.append(_round_half_up(-2.0 * acc + sum(x * x for x in c)))
     want = dists.index(min(dists))
     assert got == want, (v, dists, got)
+
+
+def _pq_train_ref(rows, dim, m, ksub, iters, cent_dp=4, dist_dp=6):
+    """Pure-Python mirror of similarity.pq_train: md5-ordered init,
+    rounded reduced-L2 first-wins assignment, per-component rounded
+    means, empty clusters keep their previous centroid."""
+    import hashlib
+
+    dsub = dim // m
+    order = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    init = order[:ksub]
+    cbs = [
+        [[_round_half_up(v[s * dsub + i], cent_dp) for i in range(dsub)] for _, v in init]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        nxt = []
+        for s in range(m):
+            members: dict[int, list[list[float]]] = {}
+            for _id, v in rows:
+                sub = v[s * dsub : (s + 1) * dsub]
+                dists = [
+                    _round_half_up(
+                        -2.0 * sum(a * b for a, b in zip(sub, c))
+                        + sum(x * x for x in c),
+                        dist_dp,
+                    )
+                    for c in cbs[s]
+                ]
+                members.setdefault(dists.index(min(dists)), []).append(sub)
+            nxt.append(
+                [
+                    [
+                        _round_half_up(sum(sub[i] for sub in mem) / len(mem), cent_dp)
+                        for i in range(dsub)
+                    ]
+                    if (mem := members.get(j))
+                    else cbs[s][j]
+                    for j in range(ksub)
+                ]
+            )
+        cbs = nxt
+    return cbs
+
+
+quarter = st.integers(min_value=-8, max_value=8).map(lambda v: v / 4.0)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(quarter, min_size=4, max_size=4), min_size=2, max_size=8
+    ),
+    iters=st.integers(1, 2),
+)
+def test_pq_train_matches_python_reference(spark, vecs, iters):
+    """The mirrorable Lloyd trainer must reproduce a brute-force Python
+    Lloyd exactly.  Exact-quarter components keep every sum/dot exact
+    in binary, so the only rounding events are the deliberate
+    cent_dp/dist_dp ones — any mismatch is an algorithm bug, not float
+    noise.  Duplicate vectors exercise empty-cluster retention."""
+    from vector_db_ingestor_spark.operators.similarity import pq_train
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = pq_train(df, dim=4, m=2, ksub=2, iters=iters)
+    want = _pq_train_ref(rows, dim=4, m=2, ksub=2, iters=iters)
+    assert got == want, (vecs, iters, got, want)
