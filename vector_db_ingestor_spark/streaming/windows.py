@@ -290,33 +290,6 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_stateful_stream_demo(spark: SparkSession, events_dir: str) -> DataFrame:
-    """Drive the stateful running-totals operator over the fixture files
-    (update-mode memory sink keeps the latest emit per user)."""
-    stream = stream_events_from_parquet(spark, events_dir)
-    totals = stateful_running_totals(stream)
-    q = (
-        totals.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("stream_stateful_demo")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    # update mode appends one row per key per batch; keep the last emit
-    return spark.sql(
-        """
-        SELECT user_id, n_events, total_value FROM (
-            SELECT *, row_number() OVER (PARTITION BY user_id
-                ORDER BY n_events DESC) AS rn
-            FROM stream_stateful_demo
-        ) WHERE rn = 1
-        """
-    )
-
-
 def run_windowed_stream_demo(
     spark: SparkSession, events_dir: str, window: str = "1 hour"
 ) -> DataFrame:
