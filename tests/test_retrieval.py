@@ -271,3 +271,22 @@ def test_pq_adc_tables_are_subspace_dots():
     assert len(tabs) == 2 and all(len(t) == 3 for t in tabs)
     want = sum(0.5 * x for x in cbs[1][2])
     assert tabs[1][2] == pytest.approx(want, abs=1e-12)
+
+
+def test_mmr_batch_preserves_probe_id_type(spark):
+    """The applyInPandas output schema must mirror the caller's
+    query-id type — LONG and STRING ids round-trip unchanged instead
+    of being forced through IntegerType (round-6 advice, low)."""
+    from vector_db_ingestor_spark.operators.retrieval import mmr_rerank_batch
+
+    pairs = spark.createDataFrame(
+        [(5_000_000_000, 1, 0.9, 2, 0.5), (5_000_000_000, 2, 0.8, 1, 0.5)],
+        "query_id long, id_a long, rel_a double, id_b long, sim double",
+    )
+    got = mmr_rerank_batch(pairs, lam=0.7, k=2).collect()
+    assert {r["query_id"] for r in got} == {5_000_000_000}
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2]
+
+    spairs = pairs.withColumn("query_id", F.concat(F.lit("q"), F.col("query_id")))
+    sgot = mmr_rerank_batch(spairs, lam=0.7, k=2).collect()
+    assert {r["query_id"] for r in sgot} == {"q5000000000"}

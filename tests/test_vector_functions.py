@@ -239,3 +239,130 @@ def test_auto_n_bits_tracks_corpus_size():
     # doubling the corpus adds exactly one bit (bucket count doubles)
     for n in (10_000, 1_000_000):
         assert auto_n_bits(2 * n) == auto_n_bits(n) + 1
+
+
+def test_ivf_append_rejects_wrong_dimension(spark, tmp_path):
+    """A wrong-length vector must FAIL the append job at scan time,
+    not null-pad through zip_with into cid=__HIVE_DEFAULT_PARTITION__
+    where ivf_topk's cid IN (...) pruning can never see it while the
+    append reports success (round-6 advice, medium)."""
+    import os
+
+    from vector_db_ingestor_spark.constants import EMBEDDING_DIM
+    from vector_db_ingestor_spark.operators import similarity as S
+    from vector_db_ingestor_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_dim")
+    S.ivf_write(emb, path, dim=EMBEDDING_DIM, n_centroids=4, iters=1)
+    n0 = spark.read.parquet(path).count()
+    bad = spark.createDataFrame(
+        [(20_000_000, [1.0] * (EMBEDDING_DIM - 3), 0)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+    )
+    with pytest.raises(Exception, match="embedding dimension"):
+        S.ivf_append(bad, path)
+    # the failed job committed nothing: row count intact, no default
+    # (null-cid) partition directory materialized
+    assert spark.read.parquet(path).count() == n0
+    assert not any("HIVE_DEFAULT" in d for d in os.listdir(path))
+
+
+def test_ivf_drift_report_sees_empty_centroids(spark):
+    """Without the model size the mean divides by OBSERVED cids only,
+    so empty centroid partitions hide drift exactly when it is worst;
+    with n_centroids they surface as n=0 rows and skew uses the true
+    mean (round-6 advice, low)."""
+    from vector_db_ingestor_spark.operators import similarity as S
+
+    indexed = spark.createDataFrame(
+        [(i, 0) for i in range(12)] + [(100 + i, 1) for i in range(4)],
+        "vec_id LONG, cid INT",
+    )
+    naive = {r.cid: r for r in S.ivf_drift_report(indexed).collect()}
+    full = {r.cid: r for r in S.ivf_drift_report(indexed, n_centroids=8).collect()}
+    assert set(naive) == {0, 1} and set(full) == set(range(8))
+    assert all(full[c].n == 0 and full[c].skew == 0.0 for c in range(2, 8))
+    # 12 of 16 rows in one of 8 centroids: true skew 12/(16/8)=6.0,
+    # while the observed-groups mean (16/2) reports a calm-looking 1.5
+    assert naive[0].skew == pytest.approx(1.5)
+    assert full[0].skew == pytest.approx(6.0)
+    assert sum(r.share for r in full.values()) == pytest.approx(1.0)
+
+
+def test_ivf_maintenance_append_drift_retrain_recall(spark, tmp_path):
+    """The full maintenance cycle the reference gets implicitly from
+    Chroma's HNSW add (src/PDFToChromaIngester.py:189-193): append
+    skewed batches into a frozen-centroid index until the drift report
+    crosses the retrain threshold, retrain with ivf_write, and verify
+    (a) recall@10 vs exact top-k recovers to fresh-index level,
+    (b) partition pruning still holds post-retrain."""
+    import numpy as np
+
+    from vector_db_ingestor_spark.constants import EMBEDDING_DIM
+    from vector_db_ingestor_spark.operators import similarity as S
+    from vector_db_ingestor_spark.operators.topk import topk_cosine
+    from vector_db_ingestor_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_live")
+    S.ivf_write(emb, path, dim=EMBEDDING_DIM, n_centroids=8, iters=2)
+    _, cents = S.ivf_read(spark, path)
+    k_model = len(cents)
+
+    # straddle construction between the two most-similar centroids:
+    # the appended mass lands in cid_a while a probe in the same region
+    # shortlists cid_b first — frozen centroids cannot separate the new
+    # cluster from its neighbors, so nprobe=1 recall collapses until a
+    # retrain gives the mass its own centroid
+    C = np.array(cents)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    pair_sims = Cn @ Cn.T
+    np.fill_diagonal(pair_sims, -2.0)
+    ia, ib = np.unravel_index(np.argmax(pair_sims), pair_sims.shape)
+    mass = (0.58 * Cn[ia] + 0.42 * Cn[ib]).tolist()
+    probe = (0.42 * Cn[ia] + 0.58 * Cn[ib]).tolist()
+    assert S.ivf_shortlist(cents, mass, 1) != S.ivf_shortlist(cents, probe, 1)
+
+    def recall_at_10(idx_df, model, exact_src):
+        exact = {r.vec_id for r in topk_cosine(exact_src, probe, k=10).collect()}
+        approx = {
+            r.vec_id for r in S.ivf_topk(idx_df, model, probe, k=10, nprobe=1).collect()
+        }
+        return len(exact & approx) / 10
+
+    # append identical-direction batches until max(skew) > 4 on the
+    # TRUE mean (n_centroids passed — an understated report would keep
+    # this loop appending forever on a badly drifted index)
+    next_id = 30_000_000
+    for _ in range(6):
+        batch = spark.createDataFrame(
+            [(next_id + i, mass, 0) for i in range(150)],
+            "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+        )
+        S.ivf_append(batch, path)
+        next_id += 150
+        drifted, _ = S.ivf_read(spark, path)
+        report = S.ivf_drift_report(drifted, n_centroids=k_model)
+        if report.agg(F.max("skew")).collect()[0][0] > 4.0:
+            break
+    else:
+        pytest.fail("skew never crossed the retrain threshold")
+
+    drifted, frozen = S.ivf_read(spark, path)
+    full = drifted.drop("cid")
+    low = recall_at_10(drifted, frozen, full)
+
+    path2 = str(tmp_path / "ivf_retrained")
+    S.ivf_write(full, path2, dim=EMBEDDING_DIM, n_centroids=8, iters=2)
+    fresh, model2 = S.ivf_read(spark, path2)
+    high = recall_at_10(fresh, model2, full)
+
+    assert low <= 0.5 < high, (low, high)
+    assert high >= 0.9, (low, high)
+    top = S.ivf_topk(fresh, model2, probe, k=10, nprobe=1)
+    top.collect()
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cid" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], plan

@@ -347,8 +347,13 @@ def mmr_rerank_batch(
     semantics and all-pairs input contract as the single-probe form.
     """
     lam = float(lam)
+    # the probe-id field mirrors the caller's column type (long/string
+    # ids must round-trip through Arrow unchanged, not downcast to int)
     schema = T.StructType(
-        [T.StructField(probe_id_col, T.IntegerType()), *_MMR_SCHEMA.fields]
+        [
+            T.StructField(probe_id_col, pairs.schema[probe_id_col].dataType),
+            *_MMR_SCHEMA.fields,
+        ]
     )
 
     def _per_query(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -313,9 +313,22 @@ def ivf_append(
     aligned = new_embeddings.select(
         *[F.col(f.name).cast(f.dataType) for f in stored]
     )
+    # dimension guard: a wrong-length vector would null-pad through
+    # zip_with in _assign_cid, land in cid=__HIVE_DEFAULT_PARTITION__,
+    # and be silently unsearchable by ivf_topk's cid IN (...) pruning —
+    # fail the job at scan time instead of reporting a corrupt success
+    dim = len(centroids[0])
     vec = F.col(vec_col).cast("array<double>")
+    cid = F.when(F.size(F.col(vec_col)) == dim, _assign_cid(vec, centroids)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"ivf_append: embedding dimension != {dim}: got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
     (
-        aligned.withColumn("cid", _assign_cid(vec, centroids))
+        aligned.withColumn("cid", cid)
         .write.mode("append")
         .partitionBy("cid")
         .parquet(path)
@@ -323,7 +336,7 @@ def ivf_append(
     return centroids
 
 
-def ivf_drift_report(indexed: DataFrame) -> DataFrame:
+def ivf_drift_report(indexed: DataFrame, n_centroids: int | None = None) -> DataFrame:
     """Per-centroid occupancy of a (possibly appended) IVF collection:
     ``(cid, n, share, skew)`` with ``skew = n / mean(n)``.
 
@@ -332,8 +345,20 @@ def ivf_drift_report(indexed: DataFrame) -> DataFrame:
     ``skew``x the ideal row count.  Rule of thumb: retrain
     (:func:`ivf_write`) when ``max(skew)`` exceeds ~4.  One small hash
     agg over the cid column (partition-pruned scan reads no vectors).
+
+    Pass ``n_centroids`` (e.g. ``len(centroids)`` from
+    :func:`ivf_read`) so EMPTY centroids appear as ``n=0`` rows and the
+    mean divides by the model size, not the observed-group count —
+    otherwise skew is understated exactly when drift is worst (12 of 16
+    partitions empty looks ~4x calmer than it is).
     """
     counts = indexed.groupBy("cid").agg(F.count("*").alias("n"))
+    if n_centroids is not None:
+        spark = indexed.sparkSession
+        all_cids = spark.range(n_centroids).select(F.col("id").cast("int").alias("cid"))
+        counts = all_cids.join(F.broadcast(counts), "cid", "left").select(
+            "cid", F.coalesce("n", F.lit(0)).alias("n")
+        )
     tot = counts.agg(
         F.sum("n").cast("double").alias("__tot"), F.count("*").alias("__k")
     )

@@ -5144,7 +5144,7 @@ def _pq_train_oracle(dim: int = 64) -> str:
     )
 
 
-@query("q_vec_pq_train", oracle=_pq_train_oracle())
+@query("q_vec_pq_train", oracle=_pq_train_oracle(dim=EMBEDDING_DIM))
 def q_vec_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codebook TRAINING, hash-checked end-to-end: per-subspace
     seeded Lloyd (md5-ordered deterministic init, 2 iterations,
@@ -5221,7 +5221,7 @@ def _ivf_train_oracle(dim: int = 64) -> str:
     )
 
 
-@query("q_ann_ivf_train", oracle=_ivf_train_oracle())
+@query("q_ann_ivf_train", oracle=_ivf_train_oracle(dim=EMBEDDING_DIM))
 def q_ann_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF TRAINING hash-checked end-to-end: the mirrorable seeded
     Lloyd (pq_train with m=1 — one 'subspace' spanning the full
