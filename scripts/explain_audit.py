@@ -149,6 +149,18 @@ AUDITS: dict[str, dict] = {
     # ivf_train — driver-held model state)
     "q_vec_pq_train": {"max_exchange": 0},
     "q_ann_ivf_train": {"max_exchange": 0},
+    # round-7 TPC-H completion
+    # correlated scalar MIN decorrelates to aggregate+join; dims broadcast
+    "q_sql_tpch_q2": {"broadcast": True, "partial_agg": True, "no_nested_loop": True},
+    "q_sql_tpch_q9": {"broadcast": True, "partial_agg": True},
+    # val CTE aggregated twice (group set + global threshold) — both partial
+    "q_sql_tpch_q11": {"partial_agg": True, "no_nested_loop": True},
+    # NOT IN compiles to a null-aware broadcast anti-join, never a loop
+    "q_sql_tpch_q16": {"broadcast": True, "partial_agg": True, "pushed": True},
+    # nested IN chain: both levels compile to (broadcast) left-semi joins
+    "q_sql_tpch_q20": {"semi_join": True, "broadcast": True, "pushed": True},
+    # EXISTS -> left-semi, NOT EXISTS -> left-anti, both hash joins
+    "q_sql_tpch_q21": {"semi_join": True, "no_nested_loop": True, "partial_agg": True},
 }
 
 

@@ -44,6 +44,12 @@ CASES = [
     # the final encode (post-training) is a projection riding the scan
     ("q_vec_pq_train", "no_shuffle"),
     ("q_ann_ivf_train", "no_shuffle"),
+    # round-7 TPC-H completion: the correlated/negated subqueries must
+    # decorrelate to hash joins, never nested loops
+    ("q_sql_tpch_q2", "no_nested_loop"),
+    ("q_sql_tpch_q16", "no_nested_loop"),
+    ("q_sql_tpch_q20", "semi_join"),
+    ("q_sql_tpch_q21", "semi_join"),
 ]
 
 

@@ -5254,3 +5254,230 @@ def q_ann_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         pq_code(vec, cents, 0, round_dp=_IVFT["dist_dp"]).alias("cid"),
     ).withColumn("in_shortlist", F.col("cid").isin(short))
+
+
+# =====================================================================
+# P2 TPC-H completion: the six relational shapes (Q2/Q9/Q11/Q16/Q20/
+# Q21) nothing else in the battery covers.  The fixtures carry no
+# partsupp table and no commit/receipt dates, so each keeps its
+# query's SHAPE (the plan-level challenge) over the tables that exist:
+# lineitem stands in as the part<->supplier bridge, late shipment
+# (l_shipdate > o_orderdate, as in q_sql_tpch_q4) stands in for
+# receipt-after-commit.
+# =====================================================================
+
+_TPCH_Q2 = """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS uc
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               round(uc, 6) AS unit_cost
+        FROM part
+        JOIN cost ON l_partkey = p_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+          AND r_name = 'EUROPE'
+          AND uc = (SELECT min(c2.uc)
+                    FROM cost c2
+                    JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+                    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                    WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+"""
+
+
+@query("q_sql_tpch_q2", oracle=_TPCH_Q2)
+def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated scalar MIN
+    over a 5-way join — for each qualifying part, only the EU supplier
+    matching the region-wide minimum unit cost survives.  Catalyst
+    decorrelates the subquery into a per-partkey aggregate joined back,
+    so the min computes once per part, not per candidate row; region->
+    nation->supplier is a broadcast chain and the cost CTE is one
+    map-side-combined agg over lineitem.  min() is order-insensitive
+    and both engines derive identical doubles from the same parquet,
+    so the uc equality is exact (oracle-parity rules).  Unit cost
+    stands in for ps_supplycost (fixtures carry no partsupp)."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q2)
+
+
+_TPCH_Q9 = """
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(CAST(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity) AS DOUBLE),
+                     4) AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC
+"""
+
+
+@query("q_sql_tpch_q9", oracle=_TPCH_Q9)
+def q_sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): LIKE-filtered part drives
+    a 5-table join, profit rolled up by supplier nation x order year.
+    The infix '%bolt%' cannot push into parquet, but the part-side
+    filter still applies before the join and the filtered part +
+    supplier + nation dims all broadcast — only lineitem<->orders
+    shuffles.  0.6*p_retailprice*l_quantity stands in for the missing
+    ps_supplycost term; group sums are ~1e5 so 4dp rounding sits far
+    above double reduction-order noise."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q9)
+
+
+_TPCH_Q11 = """
+        WITH val AS (
+            SELECT l_partkey AS ps_partkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS v
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_7', 'NATION_12')
+            GROUP BY l_partkey
+        )
+        SELECT ps_partkey, round(CAST(v AS DOUBLE), 4) AS part_value
+        FROM val
+        WHERE v > (SELECT avg(v) * 2.0 FROM val)
+        ORDER BY part_value DESC, ps_partkey
+"""
+
+
+@query("q_sql_tpch_q11", oracle=_TPCH_Q11)
+def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value from two
+    nations' suppliers, kept only when above a GLOBAL scalar threshold
+    — the uncorrelated scalar subquery re-aggregates the same CTE, so
+    the plan computes val once, reuses the exchange for the tiny total,
+    and broadcasts the one-row threshold back against the grouped set.
+    Per-part line value stands in for ps_supplycost*ps_availqty; the
+    threshold is a multiple of the global AVERAGE (scale-free) rather
+    than TPC-H's fixed fraction of the total, which empties out as the
+    part count grows (0 rows at sf0.1 with the uniform fixtures)."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q11)
+
+
+_TPCH_Q16 = """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("q_sql_tpch_q16", oracle=_TPCH_Q16)
+def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier relationship): distinct-supplier
+    count per (brand, type, size) with a NOT IN exclusion list —
+    Catalyst turns the subquery into a null-aware broadcast anti-join
+    (s_suppkey is non-null, so it stays a cheap hash lookup), part
+    predicates apply before the join (size IN pushes to the scan), and
+    count(DISTINCT) expands to the standard two-phase partial-distinct
+    aggregate.  Negative account balance stands in for the complaints
+    LIKE filter."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q16)
+
+
+_TPCH_Q20 = """
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'AMERICA'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'small%')
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > 48
+          )
+        ORDER BY s_name
+"""
+
+
+@query("q_sql_tpch_q20", oracle=_TPCH_Q20)
+def q_sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): nested semi-join
+    chain — suppliers IN (heavy shippers of parts IN (prefix-LIKE
+    part list)).  The inner part list is a broadcast semi-join into
+    the lineitem scan (prefix LIKE pushes as a StartsWith filter), the
+    HAVING aggregates per (supplier, part) before the outer semi-join,
+    and the outer IN becomes a left-semi hash join against the tiny
+    supplier dim — no step ever materializes a full join.  The
+    quantity threshold stands in for the missing ps_availqty
+    comparison."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q20)
+
+
+_TPCH_Q21 = """
+        WITH lo AS (
+            SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate) AS late, o_orderstatus
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        JOIN lo l1 ON s_suppkey = l1.l_suppkey
+        WHERE r_name = 'AMERICA' AND l1.late AND l1.o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lo l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+"""
+
+
+@query("q_sql_tpch_q21", oracle=_TPCH_Q21)
+def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS +
+    NOT EXISTS self-joins on the fact table — a supplier's late line
+    counts only when the order is multi-supplier AND no OTHER supplier
+    was late on it.  Both correlated subqueries decorrelate to
+    left-semi / left-anti hash joins on l_orderkey (never per-row
+    loops); the lo CTE joins lineitem<->orders once and is reused by
+    the outer branch and the anti branch.  Late shipment
+    (l_shipdate > o_orderdate, as in q_sql_tpch_q4) stands in for
+    receipt-after-commit, which the fixtures don't carry."""
+    from vector_db_ingestor_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TPCH_Q21)
