@@ -101,6 +101,13 @@ HEADLINE = [
     "q_vec_pq_adc",
     "q_vec_pq_train",
     "q_ann_ivf_train",
+    # round-7 TPC-H completion
+    "q_sql_tpch_q2",
+    "q_sql_tpch_q9",
+    "q_sql_tpch_q11",
+    "q_sql_tpch_q16",
+    "q_sql_tpch_q20",
+    "q_sql_tpch_q21",
 ]
 
 

@@ -570,5 +570,85 @@ def main() -> None:
     print(f"wrote {out}")
 
 
+def embed_100x(sf_dir: str, reps: int = 1) -> None:
+    """Round-7: THIRD decade-ish step (100x) for the embed family
+    only — the one family whose superlinear term (the `auto_n_bits`
+    integer sawtooth, SCALING.md) is bounded <2x around linear rather
+    than exactly linear.  Re-measures 30x in the same session so the
+    100x/30x ratio compares like conditions, and APPENDS to
+    SCALE_PROBE.md (the main probe's tables stay untouched).
+
+    Run: python scripts/scale_probe.py --embed100 [sf_dir] [reps]
+    """
+    from vector_db_ingestor_spark.operators.dedup import embedding_near_dups
+    from vector_db_ingestor_spark.operators.similarity import auto_n_bits
+
+    spark = get_spark("scale_probe_embed100")
+    rows: dict[str, dict[int, int]] = {}
+    times: dict[str, dict[int, float]] = {}
+    bits: dict[int, int] = {}
+    factors = (30, 100)
+    try:
+        for factor in factors:
+            emb = replicate_embeddings(
+                load_table(spark, sf_dir, "embeddings"), factor, EMBEDDING_DIM
+            )
+            bits[factor] = auto_n_bits(2000 * factor, target_bucket=8)
+            print(f"x{factor}: auto_n_bits -> {bits[factor]}", flush=True)
+            fams = {
+                "embed_cand": embedding_near_dups(
+                    emb, threshold=-1.0, dim=EMBEDDING_DIM, n_bits=bits[factor]
+                ),
+                "embed_full": embedding_near_dups(
+                    emb, threshold=0.3, dim=EMBEDDING_DIM, n_bits=bits[factor]
+                ),
+            }
+            for name, df in fams.items():
+                rows.setdefault(name, {})[factor] = df.count()
+                times.setdefault(name, {})[factor] = _time_median(df, reps)
+                print(
+                    f"x{factor:<4d} {name}: {times[name][factor]:.2f}s "
+                    f"rows={rows[name][factor]}",
+                    flush=True,
+                )
+    finally:
+        spark.stop()
+
+    lines = [
+        "",
+        "## 100x embed probe — the sawtooth bound across two full decades",
+        "",
+        "The embed family's candidate volume is ~(n^2/2^b)(b+1) with",
+        "b = auto_n_bits(n): linear in n if b were continuous, oscillating",
+        "<2x around linear because b moves in integer steps (SCALING.md).",
+        "This third decade-step (100x = 200k vectors, same-session 30x",
+        "baseline) checks the bound holds where a hidden quadratic would",
+        "be ~11x over linear.  linear 100x/30x = 3.33.",
+        "",
+        f"(n_bits: 30x -> {bits[30]}, 100x -> {bits[100]})",
+        "",
+        "| stage | 30x | 100x | time 100x/30x | rows 30x | rows 100x | rows 100x/30x |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name in times:
+        t, r = times[name], rows[name]
+        lines.append(
+            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | {t[100] / t[30]:.1f} "
+            f"| {r[30]} | {r[100]} | {r[100] / max(r[30], 1):.1f} |"
+        )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
+    )
+    with open(out, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended to {out}")
+
+
 if __name__ == "__main__":
-    main()
+    if sys.argv[1:2] == ["--embed100"]:
+        embed_100x(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 1,
+        )
+    else:
+        main()

@@ -260,12 +260,30 @@ def test_ivf_append_rejects_wrong_dimension(spark, tmp_path):
         [(20_000_000, [1.0] * (EMBEDDING_DIM - 3), 0)],
         "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
     )
-    with pytest.raises(Exception, match="embedding dimension"):
+    with pytest.raises(Exception, match="ivf_append: embedding dimension"):
         S.ivf_append(bad, path)
     # the failed job committed nothing: row count intact, no default
     # (null-cid) partition directory materialized
     assert spark.read.parquet(path).count() == n0
     assert not any("HIVE_DEFAULT" in d for d in os.listdir(path))
+
+    # the BUILD path refuses to persist the same corruption.  A SHORT
+    # vector already dies loudly inside the Lloyd sum (ANSI
+    # INVALID_ARRAY_INDEX); the silent case is a LONG vector — training
+    # ignores the tail and assignment null-pads the centroid side — so
+    # that is what the write-time guard must catch.
+    long_bad = spark.createDataFrame(
+        [(20_000_001, [1.0] * (EMBEDDING_DIM + 3), 0)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+    )
+    with pytest.raises(Exception, match="ivf_write: embedding dimension"):
+        S.ivf_write(
+            emb.unionByName(long_bad),
+            str(tmp_path / "ivf_dim_build"),
+            dim=EMBEDDING_DIM,
+            n_centroids=4,
+            iters=1,
+        )
 
 
 def test_ivf_drift_report_sees_empty_centroids(spark):

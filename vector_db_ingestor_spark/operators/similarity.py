@@ -217,6 +217,24 @@ def ivf_train(
     return centroids
 
 
+def _checked_cid(vec_col: str, centroids: list[list[float]], caller: str) -> Column:
+    """:func:`_assign_cid` with a scan-time dimension guard: a
+    wrong-length vector would null-pad through ``zip_with``, get a
+    null cid, and be written to ``cid=__HIVE_DEFAULT_PARTITION__`` —
+    silently unsearchable by ``ivf_topk``'s ``cid IN (...)`` pruning
+    while the write reports success.  Fail the job instead."""
+    dim = len(centroids[0])
+    vec = F.col(vec_col).cast("array<double>")
+    return F.when(F.size(F.col(vec_col)) == dim, _assign_cid(vec, centroids)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{caller}: embedding dimension != {dim}: got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
+
+
 def ivf_write(
     embeddings: DataFrame,
     path: str,
@@ -235,9 +253,8 @@ def ivf_write(
     the collection itself.
     """
     centroids = ivf_train(embeddings, dim, n_centroids, iters, id_col, vec_col)
-    vec = F.col(vec_col).cast("array<double>")
     (
-        embeddings.withColumn("cid", _assign_cid(vec, centroids))
+        embeddings.withColumn("cid", _checked_cid(vec_col, centroids, "ivf_write"))
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(path)
@@ -313,22 +330,8 @@ def ivf_append(
     aligned = new_embeddings.select(
         *[F.col(f.name).cast(f.dataType) for f in stored]
     )
-    # dimension guard: a wrong-length vector would null-pad through
-    # zip_with in _assign_cid, land in cid=__HIVE_DEFAULT_PARTITION__,
-    # and be silently unsearchable by ivf_topk's cid IN (...) pruning —
-    # fail the job at scan time instead of reporting a corrupt success
-    dim = len(centroids[0])
-    vec = F.col(vec_col).cast("array<double>")
-    cid = F.when(F.size(F.col(vec_col)) == dim, _assign_cid(vec, centroids)).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"ivf_append: embedding dimension != {dim}: got "),
-                F.size(F.col(vec_col)).cast("string"),
-            )
-        )
-    )
     (
-        aligned.withColumn("cid", cid)
+        aligned.withColumn("cid", _checked_cid(vec_col, centroids, "ivf_append"))
         .write.mode("append")
         .partitionBy("cid")
         .parquet(path)
