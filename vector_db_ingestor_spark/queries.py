@@ -2475,9 +2475,7 @@ def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_sql_tpch_q14",
-    oracle="""
+_TPCH_Q14 = """
     SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
                                    THEN l_extendedprice * (1 - l_discount)
                                    ELSE 0 END)
@@ -2485,25 +2483,17 @@ def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1996-02-01'
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q14", oracle=_TPCH_Q14)
 def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion effect): fact->dim join (part broadcasts
     under AQE) + conditional revenue ratio."""
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                                       THEN l_extendedprice * (1 - l_discount)
-                                       ELSE 0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1996-02-01'
-        """
-    )
+    return spark.sql(_TPCH_Q14)
 
 
 @query(
@@ -2887,9 +2877,7 @@ def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-cleaning composite
 # =====================================================================
 
-@query(
-    "q_sql_tpch_q5",
-    oracle="""
+_TPCH_Q5 = """
     SELECT n_name, round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -2901,8 +2889,10 @@ def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate <  TIMESTAMP '1998-01-01'
     GROUP BY n_name
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q5", oracle=_TPCH_Q5)
 def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local supplier volume): 6-table star join with a
     same-nation customer/supplier correlation.  region->nation is a
@@ -2911,19 +2901,7 @@ def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT n_name, round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        JOIN nation   ON s_nationkey = n_nationkey
-        JOIN region   ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate <  TIMESTAMP '1998-01-01'
-        GROUP BY n_name
-    """)
+    return spark.sql(_TPCH_Q5)
 
 
 @query(
@@ -3233,9 +3211,7 @@ def q_array_set_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_sql_tpch_q10",
-    oracle="""
+_TPCH_Q10 = """
     SELECT c_custkey, c_name,
            round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue,
            round(c_acctbal, 2) AS c_acctbal, n_name
@@ -3249,8 +3225,10 @@ def q_array_set_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_custkey, c_name, c_acctbal, n_name
     ORDER BY revenue DESC, c_custkey ASC
     LIMIT 20
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q10", oracle=_TPCH_Q10)
 def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting): fact-fact join filtered on
     both scans, nation broadcast, top-20 revenue customers as
@@ -3259,26 +3237,10 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT c_custkey, c_name,
-               round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue,
-               round(c_acctbal, 2) AS c_acctbal, n_name
-        FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        JOIN nation   ON c_nationkey = n_nationkey
-        WHERE o_orderdate >= TIMESTAMP '1996-10-01'
-          AND o_orderdate <  TIMESTAMP '1997-01-01'
-          AND l_returnflag = 'R'
-        GROUP BY c_custkey, c_name, c_acctbal, n_name
-        ORDER BY revenue DESC, c_custkey ASC
-        LIMIT 20
-    """)
+    return spark.sql(_TPCH_Q10)
 
 
-@query(
-    "q_sql_tpch_q18",
-    oracle="""
+_TPCH_Q18 = """
     SELECT c_custkey, o_orderkey, o_orderdate,
            round(o_totalprice, 2) AS o_totalprice,
            round(CAST(qty AS DOUBLE), 2) AS total_qty
@@ -3290,8 +3252,10 @@ def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer ON c_custkey = o_custkey
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 25
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q18", oracle=_TPCH_Q18)
 def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): HAVING-filtered aggregate
     subquery joined back to orders/customer — the aggregate runs FIRST
@@ -3300,19 +3264,7 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT c_custkey, o_orderkey, o_orderdate,
-               round(o_totalprice, 2) AS o_totalprice,
-               round(CAST(qty AS DOUBLE), 2) AS total_qty
-        FROM (
-            SELECT l_orderkey, sum(l_quantity) AS qty
-            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 50
-        ) big
-        JOIN orders   ON o_orderkey = big.l_orderkey
-        JOIN customer ON c_custkey = o_custkey
-        ORDER BY o_totalprice DESC, o_orderkey ASC
-        LIMIT 25
-    """)
+    return spark.sql(_TPCH_Q18)
 
 
 @query(
@@ -3775,16 +3727,16 @@ def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_sql_tpch_q17",
-    oracle="""
+_TPCH_Q17 = """
     SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
       AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q17", oracle=_TPCH_Q17)
 def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (small-quantity-order revenue): correlated
     scalar subquery against a per-part average — decorrelated by
@@ -3793,20 +3745,10 @@ def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE p_brand = 'Brand#3'
-          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
-        """
-    )
+    return spark.sql(_TPCH_Q17)
 
 
-@query(
-    "q_sql_tpch_q19",
-    oracle="""
+_TPCH_Q19 = """
     SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -3815,8 +3757,10 @@ def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l_quantity BETWEEN 10 AND 40)
        OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
            AND l_quantity BETWEEN 20 AND 50)
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q19", oracle=_TPCH_Q19)
 def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
     the OR-of-ANDs mixes join-key-independent part predicates with
@@ -3826,18 +3770,7 @@ def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-               AND l_quantity BETWEEN 1 AND 20)
-           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
-               AND l_quantity BETWEEN 10 AND 40)
-           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
-               AND l_quantity BETWEEN 20 AND 50)
-        """
-    )
+    return spark.sql(_TPCH_Q19)
 
 
 @query(
@@ -4007,9 +3940,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-4 relational + vector additions
 # =====================================================================
 
-@query(
-    "q_sql_tpch_q7",
-    oracle="""
+_TPCH_Q7 = """
     SELECT supp_nation, cust_nation, l_year,
            round(CAST(sum(volume) AS DOUBLE), 4) AS revenue
     FROM (
@@ -4029,8 +3960,10 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q7", oracle=_TPCH_Q7)
 def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping): the nation self-join pattern — the
     same dimension joined twice under different roles (supplier nation
@@ -4040,34 +3973,10 @@ def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT supp_nation, cust_nation, l_year,
-               round(CAST(sum(volume) AS DOUBLE), 4) AS revenue
-        FROM (
-            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                   year(l_shipdate) AS l_year,
-                   l_extendedprice * (1 - l_discount) AS volume
-            FROM supplier
-            JOIN lineitem ON s_suppkey = l_suppkey
-            JOIN orders   ON o_orderkey = l_orderkey
-            JOIN customer ON c_custkey = o_custkey
-            JOIN nation n1 ON s_nationkey = n1.n_nationkey
-            JOIN nation n2 ON c_nationkey = n2.n_nationkey
-            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
-                OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
-              AND l_shipdate >= TIMESTAMP '1995-01-01'
-              AND l_shipdate <  TIMESTAMP '1997-01-01'
-        ) shipping
-        GROUP BY supp_nation, cust_nation, l_year
-        ORDER BY supp_nation, cust_nation, l_year
-        """
-    )
+    return spark.sql(_TPCH_Q7)
 
 
-@query(
-    "q_sql_tpch_q8",
-    oracle="""
+_TPCH_Q8 = """
     SELECT o_year,
            round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
                  / sum(volume) AS DOUBLE), 6) AS mkt_share
@@ -4090,8 +3999,10 @@ def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) all_nations
     GROUP BY o_year
     ORDER BY o_year
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q8", oracle=_TPCH_Q8)
 def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): the deepest star join in the
     suite — 8 relations, two roles for nation, a conditional-sum ratio.
@@ -4101,37 +4012,10 @@ def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_year,
-               round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                     / sum(volume) AS DOUBLE), 6) AS mkt_share
-        FROM (
-            SELECT year(o_orderdate) AS o_year,
-                   l_extendedprice * (1 - l_discount) AS volume,
-                   n2.n_name AS nation
-            FROM part
-            JOIN lineitem ON p_partkey = l_partkey
-            JOIN supplier ON s_suppkey = l_suppkey
-            JOIN orders   ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation n1 ON c_nationkey = n1.n_nationkey
-            JOIN region   ON n1.n_regionkey = r_regionkey
-            JOIN nation n2 ON s_nationkey = n2.n_nationkey
-            WHERE r_name = 'AMERICA'
-              AND p_type = 'PROMO'
-              AND o_orderdate >= TIMESTAMP '1995-01-01'
-              AND o_orderdate <  TIMESTAMP '1997-01-01'
-        ) all_nations
-        GROUP BY o_year
-        ORDER BY o_year
-        """
-    )
+    return spark.sql(_TPCH_Q8)
 
 
-@query(
-    "q_sql_tpch_q15",
-    oracle="""
+_TPCH_Q15 = """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
                sum(l_extendedprice * (1 - l_discount)) AS total_revenue
@@ -4145,8 +4029,10 @@ def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     ORDER BY s_suppkey
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q15", oracle=_TPCH_Q15)
 def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): a reused derived table — the revenue
     aggregation feeds both the join and the scalar-max subquery.  Spark
@@ -4155,23 +4041,7 @@ def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        WITH revenue AS (
-            SELECT l_suppkey AS supplier_no,
-                   sum(l_extendedprice * (1 - l_discount)) AS total_revenue
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate <  TIMESTAMP '1996-04-01'
-            GROUP BY l_suppkey
-        )
-        SELECT s_suppkey, s_name,
-               round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
-        FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-        ORDER BY s_suppkey
-        """
-    )
+    return spark.sql(_TPCH_Q15)
 
 
 @query(
