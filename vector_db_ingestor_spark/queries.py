@@ -5343,8 +5343,13 @@ def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts only when the order is multi-supplier AND no OTHER supplier
     was late on it.  Both correlated subqueries decorrelate to
     left-semi / left-anti hash joins on l_orderkey (never per-row
-    loops); the lo CTE joins lineitem<->orders once and is reused by
-    the outer branch and the anti branch.  Late shipment
+    loops).  Like every mainstream engine on canonical Q21, the fact
+    table is scanned 3x (outer + semi + anti branch); at 100 TB the
+    cheaper production formulation folds all three into ONE
+    lineitem<->orders pass with per-order conditional aggregates
+    (nsupp > 1 AND nlate = 1 AND the late one is this supplier) — this
+    key deliberately keeps the EXISTS shape because exercising
+    Catalyst's decorrelation is what it covers.  Late shipment
     (l_shipdate > o_orderdate, as in q_sql_tpch_q4) stands in for
     receipt-after-commit, which the fixtures don't carry."""
     from vector_db_ingestor_spark.tables import register_views
