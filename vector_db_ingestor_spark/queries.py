@@ -1847,9 +1847,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact token frequency (text analysis)
 # =====================================================================
 
-@query(
-    "q_sql_tpch_q1",
-    oracle="""
+_TPCH_Q1 = """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
@@ -1862,8 +1860,10 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q1", oracle=_TPCH_Q1)
 def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 (pricing summary) through the SQL surface: the filter
     reaches the parquet scan as a pushed predicate, the aggregation is
@@ -1871,22 +1871,7 @@ def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        GROUP BY l_returnflag, l_linestatus
-        """
-    )
+    return spark.sql(_TPCH_Q1)
 
 
 @query(
@@ -2373,9 +2358,7 @@ ORACLE_SQL["q_multimodal_frames"] = """
 """
 
 
-@query(
-    "q_sql_tpch_q6",
-    oracle="""
+_TPCH_Q6 = """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
@@ -2383,8 +2366,10 @@ ORACLE_SQL["q_multimodal_frames"] = """
       AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 24
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q6", oracle=_TPCH_Q6)
 def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (forecast revenue change): pure scan-filter-aggregate —
     every predicate pushed to the parquet scan, no shuffle beyond the
@@ -2392,17 +2377,7 @@ def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
-               count(*) AS n_lines
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1997-01-01'
-          AND l_discount BETWEEN 0.03 AND 0.07
-          AND l_quantity < 24
-        """
-    )
+    return spark.sql(_TPCH_Q6)
 
 
 @query(
@@ -2439,9 +2414,7 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_sql_tpch_q12",
-    oracle="""
+_TPCH_Q12 = """
     SELECT l_returnflag,
            CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -2451,8 +2424,10 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate > o_orderdate
     GROUP BY l_returnflag
     ORDER BY l_returnflag
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q12", oracle=_TPCH_Q12)
 def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (order priority line counts): join +
     conditional counts with an inter-table date predicate (fixtures
@@ -2460,19 +2435,7 @@ def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT l_returnflag,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE l_shipdate > o_orderdate
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag
-        """
-    )
+    return spark.sql(_TPCH_Q12)
 
 
 _TPCH_Q14 = """
@@ -3657,9 +3620,7 @@ ORACLE_SQL["q_ann_lsh_topk"] = _lsh_topk_oracle(n_bits=4, k=10, multiprobe=False
 ORACLE_SQL["q_ann_lsh_multiprobe"] = _lsh_topk_oracle(n_bits=4, k=10, multiprobe=True)
 
 
-@query(
-    "q_sql_tpch_q4",
-    oracle="""
+_TPCH_Q4 = """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
@@ -3668,8 +3629,10 @@ ORACLE_SQL["q_ann_lsh_multiprobe"] = _lsh_topk_oracle(n_bits=4, k=10, multiprobe
                   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q4", oracle=_TPCH_Q4)
 def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order-priority checking): correlated EXISTS over
     the fact table — Catalyst rewrites it to a left-semi hash join on
@@ -3678,23 +3641,10 @@ def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_orderpriority, count(*) AS order_count
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1996-07-01'
-          AND EXISTS (SELECT 1 FROM lineitem
-                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority
-        """
-    )
+    return spark.sql(_TPCH_Q4)
 
 
-@query(
-    "q_sql_tpch_q13",
-    oracle="""
+_TPCH_Q13 = """
     SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
     FROM (
         SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
@@ -3703,8 +3653,10 @@ def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY c_count
     ORDER BY custdist DESC, c_count DESC
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q13", oracle=_TPCH_Q13)
 def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (customer order-count distribution): left outer join
     keeps zero-order customers, double aggregation — the second groupBy
@@ -3713,18 +3665,7 @@ def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT c_count, count(*) AS custdist
-        FROM (
-            SELECT c_custkey, count(o_orderkey) AS c_count
-            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-            GROUP BY c_custkey
-        )
-        GROUP BY c_count
-        ORDER BY custdist DESC, c_count DESC
-        """
-    )
+    return spark.sql(_TPCH_Q13)
 
 
 _TPCH_Q17 = """
@@ -4044,9 +3985,7 @@ def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q15)
 
 
-@query(
-    "q_sql_tpch_q22",
-    oracle="""
+_TPCH_Q22 = """
     SELECT cntrycode,
            CAST(count(*) AS BIGINT) AS numcust,
            round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
@@ -4061,8 +4000,10 @@ def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) custsale
     GROUP BY cntrycode
     ORDER BY cntrycode
-    """,
-)
+    """
+
+
+@query("q_sql_tpch_q22", oracle=_TPCH_Q22)
 def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity): an uncorrelated
     scalar-average subquery AND an anti-join in one query — customers
@@ -4074,24 +4015,7 @@ def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT cntrycode,
-               count(*) AS numcust,
-               round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
-        FROM (
-            SELECT c_nationkey % 10 AS cntrycode, c_acctbal
-            FROM customer
-            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                               WHERE c_acctbal > 0.0)
-              AND NOT EXISTS (SELECT 1 FROM orders
-                              WHERE o_custkey = c_custkey
-                                AND o_orderdate >= TIMESTAMP '2001-01-01')
-        ) custsale
-        GROUP BY cntrycode
-        ORDER BY cntrycode
-        """
-    )
+    return spark.sql(_TPCH_Q22)
 
 
 @query(
