@@ -1874,17 +1874,17 @@ def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q1)
 
 
-@query(
-    "q_subquery_correlated",
-    oracle="""
+_SQL_SUBQ_CORR = """
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
     FROM orders o
     WHERE o_totalprice > 2 * (
         SELECT avg(o2.o_totalprice) FROM orders o2
         WHERE o2.o_custkey = o.o_custkey
     )
-    """,
-)
+    """
+
+
+@query("q_subquery_correlated", oracle=_SQL_SUBQ_CORR)
 def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: orders at >2x their customer's mean.
     Catalyst decorrelates into an aggregate + equi-join — same shape
@@ -1892,16 +1892,7 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
-        FROM orders o
-        WHERE o_totalprice > 2 * (
-            SELECT avg(o2.o_totalprice) FROM orders o2
-            WHERE o2.o_custkey = o.o_custkey
-        )
-        """
-    )
+    return spark.sql(_SQL_SUBQ_CORR)
 
 
 @query(
@@ -2012,9 +2003,7 @@ def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_window_range",
-    oracle="""
+_SQL_WINDOW_RANGE = """
     SELECT event_id, user_id, round(value, 2) AS value,
            round(sum(value) OVER (
                PARTITION BY user_id ORDER BY value
@@ -2023,8 +2012,10 @@ def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY value
                RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING) AS BIGINT) AS near_n
     FROM events
-    """,
-)
+    """
+
+
+@query("q_window_range", oracle=_SQL_WINDOW_RANGE)
 def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-framed windows (value-distance frames, not row counts) —
     complements q_window_frame's ROWS frames.  Non-integral range
@@ -2033,47 +2024,27 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT event_id, user_id, round(value, 2) AS value,
-               round(sum(value) OVER (
-                   PARTITION BY user_id ORDER BY value
-                   RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW), 2) AS near_sum,
-               count(*) OVER (
-                   PARTITION BY user_id ORDER BY value
-                   RANGE BETWEEN 5.0 PRECEDING AND 5.0 FOLLOWING) AS near_n
-        FROM events
-        """
-    )
+    return spark.sql(_SQL_WINDOW_RANGE)
 
 
-@query(
-    "q_grouping_sets",
-    oracle="""
+_SQL_GROUPING_SETS = """
     SELECT coalesce(l_returnflag, 'ALL') AS rf,
            coalesce(l_linestatus, 'ALL') AS ls,
            round(sum(l_quantity), 2) AS sum_qty,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-    """,
-)
+    """
+
+
+@query("q_grouping_sets", oracle=_SQL_GROUPING_SETS)
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube): one scan expanded to
     the three groupings, aggregated in a single shuffle."""
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT coalesce(l_returnflag, 'ALL') AS rf,
-               coalesce(l_linestatus, 'ALL') AS ls,
-               round(sum(l_quantity), 2) AS sum_qty,
-               count(*) AS n
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-        """
-    )
+    return spark.sql(_SQL_GROUPING_SETS)
 
 
 @query(
