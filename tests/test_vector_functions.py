@@ -307,6 +307,20 @@ def test_ivf_drift_report_sees_empty_centroids(spark):
     assert full[0].skew == pytest.approx(6.0)
     assert sum(r.share for r in full.values()) == pytest.approx(1.0)
 
+    # anomalous groups stay VISIBLE: a null cid (legacy null-partition
+    # corruption) and a cid outside the model range must appear as rows
+    # with their counts in the denominators, not silently vanish
+    weird = indexed.union(
+        indexed.sparkSession.createDataFrame(
+            [(900, None), (901, None), (902, 12)], "vec_id LONG, cid INT"
+        )
+    )
+    rep = {r.cid: r for r in S.ivf_drift_report(weird, n_centroids=8).collect()}
+    assert set(rep) == set(range(8)) | {None, 12}
+    assert rep[None].n == 2 and rep[12].n == 1
+    assert sum(r.n for r in rep.values()) == 19
+    assert sum(r.share for r in rep.values()) == pytest.approx(1.0)
+
 
 def test_ivf_maintenance_append_drift_retrain_recall(spark, tmp_path):
     """The full maintenance cycle the reference gets implicitly from

@@ -229,7 +229,9 @@ def _checked_cid(vec_col: str, centroids: list[list[float]], caller: str) -> Col
         F.raise_error(
             F.concat(
                 F.lit(f"{caller}: embedding dimension != {dim}: got "),
-                F.size(F.col(vec_col)).cast("string"),
+                # size(NULL) is null — coalesce so a null embedding
+                # still produces the diagnostic, not raise_error(NULL)
+                F.coalesce(F.size(F.col(vec_col)).cast("string"), F.lit("NULL")),
             )
         )
     )
@@ -353,13 +355,20 @@ def ivf_drift_report(indexed: DataFrame, n_centroids: int | None = None) -> Data
     :func:`ivf_read`) so EMPTY centroids appear as ``n=0`` rows and the
     mean divides by the model size, not the observed-group count —
     otherwise skew is understated exactly when drift is worst (12 of 16
-    partitions empty looks ~4x calmer than it is).
+    partitions empty looks ~4x calmer than it is).  Anomalous groups —
+    a null cid (null-partition corruption predating the
+    :func:`_checked_cid` guard) or a cid outside the model range —
+    still appear as extra rows with their own counts.
     """
     counts = indexed.groupBy("cid").agg(F.count("*").alias("n"))
     if n_centroids is not None:
         spark = indexed.sparkSession
         all_cids = spark.range(n_centroids).select(F.col("id").cast("int").alias("cid"))
-        counts = all_cids.join(F.broadcast(counts), "cid", "left").select(
+        # FULL outer, not left: an anomalous group — cid=null (legacy
+        # null-partition corruption) or a cid outside the model range
+        # (stale n_centroids) — must stay visible as a row and keep its
+        # n in the denominators, not silently vanish from the report
+        counts = all_cids.join(counts, "cid", "full_outer").select(
             "cid", F.coalesce("n", F.lit(0)).alias("n")
         )
     tot = counts.agg(
