@@ -257,6 +257,49 @@ def test_simhash_fnv_cross_engine_and_fixture_ascii(sf_dir):
     assert n_non_ascii == 0, "simhash oracle assumes an ASCII corpus"
 
 
+def test_simhash_vectorized_kernel_matches_scalar_reference(spark):
+    """The numpy batch FNV sweep in simhash_udf must be bit-identical to
+    the scalar fold (fnv1a64_ref) + per-token vote loop it replaced —
+    including unicode multi-byte tokens, empty/null/whitespace docs,
+    repeated tokens, and a pathologically long token (exercises the
+    length-sorted prefix loop)."""
+    from vector_db_ingestor_spark.operators.dedup import fnv1a64_ref, simhash_udf
+
+    def scalar_fp(text):
+        if not text:
+            return 0
+        votes = [0] * 64
+        for tok in text.lower().split():
+            h = fnv1a64_ref(tok)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        fp = sum(1 << i for i in range(64) if votes[i] > 0)
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        None,
+        "   \t  ",
+        "a",
+        "a a a a b",
+        "café naïve 你好世界 \U0001f600",
+        "MiXeD CaSe TOKENS lower",
+        "x" * 5000 + " short tail",
+        "punct!@# $%^ &*() end.",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    got = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", simhash_udf()(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert got == {i: scalar_fp(t) for i, t in enumerate(texts)}
+
+
 def test_salted_join_equals_plain_join(spark):
     from vector_db_ingestor_spark.operators.joins import salted_join
 

@@ -346,41 +346,73 @@ def minhash_candidates(
 
 # -------------------------------------------------------------- simhash
 
+def fnv1a64_ref(token: str) -> int:
+    """Scalar FNV-1a 64 reference (unsigned), the contract the batch
+    kernel below must reproduce bit-for-bit — it is also what the
+    DuckDB oracle replays in HUGEINT arithmetic."""
+    h = 0xCBF29CE484222325
+    for byte in token.encode("utf-8"):
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def simhash_udf(num_bits: int = 64):
     """64-bit SimHash fingerprint over whitespace tokens.
 
-    Vectorized: per Arrow batch, tokens are hashed with a stable 64-bit
-    FNV-1a (pure numpy, no Python-salted hash()), bits vote +-1, the
-    sign vector packs into one int64.
+    Fully vectorized: per Arrow batch, ALL tokens of the batch are
+    FNV-1a hashed in one numpy sweep — tokens sorted by length
+    descending, then one xor-multiply step per byte position over the
+    still-live prefix (uint64 wraps mod 2^64, bit-identical to
+    :func:`fnv1a64_ref`).  Bits vote +-1, votes aggregate per document
+    with ``add.reduceat`` over the doc-ordered token runs, and the sign
+    vector packs into one int64.  No per-token Python remains.
     """
 
     @F.pandas_udf(T.LongType())
     def _simhash(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        def fnv1a64(token: str) -> int:
-            # Plain-int FNV-1a with an explicit 64-bit mask: numpy scalar
-            # uint64 multiply raises RuntimeWarning on the intended wrap.
-            h = 0xCBF29CE484222325
-            for byte in token.encode("utf-8"):
-                h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            return h
-
-        def fingerprint(text: str) -> int:
-            if not text:
-                return 0
-            votes = np.zeros(num_bits, dtype=np.int64)
-            for tok in text.lower().split():
-                h = fnv1a64(tok)
-                bits = (h >> np.arange(num_bits, dtype=np.uint64)) & np.uint64(1)
-                votes += np.where(bits.astype(bool), 1, -1)
-            fp = 0
-            for i in range(num_bits):
-                if votes[i] > 0:
-                    fp |= 1 << i
-            # wrap to signed int64
-            return fp - (1 << 64) if fp >= (1 << 63) else fp
+        shifts = np.arange(num_bits, dtype=np.uint64)
 
         for series in batch_iter:
-            yield series.map(fingerprint).astype("int64")
+            texts = series.tolist()
+            n_docs = len(texts)
+            out = np.zeros(n_docs, dtype=np.uint64)
+            doc_toks = [
+                [t.encode("utf-8") for t in text.lower().split()] if text else []
+                for text in texts
+            ]
+            counts = np.fromiter(
+                (len(d) for d in doc_toks), dtype=np.int64, count=n_docs
+            )
+            total = int(counts.sum())
+            if total:
+                toks = [t for doc in doc_toks for t in doc]
+                lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=total)
+                flat = np.frombuffer(b"".join(toks), dtype=np.uint8)
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                # length-descending order => the tokens still unhashed at
+                # byte position j are a prefix, so each step is a slice
+                perm = np.argsort(-lens, kind="stable")
+                starts_s, neg_lens_s = starts[perm], -lens[perm]
+                maxlen = int(lens.max())
+                live = np.searchsorted(neg_lens_s, -np.arange(maxlen), side="left")
+                h = np.full(total, 0xCBF29CE484222325, dtype=np.uint64)
+                prime = np.uint64(0x100000001B3)
+                with np.errstate(over="ignore"):
+                    for j in range(maxlen):
+                        n = live[j]
+                        h[:n] = (h[:n] ^ flat[starts_s[:n] + j]) * prime
+                h_doc = np.empty_like(h)
+                h_doc[perm] = h  # back to doc order for the segment sums
+                signs = (
+                    ((h_doc[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+                )
+                nz = counts > 0
+                bounds = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+                votes = np.add.reduceat(signs, bounds, axis=0)
+                out[nz] = ((votes > 0).astype(np.uint64) << shifts).sum(
+                    axis=1, dtype=np.uint64
+                )
+            yield pd.Series(out.view(np.int64))
 
     return _simhash
 
