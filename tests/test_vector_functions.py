@@ -398,3 +398,51 @@ def test_ivf_maintenance_append_drift_retrain_recall(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "cid" in plan.split(
         "PartitionFilters:"
     )[1].split("]")[0], plan
+
+
+def test_simjoin_lsh_recall_vs_exact_near_dups(spark):
+    """Quality pin for the one rows-only key with no oracle
+    (q_simjoin_lsh): spark.ml's BucketedRandomProjectionLSH is
+    internally seeded so no DuckDB mirror exists, but its recall
+    against the exact all-pairs ground truth is measurable.  On a
+    seeded corpus with planted perturbation near-dups, the approximate
+    join at the l2 threshold equivalent to cosine>=t (unit vectors:
+    d^2 = 2-2cos) must (a) recover >=90% of the exact pairs and (b)
+    emit no pair outside the threshold."""
+    import math
+
+    from vector_db_ingestor_spark.operators.dedup import embedding_near_dups
+    from vector_db_ingestor_spark.operators.similarity import simjoin_lsh
+
+    rng = np.random.default_rng(7)
+    dim, rows, vid = 16, [], 0
+    for i in range(40):
+        v = rng.normal(size=dim)
+        rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+        vid += 1
+        if i % 2 == 0:  # plant a near-dup off every second base vector
+            w = v + rng.normal(scale=0.05, size=dim)
+            rows.append((vid, (w / np.linalg.norm(w)).tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    t_cos = 0.95
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(
+            emb.withColumn("blk", F.lit(0)), threshold=t_cos, block_col="blk"
+        ).collect()
+    }
+    assert len(exact) >= 15, "fixture must plant enough true pairs"
+
+    t_l2 = math.sqrt(2.0 - 2.0 * t_cos)
+    approx = {
+        (r.id_a, r.id_b)
+        for r in simjoin_lsh(emb, threshold_l2=t_l2).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(approx))
+    # precision side: every emitted pair is within the distance bound
+    # (approxSimilarityJoin post-filters on true distance, so any
+    # violation means the normalize/threshold translation broke)
+    assert approx <= exact, approx - exact
