@@ -259,9 +259,12 @@ def probes(spark: SparkSession, sf_dir: str, factor: int) -> dict[str, DataFrame
     from vector_db_ingestor_spark.operators.topk import topk_cosine
 
     docs = replicate_docs(load_table(spark, sf_dir, "documents"), factor)
-    emb = replicate_embeddings(
-        load_table(spark, sf_dir, "embeddings"), factor, EMBEDDING_DIM
-    )
+    emb_base = load_table(spark, sf_dir, "embeddings")
+    # base count comes from the fixture actually loaded, not a literal:
+    # sf_dir is a CLI parameter, and a hardcoded sf0.1 row count would
+    # silently mis-size n_bits at any other scale
+    base_n = emb_base.count()
+    emb = replicate_embeddings(emb_base, factor, EMBEDDING_DIM)
     probe_df = spark.createDataFrame(
         [(0, PROBE_64)], schema="query_id INT, query_vec ARRAY<DOUBLE>"
     )
@@ -278,7 +281,7 @@ def probes(spark: SparkSession, sf_dir: str, factor: int) -> dict[str, DataFrame
             emb,
             threshold=0.3,
             dim=EMBEDDING_DIM,
-            n_bits=auto_n_bits(2000 * factor, target_bucket=8),
+            n_bits=auto_n_bits(base_n * factor, target_bucket=8),
         ),
         "lsh_topk": lsh_topk(emb, probe_df, dim=EMBEDDING_DIM, k=10, n_bits=4),
         "exact_topk": topk_cosine(emb, PROBE_64, k=10),
@@ -305,10 +308,9 @@ def stage_probes(
     from vector_db_ingestor_spark.operators.similarity import auto_n_bits
 
     docs = replicate_docs(load_table(spark, sf_dir, "documents"), factor)
-    emb = replicate_embeddings(
-        load_table(spark, sf_dir, "embeddings"), factor, EMBEDDING_DIM
-    )
-    n_bits = auto_n_bits(2000 * factor, target_bucket=8)
+    emb_base = load_table(spark, sf_dir, "embeddings")
+    emb = replicate_embeddings(emb_base, factor, EMBEDDING_DIM)
+    n_bits = auto_n_bits(emb_base.count() * factor, target_bucket=8)
     print(f"x{factor}: auto_n_bits -> {n_bits}")
     return {
         "minhash_cand": minhash_candidates(docs, with_estimate=False),
@@ -589,11 +591,11 @@ def embed_100x(sf_dir: str, reps: int = 1) -> None:
     bits: dict[int, int] = {}
     factors = (30, 100)
     try:
+        emb_base = load_table(spark, sf_dir, "embeddings")
+        base_n = emb_base.count()
         for factor in factors:
-            emb = replicate_embeddings(
-                load_table(spark, sf_dir, "embeddings"), factor, EMBEDDING_DIM
-            )
-            bits[factor] = auto_n_bits(2000 * factor, target_bucket=8)
+            emb = replicate_embeddings(emb_base, factor, EMBEDDING_DIM)
+            bits[factor] = auto_n_bits(base_n * factor, target_bucket=8)
             print(f"x{factor}: auto_n_bits -> {bits[factor]}", flush=True)
             fams = {
                 "embed_cand": embedding_near_dups(

@@ -276,14 +276,20 @@ def test_ivf_append_rejects_wrong_dimension(spark, tmp_path):
         [(20_000_001, [1.0] * (EMBEDDING_DIM + 3), 0)],
         "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
     )
+    build_path = str(tmp_path / "ivf_dim_build")
     with pytest.raises(Exception, match="ivf_write: embedding dimension"):
         S.ivf_write(
             emb.unionByName(long_bad),
-            str(tmp_path / "ivf_dim_build"),
+            build_path,
             dim=EMBEDDING_DIM,
             n_centroids=4,
             iters=1,
         )
+    # fail-FAST: the training-input guard aborts inside the first Lloyd
+    # pass, so the collection write never even starts (round-7 advice —
+    # previously the whole training cost was paid, the long vector's
+    # prefix shaping the centroids, before the write-time guard fired)
+    assert not os.path.exists(build_path) or not os.listdir(build_path)
 
 
 def test_ivf_drift_report_sees_empty_centroids(spark):

@@ -217,6 +217,23 @@ def ivf_train(
     return centroids
 
 
+def _checked_vec(vec_col: str, dim: int, caller: str) -> Column:
+    """Identity on a right-length vector, job-failing otherwise.  Rides
+    the first scan that consumes the column, so a malformed batch
+    aborts the FIRST training pass — before its prefix is summed into
+    any centroid and before the full training cost is paid (the
+    write-time :func:`_checked_cid` guard alone fires only after
+    training finishes)."""
+    return F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{caller}: embedding dimension != {dim}: got "),
+                F.coalesce(F.size(F.col(vec_col)).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+
+
 def _checked_cid(vec_col: str, centroids: list[list[float]], caller: str) -> Column:
     """:func:`_assign_cid` with a scan-time dimension guard: a
     wrong-length vector would null-pad through ``zip_with``, get a
@@ -254,7 +271,11 @@ def ivf_write(
     the leading underscore makes Spark's reader skip it when scanning
     the collection itself.
     """
-    centroids = ivf_train(embeddings, dim, n_centroids, iters, id_col, vec_col)
+    # guard the training input too: without it a wrong-length vector
+    # still shapes the centroids (its prefix sums into the Lloyd agg)
+    # and the job only dies at write time, all training cost spent
+    guarded = embeddings.withColumn(vec_col, _checked_vec(vec_col, dim, "ivf_write"))
+    centroids = ivf_train(guarded, dim, n_centroids, iters, id_col, vec_col)
     (
         embeddings.withColumn("cid", _checked_cid(vec_col, centroids, "ivf_write"))
         .write.mode("overwrite")
@@ -353,12 +374,17 @@ def ivf_drift_report(indexed: DataFrame, n_centroids: int | None = None) -> Data
 
     Pass ``n_centroids`` (e.g. ``len(centroids)`` from
     :func:`ivf_read`) so EMPTY centroids appear as ``n=0`` rows and the
-    mean divides by the model size, not the observed-group count —
-    otherwise skew is understated exactly when drift is worst (12 of 16
-    partitions empty looks ~4x calmer than it is).  Anomalous groups —
-    a null cid (null-partition corruption predating the
-    :func:`_checked_cid` guard) or a cid outside the model range —
-    still appear as extra rows with their own counts.
+    mean divides by the full report row count instead of only the
+    observed-group count — otherwise skew is understated exactly when
+    drift is worst (12 of 16 partitions empty looks ~4x calmer than it
+    is).  Anomalous groups — a null cid (null-partition corruption
+    predating the :func:`_checked_cid` guard) or a cid outside the
+    model range — still appear as extra rows with their own counts, and
+    they intentionally stay in the denominator too (it is
+    ``n_centroids`` + anomalous-group count, per the full-outer join
+    below): an anomaly dilutes every skew slightly, but hiding its mass
+    from the mean would overstate the healthy centroids' skew while the
+    anomaly itself demands a retrain anyway.
     """
     counts = indexed.groupBy("cid").agg(F.count("*").alias("n"))
     if n_centroids is not None:

@@ -5186,7 +5186,7 @@ _TPCH_Q20 = """
             GROUP BY l_suppkey, l_partkey
             HAVING sum(l_quantity) > 48
           )
-        ORDER BY s_name
+        ORDER BY s_name, s_acctbal
 """
 
 
