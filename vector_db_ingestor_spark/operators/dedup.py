@@ -403,15 +403,20 @@ def simhash_udf(num_bits: int = 64):
                         h[:n] = (h[:n] ^ flat[starts_s[:n] + j]) * prime
                 h_doc = np.empty_like(h)
                 h_doc[perm] = h  # back to doc order for the segment sums
-                signs = (
-                    ((h_doc[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
-                )
                 nz = counts > 0
-                bounds = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
-                votes = np.add.reduceat(signs, bounds, axis=0)
-                out[nz] = ((votes > 0).astype(np.uint64) << shifts).sum(
-                    axis=1, dtype=np.uint64
-                )
+                cnz = counts[nz]
+                bounds = np.concatenate(([0], np.cumsum(cnz)[:-1]))
+                # one bit at a time: a tokens x num_bits sign matrix
+                # would be ~0.5 KB/token — per-batch GBs once 32 tasks
+                # run it concurrently; this keeps one token-length temp
+                fp = np.zeros(len(cnz), dtype=np.uint64)
+                for b in shifts:
+                    ones = np.add.reduceat(
+                        ((h_doc >> b) & np.uint64(1)).astype(np.int64), bounds
+                    )
+                    # votes = 2*ones - n_tokens; bit set iff votes > 0
+                    fp |= (2 * ones > cnz).astype(np.uint64) << b
+                out[nz] = fp
             yield pd.Series(out.view(np.int64))
 
     return _simhash
