@@ -47,6 +47,9 @@ HEADLINE = [
     # own docs classify it verify-stage-only, operators/dedup.py) —
     # the declared 100 TB paths are ngram_capped + minhash_verified
     "q_dedup_ngram_capped",
+    # added round 8 alongside the vectorized FNV kernel so the
+    # fingerprint-dedup family's cost is visible in the per-round record
+    "q_dedup_simhash",
     "q_context_budget",
     "q_doc_stats",
     "q_scalar_fns",
