@@ -529,3 +529,28 @@ def test_minhash_shapes_agree_on_adversarial_corpus(spark):
         }
         assert hot == contract, family
         assert all(len(sig) == 8 for sig in hot.values())
+
+
+def test_agg_approx_hll_within_rsd_of_exact(spark, sf_dir):
+    """Quality pin for the rows-only q_agg_approx key: the HLL++
+    estimate must land within a generous multiple of its configured
+    relative standard deviation (0.02) of the exact per-group distinct
+    count — approximate by design, but not unboundedly so."""
+    from vector_db_ingestor_spark.queries import QUERIES
+    from vector_db_ingestor_spark.tables import load_table
+
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in QUERIES["q_agg_approx"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.exact_parts
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("exact_parts"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, est in approx.items():
+        rel_err = abs(est - exact[flag]) / exact[flag]
+        assert rel_err <= 5 * 0.02, (flag, est, exact[flag], rel_err)
