@@ -554,3 +554,52 @@ def test_agg_approx_hll_within_rsd_of_exact(spark, sf_dir):
     for flag, est in approx.items():
         rel_err = abs(est - exact[flag]) / exact[flag]
         assert rel_err <= 5 * 0.02, (flag, est, exact[flag], rel_err)
+
+
+def _scalar_simhash_fp(text):
+    """Brute-force SimHash reference for the kernel property test."""
+    from vector_db_ingestor_spark.operators.dedup import fnv1a64_ref
+
+    if not text:
+        return 0
+    votes = [0] * 64
+    for tok in text.lower().split():
+        h = fnv1a64_ref(tok)
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    fp = sum(1 << i for i in range(64) if votes[i] > 0)
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def test_simhash_kernel_property_random_text():
+    """Hypothesis sweep of the numpy batch kernel against the scalar
+    reference on arbitrary unicode text — runs the pandas function
+    directly (no Spark session), so hundreds of examples are cheap.
+    Catches any drift in the byte-matrix FNV sweep, the length-sorted
+    prefix bookkeeping, or the per-bit reduceat vote."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vector_db_ingestor_spark.operators.dedup import simhash_udf
+
+    kernel = simhash_udf().func
+    texts_strategy = st.lists(
+        st.one_of(
+            st.none(),
+            st.text(max_size=60),  # full unicode incl. surrogate-free astral
+            st.text(
+                alphabet=" abcde\t\n", max_size=40
+            ),  # whitespace-heavy: many short tokens, token collisions
+        ),
+        min_size=0,
+        max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts=texts_strategy)
+    def check(texts):
+        (out,) = list(kernel(iter([pd.Series(texts, dtype="object")])))
+        assert out.tolist() == [_scalar_simhash_fp(t) for t in texts]
+
+    check()
