@@ -659,6 +659,7 @@ def dedup_100x(sf_dir: str, reps: int = 1) -> None:
         minhash_candidates,
         minhash_verified_pairs,
         ngram_jaccard_pairs,
+        simhash_near_dups,
     )
 
     spark = get_spark("scale_probe_dedup100")
@@ -672,6 +673,11 @@ def dedup_100x(sf_dir: str, reps: int = 1) -> None:
                 "minhash_full": minhash_verified_pairs(docs, threshold=0.5),
                 "ngram_capped": ngram_jaccard_pairs(
                     docs, block_col="lang", n=2, threshold=0.2, max_df=5
+                ),
+                # round 8: the vectorized-kernel fingerprint family —
+                # 16-bit pigeonhole buckets, fan-out should stay flat
+                "simhash_near_dups": simhash_near_dups(
+                    docs, max_hamming=10, bands=4
                 ),
             }
             for name, df in fams.items():
