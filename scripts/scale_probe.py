@@ -287,7 +287,10 @@ def probes(spark: SparkSession, sf_dir: str, factor: int) -> dict[str, DataFrame
         "exact_topk": topk_cosine(emb, PROBE_64, k=10),
         # one Arrow fingerprint pass + reused band exchange (round-5
         # plan); 16-bit pigeonhole buckets keep collision fan-out flat
-        # as the corpus grows, so time should ride the kernel linearly
+        # as the corpus grows, so time should ride the kernel linearly.
+        # NOTE max_hamming=10 > bands-1: banded (partial) recall by
+        # declaration — the probe measures candidate volume, not
+        # exhaustive Hamming-<=10 enumeration (see simhash_near_dups)
         "simhash_near_dups": simhash_near_dups(docs, max_hamming=10, bands=4),
     }
 

@@ -262,19 +262,10 @@ def test_simhash_vectorized_kernel_matches_scalar_reference(spark):
     the scalar fold (fnv1a64_ref) + per-token vote loop it replaced —
     including unicode multi-byte tokens, empty/null/whitespace docs,
     repeated tokens, and a pathologically long token (exercises the
-    length-sorted prefix loop)."""
-    from vector_db_ingestor_spark.operators.dedup import fnv1a64_ref, simhash_udf
-
-    def scalar_fp(text):
-        if not text:
-            return 0
-        votes = [0] * 64
-        for tok in text.lower().split():
-            h = fnv1a64_ref(tok)
-            for i in range(64):
-                votes[i] += 1 if (h >> i) & 1 else -1
-        fp = sum(1 << i for i in range(64) if votes[i] > 0)
-        return fp - (1 << 64) if fp >= (1 << 63) else fp
+    length-sorted prefix loop).  The scalar reference is the shared
+    module-level _scalar_simhash_fp (one copy, also used by the
+    hypothesis property) so the two reference paths cannot drift."""
+    from vector_db_ingestor_spark.operators.dedup import simhash_udf
 
     texts = [
         "the quick brown fox jumps over the lazy dog",
@@ -297,7 +288,7 @@ def test_simhash_vectorized_kernel_matches_scalar_reference(spark):
             "doc_id", simhash_udf()(F.col("text")).alias("fp")
         ).collect()
     }
-    assert got == {i: scalar_fp(t) for i, t in enumerate(texts)}
+    assert got == {i: _scalar_simhash_fp(t) for i, t in enumerate(texts)}
 
 
 def test_salted_join_equals_plain_join(spark):
@@ -386,6 +377,62 @@ def test_ngram_jaccard_df_cap_contract(spark, sf_dir):
     tight = {tuple(r) for r in ngram_jaccard_pairs(
         docs, block_col="lang", n=2, threshold=0.2, max_df=3).collect()}
     assert tight <= exact
+
+
+def test_ngram_uncapped_hot_gram_guard_fails_fast(spark):
+    """The uncapped plan must refuse a hot-gram corpus BEFORE the
+    self-join (the df^2 blowup is unbounded at scale): the guard names
+    the offending gram and its df, and routes to the capped/LSH paths.
+    Disabling the guard (max_hot_df=None) restores verify-stage
+    behavior, and the default guard stays silent when no gram is hot.
+    """
+    import pytest
+
+    from vector_db_ingestor_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "en", f"hot gram everywhere unique{i} tail{i}") for i in range(8)],
+        "doc_id INT, lang STRING, text STRING",
+    )
+    # bigram 'hot gram' appears in all 8 docs > max_hot_df=3
+    with pytest.raises(ValueError, match="hot gram"):
+        ngram_jaccard_pairs(docs, block_col="lang", n=2, threshold=0.2,
+                            max_hot_df=3)
+    # guard off -> the exact plan still builds and runs
+    n_off = ngram_jaccard_pairs(
+        docs, block_col="lang", n=2, threshold=0.2, max_hot_df=None
+    ).count()
+    # no hot grams at df=8 vs default cap -> guard silent, same result
+    n_def = ngram_jaccard_pairs(
+        docs, block_col="lang", n=2, threshold=0.2
+    ).count()
+    assert n_def == n_off
+    # the capped path never triggers the eager guard job (hot grams are
+    # dropped by construction there) even on the hot corpus
+    ngram_jaccard_pairs(
+        docs, block_col="lang", n=2, threshold=0.2, max_df=3, max_hot_df=3
+    ).count()
+
+
+def test_simhash_banded_recall_warning(spark):
+    """simhash_near_dups warns iff max_hamming exceeds the pigeonhole
+    guarantee bands-1 (partial banded recall), and stays silent inside
+    the guarantee."""
+    import warnings
+
+    from vector_db_ingestor_spark.operators.dedup import simhash_near_dups
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id INT, text STRING"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        simhash_near_dups(df, max_hamming=10, bands=4)
+        assert any("pigeonhole" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        simhash_near_dups(df, max_hamming=3, bands=4)
+        assert not any("pigeonhole" in str(w.message) for w in caught)
 
 
 def test_aqe_skew_join_splits_and_matches_salted(spark):
@@ -534,9 +581,10 @@ def test_minhash_shapes_agree_on_adversarial_corpus(spark):
 def test_agg_approx_hll_within_rsd_of_exact(spark, sf_dir):
     """Quality pin for the rows-only q_agg_approx key: the HLL++
     estimate must land within a generous multiple of its configured
-    relative standard deviation (0.02) of the exact per-group distinct
-    count — approximate by design, but not unboundedly so."""
-    from vector_db_ingestor_spark.queries import QUERIES
+    relative standard deviation (AGG_APPROX_RSD, shared with the query
+    implementation) of the exact per-group distinct count —
+    approximate by design, but not unboundedly so."""
+    from vector_db_ingestor_spark.queries import AGG_APPROX_RSD, QUERIES
     from vector_db_ingestor_spark.tables import load_table
 
     approx = {
@@ -553,7 +601,7 @@ def test_agg_approx_hll_within_rsd_of_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for flag, est in approx.items():
         rel_err = abs(est - exact[flag]) / exact[flag]
-        assert rel_err <= 5 * 0.02, (flag, est, exact[flag], rel_err)
+        assert rel_err <= 5 * AGG_APPROX_RSD, (flag, est, exact[flag], rel_err)
 
 
 def _scalar_simhash_fp(text):

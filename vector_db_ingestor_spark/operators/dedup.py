@@ -432,10 +432,33 @@ def simhash_near_dups(
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Pigeonhole blocking: split the 64-bit fingerprint into ``bands``
-    16-bit blocks; any pair within Hamming distance bands-1 shares at
+    equal blocks; any pair within Hamming distance bands-1 shares at
     least one exact block, so the self-join runs on block buckets, never
     all-pairs.
+
+    Recall contract: completeness is guaranteed ONLY for
+    ``max_hamming <= bands - 1``.  Above that, a pair can spread its
+    differing bits across ALL bands (e.g. Hamming 4 with one flipped
+    bit in each of 4 bands) and share no block — such pairs are
+    silently missed; what IS emitted is still exact (the Hamming
+    filter runs on full fingerprints).  Callers wanting banded-recall
+    semantics on purpose (candidate generation, not exhaustive
+    enumeration) get a ``UserWarning`` so the partial recall is never
+    invisible; use more bands (finer blocks, more candidate rows) for
+    a pigeonhole guarantee at higher distances.
     """
+    if max_hamming > bands - 1:
+        import warnings
+
+        warnings.warn(
+            f"simhash_near_dups: max_hamming={max_hamming} exceeds the "
+            f"pigeonhole guarantee of bands-1={bands - 1}; pairs whose "
+            "differing bits spread across all bands are missed "
+            "(banded-recall candidate semantics, not exhaustive "
+            "enumeration). Increase bands for completeness.",
+            UserWarning,
+            stacklevel=2,
+        )
     bits_per_band = 64 // bands
     # coalesce marks fp provably non-null (the kernel never returns
     # null): without it, the join-key constraint isnotnull(band_val)
@@ -489,6 +512,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     max_df: int | None = None,
+    max_hot_df: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets.
 
@@ -511,6 +535,20 @@ def ngram_jaccard_pairs(
     boilerplate-only overlaps, and any pair sharing one rare gram is
     still found.  ``max_df=None`` keeps the fully-exact single-pass
     plan (the verify-stage role, cf. :func:`minhash_verified_pairs`).
+
+    ``max_hot_df`` is the fail-fast guard for the UNCAPPED plan: a gram
+    in df documents emits ~df^2/2 self-join rows, so one stopword-like
+    shingle in 10^6 docs means 5*10^11 rows from that gram alone — an
+    unbounded shuffle discovered only after hours of cluster time.
+    Before building the join, the uncapped path runs one cheap
+    hash-agg job over the gram stream and raises ``ValueError`` if any
+    (block, gram) exceeds ``max_hot_df`` documents, naming the worst
+    offender and routing the caller to ``max_df=...`` (capped
+    candidates + exact verify) or :func:`minhash_verified_pairs`.
+    ``max_hot_df=None`` disables the guard (and its eager job) for
+    verify-stage calls on pre-blocked candidate sets.  The capped plan
+    needs no guard: its candidate generation drops hot grams by
+    construction.
     """
     sh = df.select(
         F.col(id_col).alias("gid"),
@@ -519,6 +557,32 @@ def ngram_jaccard_pairs(
     )
     if max_df is not None:
         return _ngram_jaccard_capped(sh, threshold, max_df)
+    if max_hot_df is not None:
+        # eager, mirrors the ivf_write input-guard pattern
+        # (similarity.py): pay one small aggregation job now rather
+        # than an unbounded shuffle later.  Grams are distinct per doc
+        # (word_shingles dedups), so count(*) == document frequency.
+        worst = (
+            sh.select("blk", F.explode("grams").alias("g"))
+            .groupBy("blk", "g")
+            .count()
+            .filter(F.col("count") > max_hot_df)
+            .orderBy(F.col("count").desc())
+            .take(1)
+        )
+        if worst:
+            row = worst[0]
+            raise ValueError(
+                "ngram_jaccard_pairs (uncapped): hot gram "
+                f"{row['g']!r} appears in {row['count']} documents of "
+                f"block {row['blk']!r} (> max_hot_df={max_hot_df}); the "
+                f"self-join would emit ~{row['count'] ** 2 // 2:,} rows "
+                "for this gram alone. Use max_df=<cap> (rare-gram "
+                "candidates + exact verify), minhash_verified_pairs "
+                "(LSH candidates + exact verify), or raise "
+                "max_hot_df/pass max_hot_df=None if the blowup is "
+                "genuinely intended."
+            )
     # join on a 64-bit gram hash, not the string: smaller shuffle rows,
     # cheaper key compare (collisions across distinct grams of one doc
     # pair are ~n_grams^2/2^64 — immaterial next to float rounding).

@@ -538,6 +538,12 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# configured HLL++ accuracy for q_agg_approx; the within-rsd quality
+# pin (tests/test_operators.py) references this same constant so the
+# test bound can never silently diverge from the query's rsd
+AGG_APPROX_RSD = 0.02
+
+
 def q_agg_approx_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — constant memory per
     group at any scale; rows-only check (approximate by design)."""
@@ -545,7 +551,7 @@ def q_agg_approx_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", AGG_APPROX_RSD).alias("approx_parts"),
             F.count("*").alias("n_rows"),
         )
         .orderBy("l_returnflag")
@@ -1084,9 +1090,24 @@ def q_dedup_simhash_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the fingerprint; blocking join is JVM-side.  The FNV-1a
     fingerprint is a closed form, so the oracle reproduces fingerprints,
     band blocking, and Hamming distances exactly (HUGEINT arithmetic
-    mirrors the mod-2^64 fold) — upgraded from a rows-only check."""
+    mirrors the mod-2^64 fold) — upgraded from a rows-only check.
+
+    Recall note: max_hamming=10 > bands-1=3, so this is BANDED recall
+    by declaration — pairs at Hamming 4-10 whose differing bits spread
+    across all four bands share no block and are missed (the oracle
+    mirrors the banding, so hash parity is unaffected).  The operator
+    warns at call time; candidate-generation semantics are intended
+    here."""
+    import warnings
+
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=10, bands=4).orderBy("id_a", "id_b")
+    with warnings.catch_warnings():
+        # banded-recall semantics are deliberate for this key (see
+        # docstring); silence the operator's partial-recall warning so
+        # driver/bench logs stay clean
+        warnings.simplefilter("ignore", UserWarning)
+        pairs = simhash_near_dups(docs, max_hamming=10, bands=4)
+    return pairs.orderBy("id_a", "id_b")
 
 
 def _simhash_oracle(max_hamming: int = 10, bands: int = 4) -> str:
@@ -5172,7 +5193,7 @@ def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TPCH_Q20 = """
-        SELECT s_name, s_acctbal
+        SELECT s_suppkey, s_name, s_acctbal
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON r_regionkey = n_regionkey
@@ -5186,7 +5207,7 @@ _TPCH_Q20 = """
             GROUP BY l_suppkey, l_partkey
             HAVING sum(l_quantity) > 48
           )
-        ORDER BY s_name, s_acctbal
+        ORDER BY s_name, s_acctbal, s_suppkey
 """
 
 
