@@ -721,6 +721,78 @@ def dedup_100x(sf_dir: str, reps: int = 1) -> None:
     print(f"appended to {out}")
 
 
+def ngram100_median(sf_dir: str, reps: int = 3) -> None:
+    """Round-9 follow-up: the ngram_capped row of the 100x dedup probe
+    was the one number measured at reps=1, and its wall ratio swung
+    1.8-4.3x across runs while candidate rows held exactly linear
+    (3.3x) — per the repo's bench-noise discipline, a single-shot
+    timing of a sub-minute stage is not evidence.  Re-measure JUST
+    ngram_capped at 30x/100x with warm median-of-``reps`` (same noop
+    sink as every probe timing) and append the full rep spread so the
+    medians are auditable.
+
+    Run: python scripts/scale_probe.py --ngram100 [sf_dir] [reps]
+    """
+    from vector_db_ingestor_spark.operators.dedup import ngram_jaccard_pairs
+
+    spark = get_spark("scale_probe_ngram100")
+    rows: dict[int, int] = {}
+    all_ts: dict[int, list[float]] = {}
+    try:
+        for factor in (30, 100):
+            docs = replicate_docs(load_table(spark, sf_dir, "documents"), factor)
+            df = ngram_jaccard_pairs(
+                docs, block_col="lang", n=2, threshold=0.2, max_df=5
+            )
+            rows[factor] = df.count()
+            df.write.format("noop").mode("overwrite").save()  # warm
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            all_ts[factor] = ts
+            print(
+                f"x{factor:<4d} ngram_capped: median "
+                f"{statistics.median(ts):.2f}s reps={[f'{t:.2f}' for t in ts]} "
+                f"rows={rows[factor]}",
+                flush=True,
+            )
+    finally:
+        spark.stop()
+
+    med = {f: statistics.median(ts) for f, ts in all_ts.items()}
+    lines = [
+        "",
+        "## ngram_capped 100x — round-9 warm-median re-measure",
+        "",
+        f"The one reps=1 probe row, re-run idle with median-of-{reps}",
+        "warm repetitions per factor (warm-up pass excluded, same noop",
+        "sink).  Candidate rows are deterministic; the spread column is",
+        "every timed rep so the median is auditable.",
+        "",
+        "| factor | median | reps (s) | rows |",
+        "|---|---|---|---|",
+    ]
+    for f in (30, 100):
+        lines.append(
+            f"| {f}x | {med[f]:.2f}s | "
+            + ", ".join(f"{t:.2f}" for t in all_ts[f])
+            + f" | {rows[f]} |"
+        )
+    lines += [
+        "",
+        f"time 100x/30x = {med[100] / med[30]:.2f} at rows "
+        f"{rows[100]}/{rows[30]} = {rows[100] / max(rows[30], 1):.2f}.",
+    ]
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
+    )
+    with open(out, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended to {out}")
+
+
 if __name__ == "__main__":
     if sys.argv[1:2] == ["--embed100"]:
         embed_100x(
@@ -731,6 +803,11 @@ if __name__ == "__main__":
         dedup_100x(
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
             int(sys.argv[3]) if len(sys.argv) > 3 else 1,
+        )
+    elif sys.argv[1:2] == ["--ngram100"]:
+        ngram100_median(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
         )
     else:
         main()
