@@ -702,7 +702,7 @@ def dedup_100x(sf_dir: str, reps: int = 1) -> None:
         "(500k docs) with a same-session 30x baseline.  These designs are",
         "exactly linear (band buckets / capped gram df bound every pair",
         "set), so both time and candidate rows should sit near the linear",
-        "100x/30x = 3.33.",
+        f"100x/30x = 3.33.  Timings are warm medians of {reps} rep(s).",
         "",
         "| stage | 30x | 100x | time 100x/30x | rows 30x | rows 100x | rows 100x/30x |",
         "|---|---|---|---|---|---|---|",
