@@ -935,6 +935,150 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
     print(f"appended to {out}")
 
 
+def text_100x(sf_dir: str, reps: int = 3) -> None:
+    """Round-9: the third leg of the 100x record — the text-pipeline
+    families (quality scoring, token frequency, TF-IDF, benchmark
+    decontamination, boilerplate detection, sequence packing) at
+    30x/100x, warm median-of-``reps``.  Plans mirror the registered
+    queries over replicated docs (the two that already have shared
+    builders — boilerplate_top50, pack_sequences_plan — are reused
+    directly; the rest are restated inline with identical expressions).
+
+    Unlike the dedup/ann probes, the replicated corpus is MATERIALIZED
+    to parquet per factor and every family is timed over the parquet
+    read.  Reason, measured round 9: replicate_docs picks each copy's
+    text rotation with a factor-deep when-chain, so the inline
+    replication projection costs O(rows x factor) — a bare noop write
+    of replicate_docs alone is 1.9s at 30x vs 10.1s at 100x (5.4x wall
+    for 3.33x rows).  Join/shuffle-dominated probes absorb that harness
+    term; these scan-dominated families would be ~20-50% harness at
+    100x, so inline timing would report a superlinearity that belongs
+    to the probe, not the engine.  Materializing also gives the scan
+    real parallelism (32 input splits instead of the single in-memory
+    partition the explode-based replicator produces).
+
+    Expectations: quality/token_freq/tfidf are scan + hash-agg (+ tiny
+    broadcast) — linear; contamination's broadcast side (the eval set)
+    grows WITH the corpus here (doc_id % 97), which is harsher than
+    production where benchmark suites are fixed-size, so linear-ish
+    with a growing broadcast constant; boilerplate and pack_sequences
+    are one window over a corpus-keyed partition column — linear.
+
+    Run: python scripts/scale_probe.py --text100 [sf_dir] [reps]
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from vector_db_ingestor_spark.operators import text_analysis as ta
+    from vector_db_ingestor_spark.operators.text_analysis import (
+        contamination_report,
+    )
+    from vector_db_ingestor_spark.queries import (
+        boilerplate_top50,
+        pack_sequences_plan,
+    )
+
+    spark = get_spark("scale_probe_text100")
+    times: dict[str, dict[int, float]] = {}
+    tmp = tempfile.mkdtemp(prefix="text100_")
+    try:
+        for factor in (30, 100):
+            base = load_table(spark, sf_dir, "documents")
+            n_docs = base.count() * factor
+            path = os.path.join(tmp, f"docs_x{factor}")
+            replicate_docs(base, factor).repartition(32).write.mode(
+                "overwrite"
+            ).parquet(path)
+            docs = spark.read.parquet(path)
+
+            quality = docs.select(
+                "doc_id",
+                F.round(ta.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+                F.round(ta.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+                F.round(ta.mean_token_len(F.col("text")), 6).alias("mean_tok_len"),
+                ta.quality_score(F.col("text")).alias("quality"),
+            )
+            toks = docs.select(
+                "doc_id",
+                F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                    "term"
+                ),
+            ).filter(F.col("term") != "")
+            token_freq = (
+                toks.groupBy("term")
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("term").asc())
+                .limit(50)
+            )
+            tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+            df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+            scored = tf.join(F.broadcast(df_tbl), "term").select(
+                "doc_id",
+                "term",
+                F.round(
+                    F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                ).alias("tfidf"),
+            )
+            w = Window.partitionBy("doc_id").orderBy(
+                F.col("tfidf").desc(), F.col("term").asc()
+            )
+            tfidf_top3 = scored.withColumn("rk", F.row_number().over(w)).filter(
+                F.col("rk") <= 3
+            )
+            contamination = contamination_report(
+                docs, docs.filter(F.col("doc_id") % 97 == 0), n=2
+            )
+
+            fams = {
+                "text_quality": quality,
+                "token_freq_top50": token_freq,
+                "tfidf_top3": tfidf_top3,
+                "contamination": contamination,
+                "boilerplate_top50": boilerplate_top50(docs),
+                "pack_sequences": pack_sequences_plan(docs),
+            }
+            for name, df in fams.items():
+                times.setdefault(name, {})[factor] = _time_median(df, reps)
+                print(
+                    f"x{factor:<4d} {name}: {times[name][factor]:.2f}s",
+                    flush=True,
+                )
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    lines = [
+        "",
+        "## 100x text-pipeline probe — round-9, warm median-of-%d" % reps,
+        "",
+        "Quality scoring, token frequency, TF-IDF top-3, benchmark",
+        "decontamination, boilerplate top-50, and sequence packing at",
+        "30x/100x (500k docs), timed over a MATERIALIZED replicated",
+        "corpus (parquet, 32 splits): the inline replicator's",
+        "factor-deep when-chain costs O(rows x factor) — 1.9s at 30x vs",
+        "10.1s at 100x for a bare noop write — which would pollute these",
+        "scan-dominated families by 20-50% at 100x (shuffle-dominated",
+        "probes absorb it).  All are scan + hash-agg / broadcast /",
+        "window plans — linear expectation 3.33.  contamination's eval",
+        "split grows with the corpus here (doc_id % 97), harsher than",
+        "production fixed-size benchmarks.",
+        "",
+        "| stage | 30x | 100x | time 100x/30x |",
+        "|---|---|---|---|",
+    ]
+    for name, t in times.items():
+        lines.append(
+            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | {t[100] / t[30]:.2f} |"
+        )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
+    )
+    with open(out, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended to {out}")
+
+
 if __name__ == "__main__":
     if sys.argv[1:2] == ["--embed100"]:
         embed_100x(
@@ -945,6 +1089,11 @@ if __name__ == "__main__":
         dedup_100x(
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
             int(sys.argv[3]) if len(sys.argv) > 3 else 1,
+        )
+    elif sys.argv[1:2] == ["--text100"]:
+        text_100x(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
         )
     elif sys.argv[1:2] == ["--ann100"]:
         ann_100x(
