@@ -111,6 +111,12 @@ HEADLINE = [
     "q_sql_tpch_q16",
     "q_sql_tpch_q20",
     "q_sql_tpch_q21",
+    # round-9 additions (filter cascade, token entropy, cross-source
+    # near-dup matrix) — in the headline from birth so their cost has a
+    # per-round record
+    "q_docs_filter_report",
+    "q_text_entropy",
+    "q_dedup_crosssource",
 ]
 
 

@@ -168,6 +168,15 @@ AUDITS: dict[str, dict] = {
     "q_sql_tpch_q20": {"semi_join": True, "broadcast": True, "pushed": True},
     # EXISTS -> left-semi, NOT EXISTS -> left-anti, both hash joins
     "q_sql_tpch_q21": {"semi_join": True, "no_nested_loop": True, "partial_agg": True},
+    # round 9: flag projection rides the scan; ONE single-row exchange
+    # feeds the global counter agg (partial counts per partition first)
+    "q_docs_filter_report": {"partial_agg": True, "max_exchange": 1},
+    # explode -> (doc,term) agg -> doc agg: exactly two hash exchanges,
+    # both behind map-side partial aggregation
+    "q_text_entropy": {"partial_agg": True, "max_exchange": 2},
+    # candidate pairs are orders of magnitude smaller than the corpus:
+    # AQE must broadcast the pair side into the doc->source lookups
+    "q_dedup_crosssource": {"broadcast": True, "partial_agg": True},
 }
 
 

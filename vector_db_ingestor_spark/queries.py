@@ -5272,3 +5272,255 @@ def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_TPCH_Q21)
+
+
+# =====================================================================
+# round-9 additions: filter-cascade report, token entropy,
+# cross-source near-dup overlap
+# =====================================================================
+
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1 give the rule
+#: SHAPES — word-count bounds, mean-word-length bounds, symbol ratio,
+#: stopword presence; the numeric cut points here are recalibrated to
+#: the synthetic fixtures so every rule discriminates: word counts run
+#: 10-100 with median ~55 and mean word length sits in a tight
+#: 4.0-4.95 band, so the paper's [3, 10] length bounds would never
+#: fire).  Shared verbatim with the SQL oracle via f-string rendering.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+GOPHER_MWL_LO = 4.2
+GOPHER_MWL_HI = 4.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+
+_STOPWORD_LIST_SQL = "[" + ",".join(f"'{w}'" for w in ta.STOPWORDS) + "]"
+
+
+@query(
+    "q_docs_filter_report",
+    oracle=f"""
+    WITH m AS (
+        SELECT len(string_split_regex(trim(text), '\\s+')) AS n_words,
+               length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                 / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS mwl,
+               length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                 / greatest(length(text), 1) AS symr,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   t -> list_contains({_STOPWORD_LIST_SQL}, t))) AS stop_hits
+        FROM documents
+    ),
+    f AS (
+        SELECT (n_words < {GOPHER_MIN_WORDS}) AS f_min,
+               (n_words > {GOPHER_MAX_WORDS}) AS f_max,
+               (mwl < {GOPHER_MWL_LO} OR mwl > {GOPHER_MWL_HI}) AS f_mwl,
+               (symr > {GOPHER_MAX_SYMBOL_RATIO}) AS f_sym,
+               (stop_hits = 0) AS f_stop
+        FROM m
+    ),
+    agg AS (
+        SELECT count(*) AS n,
+               count_if(f_min) AS c_min, count_if(f_max) AS c_max,
+               count_if(f_mwl) AS c_mwl, count_if(f_sym) AS c_sym,
+               count_if(f_stop) AS c_stop,
+               count_if(NOT (f_min OR f_max OR f_mwl OR f_sym OR f_stop)) AS c_pass
+        FROM f
+    )
+    SELECT 'min_words' AS rule, CAST(c_min AS BIGINT) AS n_fail, round(c_min / n, 6) AS fail_rate FROM agg
+    UNION ALL SELECT 'max_words', CAST(c_max AS BIGINT), round(c_max / n, 6) FROM agg
+    UNION ALL SELECT 'mean_word_len', CAST(c_mwl AS BIGINT), round(c_mwl / n, 6) FROM agg
+    UNION ALL SELECT 'symbol_ratio', CAST(c_sym AS BIGINT), round(c_sym / n, 6) FROM agg
+    UNION ALL SELECT 'no_stopwords', CAST(c_stop AS BIGINT), round(c_stop / n, 6) FROM agg
+    UNION ALL SELECT 'pass_all', CAST(c_pass AS BIGINT), round(c_pass / n, 6) FROM agg
+    """,
+)
+def q_docs_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-filter cascade with per-rule drop
+    accounting: five deterministic rules (word-count bounds, mean word
+    length band, symbol ratio, stopword presence) evaluated in ONE
+    scan, reported as (rule, n_fail, fail_rate) rows plus a `pass_all`
+    survivors row — the per-rule rejection report a corpus-cleaning
+    run ships with.
+
+    Scale: a single map-side-combined global aggregate (flags are
+    cheap JVM expressions riding the scan; the exchange carries ONE
+    row of counters per partition); the explode to tidy rows touches
+    a 1-row DataFrame.  No joins, no data-sized shuffle at any SF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = ta.whitespace_token_count(F.col("text"))
+    mwl = ta.mean_token_len(F.col("text"))
+    symr = ta.punct_ratio(F.col("text"))
+    ltoks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    stop_hits = F.size(F.filter(ltoks, lambda t: t.isin(*ta.STOPWORDS)))
+    flags = docs.select(
+        (n_words < GOPHER_MIN_WORDS).alias("f_min"),
+        (n_words > GOPHER_MAX_WORDS).alias("f_max"),
+        ((mwl < GOPHER_MWL_LO) | (mwl > GOPHER_MWL_HI)).alias("f_mwl"),
+        (symr > GOPHER_MAX_SYMBOL_RATIO).alias("f_sym"),
+        (stop_hits == 0).alias("f_stop"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("f_min")).alias("c_min"),
+        F.count_if(F.col("f_max")).alias("c_max"),
+        F.count_if(F.col("f_mwl")).alias("c_mwl"),
+        F.count_if(F.col("f_sym")).alias("c_sym"),
+        F.count_if(F.col("f_stop")).alias("c_stop"),
+        F.count_if(
+            ~(
+                F.col("f_min")
+                | F.col("f_max")
+                | F.col("f_mwl")
+                | F.col("f_sym")
+                | F.col("f_stop")
+            )
+        ).alias("c_pass"),
+    )
+
+    def rule_row(name: str, c: str):
+        return F.struct(
+            F.lit(name).alias("rule"),
+            F.col(c).alias("n_fail"),
+            F.round(F.col(c) / F.col("n"), 6).alias("fail_rate"),
+        )
+
+    return agg.select(
+        F.explode(
+            F.array(
+                rule_row("min_words", "c_min"),
+                rule_row("max_words", "c_max"),
+                rule_row("mean_word_len", "c_mwl"),
+                rule_row("symbol_ratio", "c_sym"),
+                rule_row("no_stopwords", "c_stop"),
+                rule_row("pass_all", "c_pass"),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    per AS (
+        SELECT doc_id,
+               sum(tf) AS n_tokens,
+               count(*) AS n_terms,
+               sum(CAST(round(tf * ln(tf::DOUBLE) * 1000000) AS BIGINT)) AS mn
+        FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_terms AS BIGINT) AS n_terms,
+           round(n_terms / n_tokens, 6) AS ttr,
+           round(ln(n_tokens::DOUBLE) - (mn / 1000000.0) / n_tokens, 6) AS entropy
+    FROM per
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution diversity per doc: unigram Shannon entropy
+    (nats) + type-token ratio — the low-entropy tail is boilerplate /
+    repetition, a standard corpus-quality cut.
+
+    Cross-engine float discipline: entropy = ln(N) - (1/N)*sum(tf*ln tf)
+    where the SUM is carried as exact integer micro-nats
+    (round(tf*ln(tf)*1e6) as BIGINT) — integer addition is
+    order-insensitive, so hash parity cannot depend on Spark's
+    nondeterministic aggregation order (same trick family as the bm25
+    pre-rounding; ln itself is parity-proven by q_tfidf/q_math_fns).
+
+    Scale: explode -> two map-side-combined hash aggs keyed by
+    (doc_id, term) then doc_id — the same shuffle shape as q_tfidf;
+    linear in corpus tokens, no joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    per = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count("*").alias("n_terms"),
+        F.sum(
+            F.round(F.col("tf") * F.log(F.col("tf")) * 1000000.0, 0).cast("long")
+        ).alias("mn"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.round(F.col("n_terms") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(
+            F.log(F.col("n_tokens"))
+            - (F.col("mn") / F.lit(1000000.0)) / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def q_dedup_crosssource_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup overlap matrix: MinHash-LSH candidate
+    pairs (the md5 family, identical to q_dedup_minhash) rolled up by
+    unordered source pair — the provenance diagnostic a multi-source
+    training mix needs before assigning mixture weights (which crawls /
+    dumps are near-copies of each other, and how strongly).
+
+    est_jaccard values are exact multiples of 1/64 (dyadic, <= 6
+    decimals), so the per-pair sum/avg is EXACT in double regardless of
+    Spark's aggregation order — avg/max are hash-parity-safe with no
+    pre-rounding needed.
+
+    Scale: candidates come from the band-bucket equi-join (linear, the
+    100x-probed minhash path); the two doc_id->source lookups join a
+    candidate set that is orders of magnitude smaller than the corpus,
+    so AQE picks a broadcast of the PAIR side against the data-sized
+    source map (never the reverse); the final rollup keys on at most
+    |sources|^2 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(
+        docs, num_perm=64, bands=16, shingle_n=3, hash_family="md5"
+    )
+    src = docs.select("doc_id", "source")
+    j = pairs.join(
+        src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+        "id_a",
+    ).join(
+        src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+        "id_b",
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "est_jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("est_jaccard"), 6).alias("avg_est"),
+            F.round(F.max("est_jaccard"), 6).alias("max_est"),
+        )
+    )
+
+
+QUERIES["q_dedup_crosssource"] = q_dedup_crosssource_impl
+ORACLE_SQL["q_dedup_crosssource"] = f"""
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(p.est_jaccard), 6) AS avg_est,
+           round(max(p.est_jaccard), 6) AS max_est
+    FROM ({_minhash_md5_candidates_oracle()}) p
+    JOIN documents sa ON sa.doc_id = p.id_a
+    JOIN documents sb ON sb.doc_id = p.id_b
+    GROUP BY 1, 2
+    """
