@@ -1079,6 +1079,147 @@ def text_100x(sf_dir: str, reps: int = 3) -> None:
     print(f"appended to {out}")
 
 
+def _replicate_rel(df: DataFrame, id_cols: list[str], factor: int) -> DataFrame:
+    """factor copies of a relational table with EVERY listed key column
+    offset into a disjoint per-copy range — cross-copy rows can never
+    join and per-key group/partition sizes stay constant as the corpus
+    grows (the relational twin of the doc/embedding bijections)."""
+    if factor == 1:
+        return df
+    out = _replicated(df, id_cols[0], factor)
+    for c in id_cols[1:]:
+        out = out.withColumn(c, F.col(c) + F.col("__k") * F.lit(ID_STRIDE))
+    return out.drop("__k")
+
+
+def rel_100x(sf_dir: str, reps: int = 3) -> None:
+    """Round-9: the fourth leg of the 100x record — the RELATIONAL core
+    at 30x/100x lineitem (18M/60M rows), warm median-of-``reps`` over
+    MATERIALIZED replicated tables (parquet, 32 splits; same round-9
+    methodology as the text probe — the harness must not ride inside
+    the timed plan).  Families mirror the registered TPC-H-shaped keys:
+
+    - q1_agg: Q1 shape — scan + filter + (flag, status) hash agg.
+    - q6_scan_agg: Q6 shape — triple-predicate pushdown scan + 1-row agg.
+    - q3_join: Q3 shape — customer filter (broadcast) + orders/lineitem
+      shuffle joins + per-order revenue agg + top-10.
+    - distinct_agg: two-phase count(DISTINCT partkey) per returnflag
+      (partkeys are copy-offset, so distinct cardinality grows with the
+      corpus like production data).
+    - window_top3: row_number over (custkey, price desc) partitions —
+      a data-sized window shuffle; partition COUNT grows, size doesn't.
+
+    All five are linear-expectation plans (3.33 at 100x/30x).
+
+    Run: python scripts/scale_probe.py --rel100 [sf_dir] [reps]
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    spark = get_spark("scale_probe_rel100")
+    times: dict[str, dict[int, float]] = {}
+    tmp = tempfile.mkdtemp(prefix="rel100_")
+    try:
+        for factor in (30, 100):
+            paths = {}
+            for tbl, keys in (
+                ("lineitem", ["l_orderkey", "l_partkey"]),
+                ("orders", ["o_orderkey", "o_custkey"]),
+                ("customer", ["c_custkey"]),
+            ):
+                p = os.path.join(tmp, f"{tbl}_x{factor}")
+                _replicate_rel(
+                    load_table(spark, sf_dir, tbl), keys, factor
+                ).repartition(32).write.mode("overwrite").parquet(p)
+                paths[tbl] = p
+            li = spark.read.parquet(paths["lineitem"])
+            orders = spark.read.parquet(paths["orders"])
+            cust = spark.read.parquet(paths["customer"])
+
+            q1 = (
+                li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum("l_quantity").alias("sum_qty"),
+                    F.sum("l_extendedprice").alias("sum_price"),
+                    F.avg("l_discount").alias("avg_disc"),
+                    F.count("*").alias("n"),
+                )
+            )
+            q6 = li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                & (F.col("l_discount").between(0.02, 0.06))
+                & (F.col("l_quantity") < 24)
+            ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("rev"))
+            q3 = (
+                cust.filter(F.col("c_mktsegment") == "BUILDING")
+                .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+                .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+                .groupBy("o_orderkey")
+                .agg(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).alias("revenue")
+                )
+                .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+                .limit(10)
+            )
+            distinct_agg = li.groupBy("l_returnflag").agg(
+                F.countDistinct("l_partkey").alias("n_parts")
+            )
+            w = Window.partitionBy("o_custkey").orderBy(
+                F.col("o_totalprice").desc(), F.col("o_orderkey")
+            )
+            window_top3 = (
+                orders.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 3)
+                .select("o_custkey", "o_orderkey", "rk")
+            )
+
+            fams = {
+                "q1_agg": q1,
+                "q6_scan_agg": q6,
+                "q3_join": q3,
+                "distinct_agg": distinct_agg,
+                "window_top3": window_top3,
+            }
+            for name, df in fams.items():
+                times.setdefault(name, {})[factor] = _time_median(df, reps)
+                print(
+                    f"x{factor:<4d} {name}: {times[name][factor]:.2f}s",
+                    flush=True,
+                )
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    lines = [
+        "",
+        "## 100x relational-core probe — round-9, warm median-of-%d" % reps,
+        "",
+        "TPC-H-shaped families at 30x/100x lineitem (18M/60M rows),",
+        "materialized replicated tables, every key column copy-offset so",
+        "join/group density per key is constant while key cardinality",
+        "grows.  Linear expectation 3.33.",
+        "",
+        "| stage | 30x | 100x | time 100x/30x |",
+        "|---|---|---|---|",
+    ]
+    for name, t in times.items():
+        lines.append(
+            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | {t[100] / t[30]:.2f} |"
+        )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
+    )
+    with open(out, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended to {out}")
+
+
 if __name__ == "__main__":
     if sys.argv[1:2] == ["--embed100"]:
         embed_100x(
@@ -1097,6 +1238,11 @@ if __name__ == "__main__":
         )
     elif sys.argv[1:2] == ["--ann100"]:
         ann_100x(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+    elif sys.argv[1:2] == ["--rel100"]:
+        rel_100x(
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
             int(sys.argv[3]) if len(sys.argv) > 3 else 3,
         )
