@@ -403,15 +403,20 @@ def test_ngram_uncapped_hot_gram_guard_fails_fast(spark):
         docs, block_col="lang", n=2, threshold=0.2, max_hot_df=None
     ).count()
     # no hot grams at df=8 vs default cap -> guard silent, same result
-    n_def = ngram_jaccard_pairs(
-        docs, block_col="lang", n=2, threshold=0.2
-    ).count()
-    assert n_def == n_off
+    guarded = ngram_jaccard_pairs(docs, block_col="lang", n=2, threshold=0.2)
+    # single-shingling contract: the guard's agg job and the returned
+    # join plan share ONE persisted token stream — the corpus is never
+    # shingled twice per uncapped guarded call
+    assert "InMemoryRelation" in (
+        guarded._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert guarded.count() == n_off
     # the capped path never triggers the eager guard job (hot grams are
     # dropped by construction there) even on the hot corpus
     ngram_jaccard_pairs(
         docs, block_col="lang", n=2, threshold=0.2, max_df=3, max_hot_df=3
     ).count()
+    spark.catalog.clearCache()
 
 
 def test_simhash_banded_recall_warning(spark):

@@ -545,10 +545,17 @@ def ngram_jaccard_pairs(
     (block, gram) exceeds ``max_hot_df`` documents, naming the worst
     offender and routing the caller to ``max_df=...`` (capped
     candidates + exact verify) or :func:`minhash_verified_pairs`.
-    ``max_hot_df=None`` disables the guard (and its eager job) for
-    verify-stage calls on pre-blocked candidate sets.  The capped plan
-    needs no guard: its candidate generation drops hot grams by
-    construction.
+    With the guard on, the shingled/hashed token stream is persisted
+    (MEMORY_AND_DISK) so the corpus is shingled ONCE — the guard's
+    aggregation and the returned join plan share the cache rather than
+    each re-running tokenize+shingle+hash; the cache stays alive for
+    the returned DataFrame (callers can ``spark.catalog.clearCache()``
+    after consuming it).  ``max_hot_df=None`` disables the guard, its
+    eager job, and the cache — the fully-lazy single-exchange plan —
+    for verify-stage calls on pre-vetted/pre-blocked corpora (the
+    registered query keys pass ``None``: their fixtures are vetted and
+    plan-audited).  The capped plan needs no guard: its candidate
+    generation drops hot grams by construction.
     """
     sh = df.select(
         F.col(id_col).alias("gid"),
@@ -557,32 +564,6 @@ def ngram_jaccard_pairs(
     )
     if max_df is not None:
         return _ngram_jaccard_capped(sh, threshold, max_df)
-    if max_hot_df is not None:
-        # eager, mirrors the ivf_write input-guard pattern
-        # (similarity.py): pay one small aggregation job now rather
-        # than an unbounded shuffle later.  Grams are distinct per doc
-        # (word_shingles dedups), so count(*) == document frequency.
-        worst = (
-            sh.select("blk", F.explode("grams").alias("g"))
-            .groupBy("blk", "g")
-            .count()
-            .filter(F.col("count") > max_hot_df)
-            .orderBy(F.col("count").desc())
-            .take(1)
-        )
-        if worst:
-            row = worst[0]
-            raise ValueError(
-                "ngram_jaccard_pairs (uncapped): hot gram "
-                f"{row['g']!r} appears in {row['count']} documents of "
-                f"block {row['blk']!r} (> max_hot_df={max_hot_df}); the "
-                f"self-join would emit ~{row['count'] ** 2 // 2:,} rows "
-                "for this gram alone. Use max_df=<cap> (rare-gram "
-                "candidates + exact verify), minhash_verified_pairs "
-                "(LSH candidates + exact verify), or raise "
-                "max_hot_df/pass max_hot_df=None if the blowup is "
-                "genuinely intended."
-            )
     # join on a 64-bit gram hash, not the string: smaller shuffle rows,
     # cheaper key compare (collisions across distinct grams of one doc
     # pair are ~n_grams^2/2^64 — immaterial next to float rounding).
@@ -601,6 +582,49 @@ def ngram_jaccard_pairs(
         # join itself needs no further shuffle
         .repartition("blk", "gram")
     )
+    if max_hot_df is not None:
+        # eager, mirrors the ivf_write input-guard pattern
+        # (similarity.py): pay one small aggregation job now rather
+        # than an unbounded shuffle later.  The guard aggregates the
+        # SAME cached token stream the join consumes, so shingling runs
+        # once per corpus, not once for the guard and again for the
+        # join.  Grams are distinct per doc (word_shingles dedups), so
+        # count(*) == document frequency.
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        worst = (
+            toks.groupBy("blk", "gram")
+            .count()
+            .filter(F.col("count") > max_hot_df)
+            .orderBy(F.col("count").desc())
+            .take(1)
+        )
+        if worst:
+            row = worst[0]
+            # failure path only: recover the human-readable gram for the
+            # error message (the cached stream carries just the hash)
+            offender = (
+                sh.select("blk", F.explode("grams").alias("g"))
+                .filter(
+                    (F.col("blk") == F.lit(row["blk"]))
+                    & (F.xxhash64("g") == F.lit(row["gram"]))
+                )
+                .take(1)
+            )
+            gram_repr = repr(offender[0]["g"]) if offender else f"hash={row['gram']}"
+            toks.unpersist()
+            raise ValueError(
+                "ngram_jaccard_pairs (uncapped): hot gram "
+                f"{gram_repr} appears in {row['count']} documents of "
+                f"block {row['blk']!r} (> max_hot_df={max_hot_df}); the "
+                f"self-join would emit ~{row['count'] ** 2 // 2:,} rows "
+                "for this gram alone. Use max_df=<cap> (rare-gram "
+                "candidates + exact verify), minhash_verified_pairs "
+                "(LSH candidates + exact verify), or raise "
+                "max_hot_df/pass max_hot_df=None if the blowup is "
+                "genuinely intended."
+            )
     x = toks.selectExpr("gid as id_a", "blk", "gram", "sz as sz_a")
     y = toks.selectExpr("gid as id_b", "blk", "gram", "sz as sz_b")
     inter = (

