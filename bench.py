@@ -31,6 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from vector_db_ingestor_spark.queries import QUERIES  # noqa: E402
 from vector_db_ingestor_spark.session import get_spark  # noqa: E402
 
+# stay comfortably under the driver's 2000-byte stdout tail capture
+# (margin absorbs a trailing newline and any same-line log noise)
+TAIL_BUDGET = 1950
+
 HEADLINE = [
     "q_topk_cosine",
     "q_topk_batch",
@@ -151,18 +155,30 @@ def main() -> None:
 
     timings = {key: round(statistics.median(ts), 3) for key, ts in samples.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # The driver records only the LAST 2000 bytes of stdout and parses
+    # the final line as JSON: round 9's 75-key line at 3 decimals with
+    # spaced separators overran the window and came back unparsed
+    # (BENCH_r09.json "parsed": null).  Compact separators + 2-decimal
+    # per-query values keep the line ~1.77 KB with headroom for more
+    # keys; if the suite ever grows past the window anyway, degrade
+    # per-query precision (never drop keys) until the line fits.
+    # 2 decimals is enough: the repo's round-over-round discipline
+    # ignores deltas under 1.5x on untouched code.
+    payload = {
+        "metric": "headline_query_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "n": reps,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    for ndigits in (1, 0):
+        if len(line) <= TAIL_BUDGET:
+            break
+        payload["queries"] = {k: round(v, ndigits) for k, v in timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

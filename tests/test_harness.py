@@ -141,3 +141,30 @@ def test_bench_headline_keys_are_registered_queries():
     missing = [k for k in bench.HEADLINE if k not in QUERIES]
     assert not missing, missing
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate keys"
+
+
+def test_bench_summary_line_fits_driver_tail_window():
+    """The driver captures only the last 2000 bytes of bench stdout and
+    parses the final line as JSON; round 9's 75-key line overran the
+    window and the record came back unparsed.  Pin: the summary line at
+    the CURRENT headline size, with worst-case value widths (999.99),
+    stays under bench.TAIL_BUDGET < 2000 — adding headline keys must
+    keep this green (or accept the runtime precision fallback)."""
+    import json
+
+    import bench
+
+    payload = {
+        "metric": "headline_query_suite_runtime",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": {k: 999.99 for k in bench.HEADLINE},
+        "n": 5,
+        "sf": 0.1,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) <= bench.TAIL_BUDGET < 2000, (
+        f"bench summary line {len(line)}B exceeds the driver tail window; "
+        "trim precision or rely on the fallback loop in bench.main"
+    )
+    assert json.loads(line)["queries"]  # round-trips
