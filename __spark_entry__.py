@@ -23,20 +23,129 @@ from vector_db_ingestor_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+def _fingerprints() -> dict[str, str]:
+    """Per-key behavior fingerprint: sha256 of the query callable's
+    source (which, via the ``@query`` decorator literal, embeds the
+    oracle SQL) plus the registered oracle string.  Changing either —
+    output schema, ordering, constants — changes the fingerprint.
+    Known limitation (documented, accepted): edits to shared operator
+    modules don't move any key's fingerprint; those keys are surfaced
+    by the normal staleness rotation instead, or seeded manually in
+    ``KEY_FINGERPRINTS.json``.
+    """
+    import hashlib
+    import inspect
+
+    fps = {}
+    for key, fn in QUERIES.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):  # pragma: no cover - C callables
+            src = key
+        fps[key] = hashlib.sha256(
+            (src + "\x00" + ORACLE_SQL.get(key, "")).encode()
+        ).hexdigest()[:16]
+    return fps
+
+
+def _changed_since() -> tuple[dict[str, int], int]:
+    """Round at which each key's CURRENT fingerprint first appeared.
+
+    ``KEY_FINGERPRINTS.json`` maps key -> {fp, since}.  On every load,
+    a key whose live fingerprint differs from the snapshot gets
+    ``since = latest_correctness_round + 1`` (i.e. "changed this
+    round, evidence needed from here on"); unchanged keys keep their
+    recorded ``since``.  The snapshot is rewritten only when something
+    moved, and write failures are non-fatal (read-only checkouts).
+    """
+    import glob
+    import json
+
+    latest = 0
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        try:
+            latest = max(
+                latest,
+                int(os.path.basename(path)[len("CORRECTNESS_r"):].split(".")[0]),
+            )
+        except ValueError:
+            continue
+    current_round = latest + 1
+
+    snap_path = os.path.join(_REPO, "KEY_FINGERPRINTS.json")
+    try:
+        with open(snap_path) as fh:
+            snap = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        snap = {}
+    new_snap: dict[str, dict] = {}
+    since: dict[str, int] = {}
+    for key, fp in _fingerprints().items():
+        prev = snap.get(key)
+        s = prev["since"] if prev and prev.get("fp") == fp else current_round
+        new_snap[key] = {"fp": fp, "since": s}
+        since[key] = s
+    if new_snap != snap:
+        try:
+            tmp = snap_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(new_snap, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+            os.replace(tmp, snap_path)
+        except OSError:  # pragma: no cover - read-only checkout
+            pass
+    return since, current_round
+
+
+def _rank_keys(
+    reg_keys: list[str],
+    status: dict[str, str],
+    last_round: dict[str, int],
+    since: dict[str, int],
+    oracle_keys: set[str],
+) -> list[str]:
+    """Pure ranking: order keys by how badly they need a driver row.
+
+    1. never driver-seen in any round,
+    2. seen but errored (canonicalizer/runtime FAIL) — fixes land here,
+    3. rows-only that NOW carry an oracle — one pass from hash-green,
+    4. hash-green whose fingerprint changed AFTER its newest green row
+       (``since > last_round``) — the old row certifies old behavior,
+       so re-certification outranks mere staleness,
+    5. rows-only by nature (no oracle) — evidence refresh,
+    6. hash-green unchanged, least-recently-verified first.
+
+    Ties keep registration order.
+    """
+
+    def rank(item: tuple[int, str]) -> tuple[int, int, int]:
+        reg_pos, key = item
+        st = status.get(key)
+        if st is None:
+            return (0, 0, reg_pos)
+        if st == "fail":
+            return (1, 0, reg_pos)
+        if st == "rows_only":
+            if key in oracle_keys:
+                return (2, 0, reg_pos)
+            return (4, last_round.get(key, 0), reg_pos)
+        if since.get(key, 0) > last_round.get(key, 0):
+            return (3, last_round.get(key, 0), reg_pos)
+        return (5, last_round.get(key, 0), reg_pos)
+
+    return [key for _, key in sorted(enumerate(reg_keys), key=rank)]
+
+
 def _driver_priority() -> list[str]:
     """Order keys by how badly they need a driver-verified row.
 
     The per-round driver checks only a prefix of the registered keys
     (each ``CORRECTNESS_r*.json`` holds ~50), so the ordering decides
     which keys ever accumulate evidence.  Derived live from every prior
-    CORRECTNESS file in the repo root so it can never go stale:
-
-    1. never driver-seen in any round,
-    2. seen but errored (canonicalizer/runtime FAIL) — fixes land here,
-    3. rows-only (``no_oracle``) — oracle upgrades land here,
-    4. hash-green, least-recently-verified first (re-verify rotation).
-
-    Ties keep registration order.
+    CORRECTNESS file plus the fingerprint snapshot (changed-keys-first:
+    a behavior edit after a key's newest green row invalidates that
+    certification, so such keys outrank merely-stale ones).  See
+    :func:`_rank_keys` for the tier order.
     """
     import glob
     import json
@@ -63,21 +172,10 @@ def _driver_priority() -> list[str]:
             else:
                 status[key] = "fail"
 
-    def rank(item: tuple[int, str]) -> tuple[int, int, int]:
-        reg_pos, key = item
-        st = status.get(key)
-        if st is None:
-            return (0, 0, reg_pos)
-        if st == "fail":
-            return (1, 0, reg_pos)
-        if st == "rows_only":
-            # rows-only keys that now carry an oracle jump ahead: they
-            # are one driver pass away from hash-green.
-            return (2, 0 if key in ORACLE_SQL else 1, reg_pos)
-        return (3, last_round.get(key, 0), reg_pos)
-
-    indexed = list(enumerate(QUERIES.keys()))
-    return [key for _, key in sorted(indexed, key=rank)]
+    since, _ = _changed_since()
+    return _rank_keys(
+        list(QUERIES.keys()), status, last_round, since, set(ORACLE_SQL)
+    )
 
 
 def _ordered(mapping: dict) -> dict:
