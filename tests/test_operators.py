@@ -438,6 +438,94 @@ def test_simhash_banded_recall_warning(spark):
         warnings.simplefilter("always")
         simhash_near_dups(df, max_hamming=3, bands=4)
         assert not any("pigeonhole" in str(w.message) for w in caught)
+    # bands="auto" is complete by construction, so no recall warning
+    # even at distances the default 4-band config would warn about
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        simhash_near_dups(df, max_hamming=10, bands="auto")
+        assert not any("pigeonhole" in str(w.message) for w in caught)
+
+
+def test_simhash_band_layout_partitions_all_64_bits():
+    """The banding layout is a contiguous disjoint cover of all 64
+    fingerprint bits (no bit outside every band), and the default
+    4-band case reproduces the historical equal 16-bit split
+    bit-for-bit (oracle continuity for q_dedup_simhash)."""
+    import pytest
+
+    from vector_db_ingestor_spark.operators.dedup import simhash_band_layout
+
+    for n in (1, 2, 3, 4, 5, 7, 11, 13, 33, 64):
+        layout = simhash_band_layout(n)
+        assert len(layout) == n
+        off = 0
+        for o, w in layout:
+            assert o == off and w >= 1
+            off += w
+        assert off == 64
+    assert simhash_band_layout(4) == [(0, 16), (16, 16), (32, 16), (48, 16)]
+    with pytest.raises(ValueError):
+        simhash_band_layout(65)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hyp_st
+
+
+@given(
+    fp=hyp_st.integers(min_value=0, max_value=2**64 - 1),
+    flips=hyp_st.lists(
+        hyp_st.integers(min_value=0, max_value=63),
+        min_size=0, max_size=20, unique=True,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_simhash_auto_bands_pigeonhole_completeness(fp, flips):
+    """Completeness property behind bands='auto': ANY pair of 64-bit
+    fingerprints at Hamming distance d shares at least one of d+1
+    bands — d differing bits can dirty at most d bands, and every bit
+    belongs to exactly one band, so one band must match.  This is the
+    guarantee that replaces the partial-recall warning."""
+    from vector_db_ingestor_spark.operators.dedup import simhash_band_layout
+
+    fp_b = fp
+    for b in flips:
+        fp_b ^= 1 << b
+    layout = simhash_band_layout(len(flips) + 1)  # bands = max_hamming + 1
+
+    def band_vals(x: int) -> list[int]:
+        return [(x >> o) & ((1 << w) - 1) for o, w in layout]
+
+    assert any(a == b for a, b in zip(band_vals(fp), band_vals(fp_b)))
+
+
+def test_simhash_auto_bands_matches_exhaustive(spark):
+    """bands='auto' at max_hamming=10 emits exactly the pairs the
+    fully-complete 64-band config (one band per bit: complete for any
+    distance <= 63) emits on the same corpus — the guarantee holds on
+    real fingerprints, not just the abstract property."""
+    from vector_db_ingestor_spark.operators.dedup import simhash_near_dups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox leaps over the lazy dog"),
+            (4, "completely different text about spark shuffles"),
+            (5, "completely different text about spark shuffling"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    auto = {
+        tuple(r)
+        for r in simhash_near_dups(docs, max_hamming=10, bands="auto").collect()
+    }
+    full = {
+        tuple(r)
+        for r in simhash_near_dups(docs, max_hamming=10, bands=64).collect()
+    }
+    assert auto == full
+    assert auto, "fixture must contain at least one near-dup pair"
 
 
 def test_aqe_skew_join_splits_and_matches_salted(spark):

@@ -422,19 +422,40 @@ def simhash_udf(num_bits: int = 64):
     return _simhash
 
 
+def simhash_band_layout(n_bands: int) -> list[tuple[int, int]]:
+    """(offset, width) per band, covering ALL 64 fingerprint bits with
+    widths as equal as possible (64//n + an extra bit on the first
+    64%n bands).  Completeness argument: a pair at Hamming distance d
+    dirties at most d bands, so for d <= n_bands-1 at least one band
+    matches exactly — and because every bit belongs to exactly one
+    band, no differing bit can hide outside the layout.  For n_bands
+    dividing 64 (the default 4) this reproduces the historical equal
+    16-bit split bit-for-bit.
+    """
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
+    base, extra = divmod(64, n_bands)
+    layout, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    bands: int = 4,
+    bands: int | str = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Pigeonhole blocking: split the 64-bit fingerprint into ``bands``
-    equal blocks; any pair within Hamming distance bands-1 shares at
-    least one exact block, so the self-join runs on block buckets, never
-    all-pairs.
+    near-equal blocks; any pair within Hamming distance bands-1 shares
+    at least one exact block, so the self-join runs on block buckets,
+    never all-pairs.
 
     Recall contract: completeness is guaranteed ONLY for
     ``max_hamming <= bands - 1``.  Above that, a pair can spread its
@@ -444,22 +465,38 @@ def simhash_near_dups(
     filter runs on full fingerprints).  Callers wanting banded-recall
     semantics on purpose (candidate generation, not exhaustive
     enumeration) get a ``UserWarning`` so the partial recall is never
-    invisible; use more bands (finer blocks, more candidate rows) for
-    a pigeonhole guarantee at higher distances.
-    """
-    if max_hamming > bands - 1:
-        import warnings
+    invisible.
 
-        warnings.warn(
-            f"simhash_near_dups: max_hamming={max_hamming} exceeds the "
-            f"pigeonhole guarantee of bands-1={bands - 1}; pairs whose "
-            "differing bits spread across all bands are missed "
-            "(banded-recall candidate semantics, not exhaustive "
-            "enumeration). Increase bands for completeness.",
-            UserWarning,
-            stacklevel=2,
-        )
-    bits_per_band = 64 // bands
+    ``bands="auto"`` derives ``max_hamming + 1`` bands, turning the
+    warning into a completeness-by-construction GUARANTEE: every pair
+    at Hamming <= max_hamming shares at least one band.  The cost is
+    narrower bands (e.g. 11 bands of 5-6 bits at max_hamming=10), so
+    more spurious bucket collisions reach the exact Hamming verify —
+    candidate volume rises as bands narrow; the verify stays exact
+    either way, so this is a recall/cost dial, not a precision one.
+    """
+    if bands == "auto":
+        if max_hamming > 63:
+            raise ValueError(
+                f"bands='auto' needs max_hamming <= 63 (got {max_hamming}): "
+                "a 64-bit fingerprint cannot carry max_hamming+1 bands"
+            )
+        n_bands = max_hamming + 1
+    else:
+        n_bands = int(bands)
+        if max_hamming > n_bands - 1:
+            import warnings
+
+            warnings.warn(
+                f"simhash_near_dups: max_hamming={max_hamming} exceeds the "
+                f"pigeonhole guarantee of bands-1={n_bands - 1}; pairs whose "
+                "differing bits spread across all bands are missed "
+                "(banded-recall candidate semantics, not exhaustive "
+                "enumeration). Use bands='auto' (= max_hamming + 1 bands) "
+                "for completeness by construction.",
+                UserWarning,
+                stacklevel=2,
+            )
     # coalesce marks fp provably non-null (the kernel never returns
     # null): without it, the join-key constraint isnotnull(band_val)
     # infers isnotnull(fp) and Catalyst evaluates the Arrow kernel a
@@ -469,15 +506,16 @@ def simhash_near_dups(
         F.col(id_col).alias("sh_id"),
         F.coalesce(simhash_udf()(F.col(text_col)), F.lit(0)).alias("fp"),
     )
-    mask = (1 << bits_per_band) - 1
     banded = fp.select(
         "sh_id",
         "fp",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("fp"), b * bits_per_band).bitwiseAND(F.lit(mask))
-                    for b in range(bands)
+                    F.shiftright(F.col("fp"), off).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for off, width in simhash_band_layout(n_bands)
                 ]
             )
         ).alias("band_idx", "band_val"),
