@@ -794,10 +794,25 @@ def ngram100_median(sf_dir: str, reps: int = 3) -> None:
 
 
 def ann_100x(sf_dir: str, reps: int = 3) -> None:
-    """Round-9: extend the 100x record (previously dedup-only) to the
-    SERVING and scoring families — IVF top-k single/batched, LSH top-k,
-    exact top-k, PQ scan-stage encode, BM25 — at 30x/100x with warm
-    median-of-``reps`` timings.  Expectations per family:
+    """Round-10 re-run of the round-9 ANN probe, now over MATERIALIZED
+    parquet inputs (the text_100x methodology): the serving and scoring
+    families — IVF top-k single/batched, LSH top-k, exact top-k, PQ
+    scan-stage encode, BM25 — at 30x/100x with warm median-of-``reps``
+    timings.
+
+    Why materialized: replicate_docs/replicate_embeddings pick each
+    copy's rotation with a factor-deep when-chain, an O(rows x factor)
+    projection (bare replicator: 1.9s at 30x vs 10.1s at 100x — 5.4x
+    wall for 3.33x rows, measured round 9).  The round-9 run timed the
+    scan-dominated families (exact_topk, pq_encode, bm25_scores) over
+    that inline replication, so their "linear expectation 3.33" was
+    polluted by harness cost and could read as false engine
+    superlinearity.  Writing each factor's corpus to parquet first
+    takes the harness term out of the timed region and gives the scan
+    real parallelism (32 input splits).  The IVF families were already
+    clean (they read the ivf_write parquet index).
+
+    Expectations per family:
 
     * exact_topk / pq_encode / bm25_scores are one narrow scan stage:
       wall should ride corpus size ~linearly (ratio near 3.33).
@@ -837,10 +852,18 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
     ivf_meta: dict[int, tuple[int, int, int]] = {}
     try:
         for factor in (30, 100):
-            docs = replicate_docs(load_table(spark, sf_dir, "documents"), factor)
-            emb = replicate_embeddings(
+            # materialize per factor: the replicator's O(rows x factor)
+            # when-chain must not sit inside any timed scan
+            docs_path = os.path.join(work, f"docs_x{factor}")
+            emb_path = os.path.join(work, f"emb_x{factor}")
+            replicate_docs(
+                load_table(spark, sf_dir, "documents"), factor
+            ).repartition(32).write.mode("overwrite").parquet(docs_path)
+            replicate_embeddings(
                 load_table(spark, sf_dir, "embeddings"), factor, EMBEDDING_DIM
-            )
+            ).repartition(32).write.mode("overwrite").parquet(emb_path)
+            docs = spark.read.parquet(docs_path)
+            emb = spark.read.parquet(emb_path)
             probe_df = spark.createDataFrame(
                 [(0, PROBE_64)], schema="query_id INT, query_vec ARRAY<DOUBLE>"
             )
@@ -903,15 +926,23 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
 
     lines = [
         "",
-        "## 100x ANN-serving probe — round-9, warm median-of-%d" % reps,
+        "## 100x ANN-serving probe — round-10, MATERIALIZED inputs, "
+        "warm median-of-%d" % reps,
         "",
-        "The serving/scoring families at 30x/100x (previously probed to",
-        "10x only).  exact/pq/bm25 are one narrow scan stage (linear",
-        "expectation 3.33); lsh_topk scans ~1/16 of the corpus (fixed",
-        "n_bits=4 for continuity with the 1x-10x table); ivf_topk scans",
-        "the nprobe=4 of 16 cid partitions via partition pruning — its",
-        "honest cost driver is rows-scanned (second table), the local",
-        "walls carry fixed multi-job routing overhead.",
+        "Re-run of the round-9 section over parquet-materialized",
+        "corpora (the text_100x methodology): the round-9 run timed the",
+        "scan-dominated families over the inline replicator, whose",
+        "O(rows x factor) when-chain costs 1.9s/10.1s at 30x/100x by",
+        "itself — a harness term that could read as false engine",
+        "superlinearity.  This section SUPERSEDES the round-9 ann",
+        "numbers for exact_topk/pq_encode/bm25_scores; the IVF rows",
+        "were already clean (they read the ivf_write parquet index).",
+        "exact/pq/bm25 are one narrow scan stage (linear expectation",
+        "3.33); lsh_topk scans ~1/16 of the corpus (fixed n_bits=4 for",
+        "continuity with the 1x-10x table); ivf_topk scans the nprobe=4",
+        "of 16 cid partitions via partition pruning — its honest cost",
+        "driver is rows-scanned (second table), the local walls carry",
+        "fixed multi-job routing overhead.",
         "",
         "| stage | 30x | 100x | time 100x/30x |",
         "|---|---|---|---|",
