@@ -121,6 +121,9 @@ HEADLINE = [
     "q_docs_filter_report",
     "q_text_entropy",
     "q_dedup_crosssource",
+    # round-10 addition: complete-recall simhash (bands="auto") — in the
+    # headline from birth so the auto mode's cost has a per-round record
+    "q_dedup_simhash_auto",
 ]
 
 
@@ -155,31 +158,45 @@ def main() -> None:
 
     timings = {key: round(statistics.median(ts), 3) for key, ts in samples.items()}
     total = round(sum(timings.values()), 3)
-    # The driver records only the LAST 2000 bytes of stdout and parses
-    # the final line as JSON: round 9's 75-key line at 3 decimals with
-    # spaced separators overran the window and came back unparsed
-    # (BENCH_r09.json "parsed": null).  Compact separators + 2-decimal
-    # per-query values keep the line ~1.77 KB with headroom for more
-    # keys; if the suite ever grows past the window anyway, degrade
-    # per-query precision (never drop keys) until the line fits.
-    # 2 decimals is enough: the repo's round-over-round discipline
-    # ignores deltas under 1.5x on untouched code.
+    print(format_summary_line(timings, total, reps, sf))
+    spark.stop()
+
+
+def format_summary_line(
+    timings: dict[str, float], total: float, reps: int, sf: str | float
+) -> str:
+    """The ONE JSON line the driver parses.
+
+    The driver records only the LAST 2000 bytes of stdout and parses
+    the final line as JSON: round 9's 75-key line at 3 decimals with
+    spaced separators overran the window and came back unparsed
+    (BENCH_r09.json "parsed": null).  Compact separators + 2-decimal
+    per-query values keep the line ~1.8 KB; if the suite grows past
+    the window anyway, per-query precision degrades (2 -> 1 -> 0
+    decimals — never dropping keys) until the line fits.  Coarse is
+    acceptable: the repo's round-over-round discipline ignores deltas
+    under 1.5x on untouched code.
+    """
+    sf_str = str(sf)
     payload = {
         "metric": "headline_query_suite_runtime",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {},
         "n": reps,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": float(sf_str) if sf_str.replace(".", "").isdigit() else sf,
     }
-    line = json.dumps(payload, separators=(",", ":"))
-    for ndigits in (1, 0):
+    for ndigits in (2, 1, None):
+        payload["queries"] = {
+            # ndigits=None is the last resort: whole-second ints
+            # ("1000" not "1000.0")
+            k: (int(round(v)) if ndigits is None else round(v, ndigits))
+            for k, v in timings.items()
+        }
+        line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= TAIL_BUDGET:
             break
-        payload["queries"] = {k: round(v, ndigits) for k, v in timings.items()}
-        line = json.dumps(payload, separators=(",", ":"))
-    print(line)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":

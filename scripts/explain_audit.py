@@ -101,6 +101,12 @@ AUDITS: dict[str, dict] = {
         "max_exchange": 3, "reused_exchange": True, "max_arrow": 1,
         "no_nested_loop": True,
     },
+    # same plan shape at 11 auto-derived bands: one Arrow pass, band
+    # exchange reused across both self-join sides
+    "q_dedup_simhash_auto": {
+        "max_exchange": 3, "reused_exchange": True, "max_arrow": 1,
+        "no_nested_loop": True,
+    },
     # EXISTS must compile to a semi join, never a per-row subquery
     "q_sql_tpch_q4": {"semi_join": True, "pushed": True},
     "q_sql_tpch_q13": {"partial_agg": True},

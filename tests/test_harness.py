@@ -146,25 +146,26 @@ def test_bench_headline_keys_are_registered_queries():
 def test_bench_summary_line_fits_driver_tail_window():
     """The driver captures only the last 2000 bytes of bench stdout and
     parses the final line as JSON; round 9's 75-key line overran the
-    window and the record came back unparsed.  Pin: the summary line at
-    the CURRENT headline size, with worst-case value widths (999.99),
-    stays under bench.TAIL_BUDGET < 2000 — adding headline keys must
-    keep this green (or accept the runtime precision fallback)."""
+    window and the record came back unparsed.  Pin the REAL formatter:
+    at the current headline size it must emit a parseable line under
+    bench.TAIL_BUDGET < 2000 at realistic widths, AND its precision
+    fallback must keep absurd worst-case widths (999.99s per query)
+    inside the window without dropping keys."""
     import json
 
     import bench
 
-    payload = {
-        "metric": "headline_query_suite_runtime",
-        "value": 99999.999,
-        "unit": "sec",
-        "queries": {k: 999.99 for k in bench.HEADLINE},
-        "n": 5,
-        "sf": 0.1,
-    }
-    line = json.dumps(payload, separators=(",", ":"))
-    assert len(line) <= bench.TAIL_BUDGET < 2000, (
-        f"bench summary line {len(line)}B exceeds the driver tail window; "
-        "trim precision or rely on the fallback loop in bench.main"
+    realistic = bench.format_summary_line(
+        {k: 3.141 for k in bench.HEADLINE}, 236.5, 5, "0.1"
     )
-    assert json.loads(line)["queries"]  # round-trips
+    assert len(realistic) <= bench.TAIL_BUDGET < 2000
+    parsed = json.loads(realistic)
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert parsed["queries"][bench.HEADLINE[0]] == 3.14  # 2dp kept
+    assert parsed["sf"] == 0.1
+
+    absurd = bench.format_summary_line(
+        {k: 999.999 for k in bench.HEADLINE}, 99999.9, 5, "0.1"
+    )
+    assert len(absurd) <= bench.TAIL_BUDGET
+    assert set(json.loads(absurd)["queries"]) == set(bench.HEADLINE)

@@ -1118,10 +1118,17 @@ def _simhash_oracle(max_hamming: int = 10, bands: int = 4) -> str:
     only on ASCII text, so this oracle is valid for ASCII corpora (the
     fixtures are all-ASCII — pinned in tests/test_operators.py, which
     also checks the fold against the Python reference)."""
+    from vector_db_ingestor_spark.operators.dedup import simhash_band_layout
+
+    n_bands = max_hamming + 1 if bands == "auto" else bands
+    # the layout constants are SHARED with the operator (same function),
+    # so engine and oracle can never disagree on band boundaries
+    layout = simhash_band_layout(n_bands)
     powers = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
-    band_rows = ", ".join(f"({b})" for b in range(bands))
-    bits_per_band = 64 // bands
-    mask = (1 << bits_per_band) - 1
+    band_rows = ", ".join(
+        f"({b}, {off}, {(1 << width) - 1})"
+        for b, (off, width) in enumerate(layout)
+    )
     return f"""
     WITH toks AS (
         SELECT doc_id,
@@ -1160,8 +1167,8 @@ def _simhash_oracle(max_hamming: int = 10, bands: int = 4) -> str:
     ),
     banded AS (
         SELECT doc_id, fp, b.bi,
-               (fp >> (b.bi * {bits_per_band})) & {mask} AS bv
-        FROM allfp CROSS JOIN (VALUES {band_rows}) AS b(bi)
+               (fp >> b.off) & b.mask AS bv
+        FROM allfp CROSS JOIN (VALUES {band_rows}) AS b(bi, off, mask)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
@@ -1173,6 +1180,30 @@ def _simhash_oracle(max_hamming: int = 10, bands: int = 4) -> str:
 
 QUERIES["q_dedup_simhash"] = q_dedup_simhash_impl
 ORACLE_SQL["q_dedup_simhash"] = _simhash_oracle()
+
+
+def q_dedup_simhash_auto_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with COMPLETE recall: ``bands="auto"``
+    derives max_hamming+1 = 11 near-equal bands covering all 64 bits,
+    so every pair at Hamming <= 10 shares at least one band by the
+    pigeonhole principle — no warning, no silently-missed pairs
+    (contrast q_dedup_simhash's 4-band candidate semantics, which
+    finds 24% of these pairs at this distance; SCALE_PROBE.md
+    round-10).  Scale contract: 5-6-bit bands make within-band
+    candidate volume ~n^2/2^width — near-quadratic in corpus size —
+    so at 100 TB this is the exhaustive verify stage on a pre-blocked
+    subset, not the corpus-wide candidate generator (the operator
+    docstring states the dial).  The oracle reuses the FNV-1a HUGEINT
+    fold and takes its band layout from the SAME simhash_band_layout
+    call as the engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=10, bands="auto").orderBy(
+        "id_a", "id_b"
+    )
+
+
+QUERIES["q_dedup_simhash_auto"] = q_dedup_simhash_auto_impl
+ORACLE_SQL["q_dedup_simhash_auto"] = _simhash_oracle(max_hamming=10, bands="auto")
 
 
 @query(
