@@ -121,9 +121,11 @@ HEADLINE = [
     "q_docs_filter_report",
     "q_text_entropy",
     "q_dedup_crosssource",
-    # round-10 addition: complete-recall simhash (bands="auto") — in the
-    # headline from birth so the auto mode's cost has a per-round record
+    # round-10 additions, in the headline from birth so their cost has a
+    # per-round record: complete-recall simhash (bands="auto") and the
+    # composed IVF-PQ serving path
     "q_dedup_simhash_auto",
+    "q_ann_ivfpq",
 ]
 
 

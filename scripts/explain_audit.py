@@ -107,6 +107,9 @@ AUDITS: dict[str, dict] = {
         "max_exchange": 3, "reused_exchange": True, "max_arrow": 1,
         "no_nested_loop": True,
     },
+    # the whole IVF-PQ serving path is ONE narrow scan stage: routing,
+    # residual encode and ADC ride the scan, top-k is a heap
+    "q_ann_ivfpq": {"max_exchange": 0, "top_k": True},
     # EXISTS must compile to a semi join, never a per-row subquery
     "q_sql_tpch_q4": {"semi_join": True, "pushed": True},
     "q_sql_tpch_q13": {"partial_agg": True},

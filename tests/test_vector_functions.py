@@ -452,3 +452,99 @@ def test_simjoin_lsh_recall_vs_exact_near_dups(spark):
     # (approxSimilarityJoin post-filters on true distance, so any
     # violation means the normalize/threshold translation broke)
     assert approx <= exact, approx - exact
+
+
+def test_ivfpq_residual_encoding_beats_raw_pq_when_clusters_exceed_codewords(spark):
+    """The architectural claim behind IVF-PQ (and q_ann_ivfpq): when a
+    corpus has MORE cluster centers than a sub-codebook has codewords
+    (64 centers vs ksub=16 here), raw-vector PQ cannot place a codeword
+    near every center and its ADC error is dominated by center
+    displacement — while IVF absorbs the centers into coarse routing
+    and PQ only has to quantize the (tiny) residual noise.  Fully
+    deterministic corpus (md5-derived centers + per-row md5 noise, no
+    RNG), trained end-to-end with the engine's own seeded ivf_train +
+    pq_train.  Also pins the SERVING operator under a trained model:
+    ivfpq_topk's output must equal an independent numpy recompute of
+    routing, residual encode, and table-lookup ADC.  (On structure-less
+    corpora the two encodings tie — measured in round 10 — which is why
+    this fixture is clustered: the property is about structure.)"""
+    from vector_db_ingestor_spark.operators.similarity import (
+        _assign_cid,
+        _hyperplane,
+        ivf_shortlist,
+        ivf_train,
+        ivfpq_topk,
+        pq_adc_tables,
+        pq_train,
+    )
+
+    dim, m, dsub, ksub, nclu = 64, 4, 16, 16, 64
+    centers = [_hyperplane(dim, 5000 + g) for g in range(nclu)]
+    rows = []
+    for i in range(640):
+        g = i % nclu
+        noise = _hyperplane(dim, 6000 + i)
+        rows.append((i, [centers[g][j] + 0.05 * noise[j] for j in range(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    probe = [centers[3][j] + 0.02 * _hyperplane(dim, 7000)[j] for j in range(dim)]
+
+    cents = ivf_train(emb, dim=dim, n_centroids=nclu, iters=2)
+    vec = F.col("embedding").cast("array<double>")
+    cents_lit = F.lit([[float(x) for x in c] for c in cents])
+    assigned = emb.select(
+        "vec_id", vec.alias("v"), _assign_cid(vec, cents).alias("cid")
+    )
+    resid_df = assigned.select(
+        "vec_id",
+        F.zip_with(
+            "v", F.element_at(cents_lit, F.col("cid") + 1), lambda a, b: a - b
+        ).alias("embedding"),
+    )
+    cbs_res = pq_train(resid_df, dim=dim, m=m, ksub=ksub, iters=2)
+    cbs_raw = pq_train(emb, dim=dim, m=m, ksub=ksub, iters=2)
+
+    V = np.array([r[1] for r in rows])
+    ids = np.array([r[0] for r in rows])
+    q = np.array(probe)
+    C = np.array(cents)
+    sims = (V @ C.T) / (
+        np.linalg.norm(V, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+    )
+    cid = np.argmax(sims, axis=1)
+    short = ivf_shortlist(cents, probe, 8)
+    mask = np.isin(cid, short)
+    Vs, cs, ids_s = V[mask], cid[mask], ids[mask]
+    exact = Vs @ q
+
+    def encode(X, cbs):
+        out = []
+        for s in range(m):
+            cb = np.array(cbs[s])
+            sub = X[:, s * dsub:(s + 1) * dsub]
+            d = np.round(-2 * sub @ cb.T + (cb * cb).sum(1), 6)
+            out.append(np.argmin(d, axis=1))
+        return np.array(out).T
+
+    tr = np.array(pq_adc_tables(probe, cbs_res))
+    traw = np.array(pq_adc_tables(probe, cbs_raw))
+    adc_r = (C[cs] @ q) + sum(
+        tr[s][encode(Vs - C[cs], cbs_res)[:, s]] for s in range(m)
+    )
+    adc_raw = sum(traw[s][encode(Vs, cbs_raw)[:, s]] for s in range(m))
+    err_r = np.abs(adc_r - exact).mean()
+    err_raw = np.abs(adc_raw - exact).mean()
+    # measured: 0.50 vs 2.96 — pin at a 2x margin for robustness
+    assert err_r * 2 < err_raw, (err_r, err_raw)
+
+    def topk(sc, k=10):
+        o = np.lexsort((ids_s, -sc))
+        return set(ids_s[o[:k]])
+
+    assert len(topk(adc_r) & topk(exact)) >= 9  # measured 10/10
+
+    got = [
+        r["vec_id"]
+        for r in ivfpq_topk(emb, cents, cbs_res, probe, k=10, nprobe=8).collect()
+    ]
+    o = np.lexsort((ids_s, -np.round(adc_r, 6)))
+    assert got == list(ids_s[o[:10]])

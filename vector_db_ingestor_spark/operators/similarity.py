@@ -509,6 +509,74 @@ def ivf_topk_batch(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-PQ serving (the FAISS IVFPQ shape, inner-product metric):
+    coarse nearest-centroid routing, PQ codes over the RESIDUAL
+    (vector minus its cell centroid — residual magnitudes are far
+    smaller than raw vectors, so the same codebook budget quantizes
+    them much tighter), and ADC scoring that decomposes
+    ``<q, x> ~= <q, c_cid> + sum_s <q_s, cb_s[code_s]>`` — the first
+    term a per-cell literal, the rest m table lookups.  Reference
+    parity: the HNSW-backed store in
+    ``/root/reference/src/PDFToChromaIngester.py:189-193`` serves the
+    same contract (approximate top-k under a trained index); IVF-PQ is
+    the partition-friendly equivalent for a data-parallel engine.
+
+    Everything after training is closed-form: with literal centroids
+    and codebooks this entire query is cross-engine mirrorable
+    (training stays engine-side — the ``ivf_train``/``pq_train``
+    seeded-Lloyd contract).  Plan shape: assignment and encoding ride
+    the scan (narrow transforms, zero Python), the shortlist filter
+    prunes to ``nprobe`` cells, and the top-k compiles to
+    ``TakeOrderedAndProject`` — at deployment scale (cid, codes) is a
+    persisted table partitioned by cid (``ivf_write``'s layout) and
+    the scan reads only probed partitions and ~m bytes per row.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    short = ivf_shortlist(centroids, probe, nprobe)
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = embeddings.select(
+        id_col,
+        vec.alias("v"),
+        _assign_cid(vec, centroids, round_dp).alias("cid"),
+    ).filter(F.col("cid").isin(short))
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    resid = F.zip_with(
+        F.col("v"),
+        F.element_at(cents_lit, F.col("cid") + 1),
+        lambda a, b: a - b,
+    )
+    coded = assigned.select(
+        id_col,
+        "cid",
+        *[pq_code(resid, codebooks[s], s * dsub).alias(f"c{s}") for s in range(m)],
+    )
+    tabs = pq_adc_tables(probe, codebooks)
+    q_dot_c = F.lit(
+        [float(sum(p * c for p, c in zip(probe, cc))) for cc in centroids]
+    )
+    adc = F.element_at(q_dot_c, F.col("cid") + 1)
+    for s in range(m):
+        adc = adc + F.element_at(F.lit(tabs[s]), F.col(f"c{s}") + 1)
+    return (
+        coded.withColumn("score", F.round(adc, round_dp))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cid", "score")
+    )
+
+
 # ------------------------------------------------- spark.ml LSH simjoin
 
 def simjoin_lsh(

@@ -5570,3 +5570,127 @@ ORACLE_SQL["q_dedup_crosssource"] = f"""
     JOIN documents sb ON sb.doc_id = p.id_b
     GROUP BY 1, 2
     """
+
+
+# =====================================================================
+# round 10: IVF-PQ combined serving (coarse routing + residual codes)
+# =====================================================================
+
+def _ivfpq_params() -> tuple[list[list[float]], list[list[list[float]]], int, int]:
+    """Shared model literals for q_ann_ivfpq and its oracle: the IVF
+    assignment centroids (same family as q_ann_ivf_assign) and PQ
+    codebooks at a DISJOINT md5 seed range (3000+) so the residual
+    codebooks are independent of both the raw-vector PQ key (2000+)
+    and the coarse centroids (1000+)."""
+    from vector_db_ingestor_spark.operators.similarity import pq_codebooks
+
+    m, ksub = 4, 16
+    cents = _ivf_assign_centroids()
+    cbs = pq_codebooks(EMBEDDING_DIM, m, ksub, seed_base=3000)
+    return cents, cbs, m, ksub
+
+
+def q_ann_ivfpq_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k: the FAISS IVFPQ serving architecture in one
+    declarative plan — nearest-centroid routing over literal coarse
+    centroids, nprobe=4 cell pruning, PQ codes over the RESIDUAL
+    (vector minus cell centroid), and ADC scoring via
+    ``<q,x> ~= <q,c_cid> + sum_s tab_s[code_s]`` with every table a
+    Python-precomputed literal.  Completes the ANN family's composed
+    end-state: q_ann_ivf_assign pins routing, q_vec_pq_adc pins
+    raw-vector PQ, this key pins their composition with residual
+    encoding (the part that makes IVF-PQ beat flat PQ at equal code
+    budget).  All post-training stages are closed-form, so the oracle
+    re-derives routing, residuals, codes, and scores from the same
+    literals — hash-exact, not rows-only.  Scan shape: assignment and
+    encoding are narrow transforms riding the scan; top-k compiles to
+    TakeOrderedAndProject (PLANS.md)."""
+    from vector_db_ingestor_spark.operators.similarity import ivfpq_topk
+
+    cents, cbs, _, _ = _ivfpq_params()
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, cents, cbs, PROBE_64, k=10, nprobe=4)
+
+
+def _ivfpq_oracle(k: int = 10, nprobe: int = 4) -> str:
+    """DuckDB mirror of the full IVF-PQ serving path from the SAME
+    literals: routing argmax (rounded cosine, first-wins), shortlist
+    re-ranked in SQL, residual subtraction, per-subspace reduced-L2
+    argmin codes, and the literal-table ADC sum in the same
+    left-to-right order as the Spark expression."""
+    from vector_db_ingestor_spark.operators.similarity import pq_adc_tables
+
+    cents, cbs, m, _ = _ivfpq_params()
+    dsub = EMBEDDING_DIM // m
+    tabs = pq_adc_tables(PROBE_64, cbs)
+
+    def bare(v: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in v) + "]"
+
+    def lst(v: list[float]) -> str:
+        return bare(v) + "::DOUBLE[]"
+
+    def cos_sql(c: list[float]) -> str:
+        lit = lst(c)
+        return (
+            f"round(list_dot_product(embedding::DOUBLE[], {lit})"
+            f" / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+            f" * sqrt(list_dot_product({lit}, {lit}))), 6)"
+        )
+
+    cent_rows = ", ".join(f"({i}, {lst(c)})" for i, c in enumerate(cents))
+    sims = ", ".join(cos_sql(c) for c in cents)
+    sub_cols = ", ".join(
+        f"list_slice(r, {s * dsub + 1}, {(s + 1) * dsub}) AS s{s}" for s in range(m)
+    )
+    dist_cols = []
+    for s in range(m):
+        ds = ", ".join(
+            f"round(-2.0 * list_dot_product(s{s}, {lst(c)})"
+            f" + {sum(x * x for x in c)!r}, 6)"
+            for c in cbs[s]
+        )
+        dist_cols.append(f"[{ds}] AS d{s}")
+    code_cols = ", ".join(
+        f"CAST(list_position(d{s}, list_min(d{s})) - 1 AS INTEGER) AS c{s}"
+        for s in range(m)
+    )
+    q_dot_c = [float(sum(p * c for p, c in zip(PROBE_64, cc))) for cc in cents]
+    adc = f"{bare(q_dot_c)}[cid + 1]" + "".join(
+        f" + {bare(tabs[s])}[c{s} + 1]" for s in range(m)
+    )
+    return f"""
+    WITH cents(cid, cvec) AS (VALUES {cent_rows}),
+    short AS (
+        SELECT cid FROM cents
+        ORDER BY (list_dot_product(cvec, {_PROBE_SQL})
+                  / (sqrt(list_dot_product(cvec, cvec))
+                     * sqrt(list_dot_product({_PROBE_SQL}, {_PROBE_SQL})))) DESC,
+                 cid ASC
+        LIMIT {nprobe}
+    ),
+    assigned AS (
+        SELECT vec_id, v,
+               CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER) AS cid
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v, [{sims}] AS sims
+              FROM embeddings)
+    ),
+    pruned AS (
+        SELECT a.vec_id, a.cid,
+               list_transform(range(1, {EMBEDDING_DIM} + 1),
+                              i -> a.v[i] - c.cvec[i]) AS r
+        FROM assigned a JOIN cents c ON a.cid = c.cid
+        WHERE a.cid IN (SELECT cid FROM short)
+    ),
+    sub AS (SELECT vec_id, cid, {sub_cols} FROM pruned),
+    dists AS (SELECT vec_id, cid, {", ".join(dist_cols)} FROM sub),
+    codes AS (SELECT vec_id, cid, {code_cols} FROM dists)
+    SELECT vec_id, cid, round({adc}, 6) AS score
+    FROM codes
+    ORDER BY score DESC, vec_id ASC
+    LIMIT {k}
+    """
+
+
+QUERIES["q_ann_ivfpq"] = q_ann_ivfpq_impl
+ORACLE_SQL["q_ann_ivfpq"] = _ivfpq_oracle()
