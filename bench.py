@@ -123,7 +123,10 @@ HEADLINE = [
     "q_dedup_crosssource",
     # round-10 additions, in the headline from birth so their cost has a
     # per-round record: complete-recall simhash (bands="auto") and the
-    # composed IVF-PQ serving path
+    # composed IVF-PQ serving path.  q_dedup_semantic stays OUT like its
+    # propagation siblings (q_dedup_clusters/q_dedup_representatives):
+    # the iterative label-propagation loop runs eager per-round jobs
+    # (~9s warm at sf0.1) that would dominate the suite signal.
     "q_dedup_simhash_auto",
     "q_ann_ivfpq",
 ]

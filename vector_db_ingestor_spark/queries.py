@@ -5694,3 +5694,65 @@ def _ivfpq_oracle(k: int = 10, nprobe: int = 4) -> str:
 
 QUERIES["q_ann_ivfpq"] = q_ann_ivfpq_impl
 ORACLE_SQL["q_ann_ivfpq"] = _ivfpq_oracle()
+
+
+# =====================================================================
+# round 10: semantic dedup (SemDeDup-style keep/drop over embeddings)
+# =====================================================================
+
+def _dedup_semantic_oracle() -> str:
+    """Recursive-CTE mirror: the hash-green embed near-dup SQL
+    (`_dedup_embed_oracle`, literal hyperplane buckets + exact cosine)
+    becomes the edge list, transitive closure resolves components, and
+    keep = (vec_id == min id in component) — the same composition the
+    q_dedup_clusters oracle proved for ngram pairs, applied to the
+    embedding channel."""
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({_dedup_embed_oracle()})),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+        SELECT emb.vec_id,
+               least(emb.vec_id, coalesce(min(r.v), emb.vec_id)) AS cluster_id
+        FROM embeddings emb LEFT JOIN reach r ON emb.vec_id = r.u
+        GROUP BY emb.vec_id
+    )
+    SELECT vec_id, cluster_id, vec_id = cluster_id AS keep FROM clusters
+    """
+
+
+@query("q_dedup_semantic", oracle=_dedup_semantic_oracle())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023:
+    embedding-space near-dup removal catches paraphrases lexical dedup
+    misses): LSH-blocked exact-cosine near-dup pairs over the embedding
+    column -> connected components via min-label propagation -> a
+    per-vector keep/drop verdict (keep = the component's min-id
+    representative; singletons keep themselves).  This is the decision
+    column a training-data pipeline joins back onto the corpus.  Pure
+    composition of two hash-green primitives (embedding_near_dups +
+    dedup_clusters), so the oracle replays both: literal hyperplanes
+    re-derive the candidate buckets and a recursive CTE re-derives the
+    components.  At 100 TB: candidate volume rides the LSH buckets
+    (~linear, SCALE_PROBE embed family), label propagation is
+    O(component diameter) rounds of equi-join + partial agg."""
+    from vector_db_ingestor_spark.constants import EMBEDDING_DIM
+    from vector_db_ingestor_spark.operators.dedup import dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.3, dim=EMBEDDING_DIM, n_bits=8)
+    clusters = dedup_clusters(pairs, emb, id_col="vec_id")
+    return clusters.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
+    )
