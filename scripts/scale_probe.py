@@ -793,6 +793,17 @@ def ngram100_median(sf_dir: str, reps: int = 3) -> None:
     print(f"appended to {out}")
 
 
+def _ivfpq_probe(emb: DataFrame) -> DataFrame:
+    """q_ann_ivfpq's exact plan over a replicated corpus: literal
+    coarse centroids + residual PQ + ADC top-10 (queries._ivfpq_params
+    model, so the probe measures the registered key's expressions)."""
+    from vector_db_ingestor_spark.operators.similarity import ivfpq_topk
+    from vector_db_ingestor_spark.queries import PROBE_64, _ivfpq_params
+
+    cents, cbs, _, _ = _ivfpq_params()
+    return ivfpq_topk(emb, cents, cbs, PROBE_64, k=10, nprobe=4)
+
+
 def ann_100x(sf_dir: str, reps: int = 3) -> None:
     """Round-10 re-run of the round-9 ANN probe, now over MATERIALIZED
     parquet inputs (the text_100x methodology): the serving and scoring
@@ -913,6 +924,11 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
                     ],
                 ),
                 "bm25_scores": bm25_scores(docs, _BM25_TERMS),
+                # round-10 key: full end-to-end IVF-PQ (routing +
+                # residual encode + ADC) over raw vectors — one narrow
+                # scan stage, linear expectation; production amortizes
+                # the encode into a persisted codes table
+                "ivfpq_topk": _ivfpq_probe(emb),
             }
             for name, df in fams.items():
                 times.setdefault(name, {})[factor] = _time_median(df, reps)
