@@ -129,6 +129,7 @@ HEADLINE = [
     # (~9s warm at sf0.1) that would dominate the suite signal.
     "q_dedup_simhash_auto",
     "q_ann_ivfpq",
+    "q_text_lm_score",
 ]
 
 

@@ -110,6 +110,12 @@ AUDITS: dict[str, dict] = {
     # the whole IVF-PQ serving path is ONE narrow scan stage: routing,
     # residual encode and ADC ride the scan, top-k is a heap
     "q_ann_ivfpq": {"max_exchange": 0, "top_k": True},
+    # train+score over ONE lazily-checkpointed bigram table: the
+    # final plan reads the checkpoint, contexts + vocab broadcast.
+    # (no no_nested_loop pin: the 1-row vocab scalar enters via
+    # crossJoin(broadcast) = a 1-row BNLJ, the same benign shape as
+    # bm25's corpus-stats join)
+    "q_text_lm_score": {"broadcast": True, "partial_agg": True},
     # EXISTS must compile to a semi join, never a per-row subquery
     "q_sql_tpch_q4": {"semi_join": True, "pushed": True},
     "q_sql_tpch_q13": {"partial_agg": True},
