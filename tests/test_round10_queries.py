@@ -135,3 +135,65 @@ def test_simhash_auto_query_is_superset_of_banded_default(spark, sf_dir):
         for r in QUERIES["q_dedup_simhash"](spark, sf_dir).collect()
     }
     assert banded < auto
+
+
+def test_lm_score_matches_python_recompute(spark, sf_dir):
+    """q_text_lm_score vs a from-scratch Python bigram LM over the same
+    fixtures: identical tokenization, add-alpha smoothing, micro-nat
+    integer encoding, and per-doc averaging — independent of both the
+    Spark expressions and the DuckDB oracle.  Python's round() is
+    banker's, so the micro-nat step uses Decimal HALF_UP to match the
+    engines' half-away rounding (oracle-parity rule)."""
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from vector_db_ingestor_spark.queries import _LM_ALPHA, QUERIES
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = {
+        r.doc_id: re.split(r"\s+", r.text.strip().lower())
+        for r in pdf.itertuples()
+    }
+    docs = {d: w for d, w in docs.items() if len(w) >= 2}
+    c2, c1, vocab = Counter(), Counter(), set()
+    for w in docs.values():
+        vocab.update(w)
+        for x, y in zip(w, w[1:]):
+            c2[(x, y)] += 1
+            c1[x] += 1
+    a, V = _LM_ALPHA, len(vocab)
+    import math
+
+    def micro(p):
+        return int(
+            Decimal(repr(-math.log(p) * 1e6)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    want = {}
+    for d, w in docs.items():
+        mns = [
+            micro((c2[(x, y)] + a) / (c1[x] + a * V)) for x, y in zip(w, w[1:])
+        ]
+        n = len(mns)
+        want[d] = (
+            n,
+            float(
+                Decimal(repr(sum(mns) / (n * 1e6))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in QUERIES["q_text_lm_score"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        assert got[d][1] == pytest.approx(want[d][1], abs=2e-6), d
+    # the signal discriminates: fixture corpus spans a real nll range
+    vals = [v for _, v in got.values()]
+    assert max(vals) - min(vals) > 0.1
