@@ -548,3 +548,35 @@ def test_ivfpq_residual_encoding_beats_raw_pq_when_clusters_exceed_codewords(spa
     ]
     o = np.lexsort((ids_s, -np.round(adc_r, 6)))
     assert got == list(ids_s[o[:10]])
+
+
+def test_ivfpq_batch_matches_single_probe(spark, sf_dir):
+    """The batch-union contract for IVF-PQ (mirrors
+    test_ivf_topk_batch_matches_single_probe): each probe's rows in the
+    batched result equal its standalone ivfpq_topk result — one
+    assignment + encode of the union'd cells serves every probe."""
+    from vector_db_ingestor_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_batch,
+    )
+    from vector_db_ingestor_spark.queries import PROBE_64, _ivfpq_params
+
+    cents, cbs, _, _ = _ivfpq_params()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe2 = list(reversed(PROBE_64))
+    batch = ivfpq_topk_batch(
+        emb, cents, cbs, [(0, PROBE_64), (1, probe2)], k=10, nprobe=4
+    ).collect()
+    for qid, probe in ((0, PROBE_64), (1, probe2)):
+        single = [
+            (r["vec_id"], r["cid"], r["score"])
+            for r in ivfpq_topk(emb, cents, cbs, probe, k=10, nprobe=4).collect()
+        ]
+        got = [
+            (r["vec_id"], r["cid"], r["score"])
+            for r in sorted(
+                (r for r in batch if r["query_id"] == qid),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got == single, qid

@@ -577,6 +577,87 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_topk_batch(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    probes: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Batched IVF-PQ: N probes served by ONE assignment + residual
+    encode of the union'd shortlist cells — the production serving
+    shape (queries arrive in batches; the codes never get re-derived
+    per probe).
+
+    Per-probe model state is all literals: a broadcast (cid, query_id)
+    route table sends each encoded row to exactly the probes that
+    shortlisted its cell, and each probe's ADC tables + per-cell
+    ``<q, c_cid>`` terms enter as arrays indexed by the probe's
+    position in the batch (O(Q x m x ksub) doubles — driver-held-model
+    scale).  Per-probe results are pinned equal to :func:`ivfpq_topk`
+    in tests; the batch property mirrors :func:`ivf_topk_batch` — Q
+    probes cost ~1 pruned scan, not Q.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    spark = embeddings.sparkSession
+    routes = [
+        (cid, int(qid))
+        for qid, vec in probes
+        for cid in ivf_shortlist(centroids, vec, nprobe)
+    ]
+    route_df = spark.createDataFrame(routes, schema="cid INT, query_id INT")
+    union_cids = sorted({cid for cid, _ in routes})
+    # probe order defines the literal index space; qpos = position+1
+    qids = [int(qid) for qid, _ in probes]
+    qpos = F.array_position(F.lit(qids), F.col("query_id")).cast("int")
+    tabs_by_probe = [pq_adc_tables(vec, codebooks) for _, vec in probes]
+    qdotc_by_probe = [
+        [float(sum(p * c for p, c in zip(vec, cc))) for cc in centroids]
+        for _, vec in probes
+    ]
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = embeddings.select(
+        id_col,
+        vec.alias("v"),
+        _assign_cid(vec, centroids, round_dp).alias("cid"),
+    ).filter(F.col("cid").isin(union_cids))
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    resid = F.zip_with(
+        F.col("v"),
+        F.element_at(cents_lit, F.col("cid") + 1),
+        lambda a, b: a - b,
+    )
+    coded = assigned.select(
+        id_col,
+        "cid",
+        *[pq_code(resid, codebooks[s], s * dsub).alias(f"c{s}") for s in range(m)],
+    )
+    adc = F.element_at(
+        F.element_at(F.lit(qdotc_by_probe), qpos), F.col("cid") + 1
+    )
+    for s in range(m):
+        adc = adc + F.element_at(
+            F.element_at(F.lit([t[s] for t in tabs_by_probe]), qpos),
+            F.col(f"c{s}") + 1,
+        )
+    scored = coded.join(F.broadcast(route_df), "cid").withColumn(
+        "score", F.round(adc, round_dp)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cid", "score", "rank")
+    )
+
+
 # ------------------------------------------------- spark.ml LSH simjoin
 
 def simjoin_lsh(
