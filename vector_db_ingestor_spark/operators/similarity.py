@@ -577,6 +577,118 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_write(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> None:
+    """BUILD TIME: encode the corpus ONCE and persist only (id, codes)
+    partitioned by ``cid`` — the deployment artifact the IVF-PQ
+    docstrings promise.  Raw vectors never enter the index: a row is
+    ``m`` small ints + the id, so the query-time scan reads ~m bytes
+    per row and ``nprobe`` pruning is file skipping
+    (``PartitionFilters``), same layout contract as :func:`ivf_write`.
+    Model sidecars (``_centroids``, ``_codebooks``) ride inside the
+    index directory; ``_INDEX_SUCCESS`` is written LAST so a crash
+    between writes can't leave a "successful" index missing its model
+    (the :func:`ivf_write` marker discipline).
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dim = len(centroids[0])
+    guarded = embeddings.withColumn(
+        vec_col, _checked_vec(vec_col, dim, "ivfpq_write")
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    assigned = guarded.select(
+        id_col, vec.alias("v"), _assign_cid(vec, centroids, round_dp).alias("cid")
+    )
+    resid = F.zip_with(
+        F.col("v"),
+        F.element_at(cents_lit, F.col("cid") + 1),
+        lambda a, b: a - b,
+    )
+    (
+        assigned.select(
+            id_col,
+            "cid",
+            *[
+                pq_code(resid, codebooks[s], s * dsub).alias(f"c{s}")
+                for s in range(m)
+            ],
+        )
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], schema="cid INT, cvec ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    spark.createDataFrame(
+        [(s, j, c) for s, cb in enumerate(codebooks) for j, c in enumerate(cb)],
+        schema="s INT, j INT, cvec ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_codebooks")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path + "/_INDEX_SUCCESS")
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(jvm_path, True).close()
+
+
+def ivfpq_read(
+    spark, path: str
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """Open a persisted IVF-PQ index: (cid-partitioned codes table,
+    centroid model, PQ codebooks).  Sidecars are skipped by the codes
+    scan (leading-underscore directories)."""
+    codes = spark.read.parquet(path)
+    cent_rows = spark.read.parquet(path + "/_centroids").orderBy("cid").collect()
+    cb_rows = spark.read.parquet(path + "/_codebooks").orderBy("s", "j").collect()
+    m = 1 + max(r.s for r in cb_rows)
+    codebooks: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in cb_rows:
+        codebooks[r.s].append(list(r.cvec))
+    return codes, [list(r.cvec) for r in cent_rows], codebooks
+
+
+def ivfpq_topk_indexed(
+    codes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """QUERY TIME over a prebuilt IVF-PQ index: NO assignment, NO
+    encode, NO raw vectors — the shortlist prunes ``cid=`` partitions
+    (file skipping) and scoring is ``m`` array lookups + adds per row
+    against Python-precomputed literal tables.  This is the plan shape
+    the 100 TB claim rests on; its output is pinned equal to the
+    encode-inline :func:`ivfpq_topk` in tests."""
+    m = len(codebooks)
+    short = ivf_shortlist(centroids, probe, nprobe)
+    tabs = pq_adc_tables(probe, codebooks)
+    q_dot_c = F.lit(
+        [float(sum(p * c for p, c in zip(probe, cc))) for cc in centroids]
+    )
+    adc = F.element_at(q_dot_c, F.col("cid") + 1)
+    for s in range(m):
+        adc = adc + F.element_at(F.lit(tabs[s]), F.col(f"c{s}") + 1)
+    return (
+        codes.filter(F.col("cid").isin(short))
+        .withColumn("score", F.round(adc, round_dp))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cid", "score")
+    )
+
+
 def ivfpq_topk_batch(
     embeddings: DataFrame,
     centroids: list[list[float]],
