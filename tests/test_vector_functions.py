@@ -624,3 +624,40 @@ def test_ivfpq_index_build_query_decoupled(spark, sf_dir, tmp_path):
     # the scan never touches raw vectors and does no per-row vector math
     assert "embedding" not in plan
     assert "zip_with" not in plan and "aggregate(" not in plan
+
+
+def test_ivfpq_append_frozen_models(spark, sf_dir, tmp_path):
+    """IVF-PQ maintenance cycle: append a new batch into a prebuilt
+    codes index without retraining — the appended rows carry codes
+    IDENTICAL to what a from-scratch rebuild over the union corpus
+    would assign (both models frozen, so append-then-query ==
+    rebuild-then-query row-for-row), and an incomplete index is
+    refused."""
+    import pytest
+
+    from vector_db_ingestor_spark.operators.similarity import (
+        ivfpq_append,
+        ivfpq_read,
+        ivfpq_write,
+    )
+    from vector_db_ingestor_spark.queries import _ivfpq_params
+
+    cents, cbs, _, _ = _ivfpq_params()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.filter("vec_id % 5 != 0")
+    new = emb.filter("vec_id % 5 = 0")
+
+    idx = str(tmp_path / "idx")
+    ivfpq_write(old, idx, cents, cbs)
+    ivfpq_append(new, idx)
+    appended = {
+        tuple(r) for r in ivfpq_read(spark, idx)[0].collect()
+    }
+
+    full = str(tmp_path / "full")
+    ivfpq_write(emb, full, cents, cbs)
+    rebuilt = {tuple(r) for r in ivfpq_read(spark, full)[0].collect()}
+    assert appended == rebuilt
+
+    with pytest.raises(ValueError, match="_INDEX_SUCCESS"):
+        ivfpq_append(new, str(tmp_path / "nonexistent"))

@@ -689,6 +689,63 @@ def ivfpq_topk_indexed(
     )
 
 
+def ivfpq_append(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> None:
+    """APPEND TIME: absorb a new batch into a prebuilt IVF-PQ index
+    WITHOUT retraining — both models stay FROZEN (the
+    :func:`ivf_append` discipline, extended to the codebooks): new
+    rows are assigned against the persisted centroids, their residuals
+    encoded against the persisted codebooks, and the resulting code
+    rows appended into their ``cid=`` partition directories.  Existing
+    files are never rewritten and the sidecars are unchanged, so every
+    existing query plan and shortlist stays valid.  Same degradation
+    contract as IVF: appends shift the data under a standing model —
+    watch :func:`ivf_drift_report` (it reads only the cid column, so
+    it works on the codes table as-is) and rebuild with
+    :func:`ivfpq_write` when occupancy skew crosses tolerance.
+    Refuses an incomplete index (no ``_INDEX_SUCCESS`` marker)."""
+    spark = new_embeddings.sparkSession
+    if not ivf_index_complete(spark, path):
+        raise ValueError(f"not a complete IVF-PQ index (no _INDEX_SUCCESS): {path}")
+    codes, centroids, codebooks = ivfpq_read(spark, path)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    dim = len(centroids[0])
+    guarded = new_embeddings.withColumn(
+        vec_col, _checked_vec(vec_col, dim, "ivfpq_append")
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    assigned = guarded.select(
+        F.col(id_col).cast(dict(codes.dtypes)[id_col]).alias(id_col),
+        vec.alias("v"),
+        _assign_cid(vec, centroids, round_dp).alias("cid"),
+    )
+    resid = F.zip_with(
+        F.col("v"),
+        F.element_at(cents_lit, F.col("cid") + 1),
+        lambda a, b: a - b,
+    )
+    (
+        assigned.select(
+            id_col,
+            "cid",
+            *[
+                pq_code(resid, codebooks[s], s * dsub).alias(f"c{s}")
+                for s in range(m)
+            ],
+        )
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
 def ivfpq_topk_batch(
     embeddings: DataFrame,
     centroids: list[list[float]],
