@@ -327,3 +327,69 @@ def test_synthetic_pdf_extraction_is_identity(sf_dir):
     for (text,) in rows:
         blob = b"stream\n(" + text.encode() + b") Tj\nendstream"
         assert extract_pdf_text(blob) == text
+
+
+def test_collection_ann_index_build_and_search(spark, tmp_path):
+    """Collection-level ANN (the reference gets HNSW implicitly from
+    Chroma; here it's an explicit build step): both index kinds build
+    inside the collection directory WITHOUT perturbing the exact path
+    (underscore dirs are invisible to the collection scan), and
+    search_ann returns full ranked hit rows whose shape matches the
+    exact search.  IVF re-scores raw vectors inside probed cells, so
+    with every cell probed its hits EQUAL exact search — pinned."""
+    import pytest
+
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    texts = [
+        b"Spark processes data at scale across many executors. ",
+        b"Chroma stores embeddings for retrieval workloads daily. ",
+        b"Retrieval augmented generation assembles cited context. ",
+        b"Product quantization compresses vectors into tiny codes. ",
+    ]
+    files = spark.createDataFrame(
+        [
+            (
+                f"file:/fake/{i}.pdf",
+                f"{i}.pdf",
+                len(b),
+                bytearray(b"stream\n(" + b * 4 + b") Tj\nendstream"),
+            )
+            for i, b in enumerate(texts)
+        ],
+        "source STRING, filename STRING, file_bytes LONG, content BINARY",
+    )
+    coll = VectorCollection(spark, str(tmp_path / "coll"))
+    coll.overwrite(build_chunks(files, chunk_size=60, overlap=10))
+    n_before = coll.count()
+
+    with pytest.raises(ValueError, match="build_ann_index"):
+        coll.search_ann("spark scale", kind="ivf")
+
+    coll.build_ann_index(kind="ivf", n_centroids=4)
+    coll.build_ann_index(kind="ivfpq", n_centroids=4, m=4, ksub=8)
+    # index dirs are invisible to the exact path
+    assert coll.count() == n_before
+
+    exact = coll.search("spark executors scale", n_results=3).collect()
+    # nprobe == n_centroids: zero pruning loss, IVF must equal exact
+    ivf = coll.search_ann(
+        "spark executors scale", n_results=3, kind="ivf", nprobe=4
+    ).collect()
+    assert [r.chunk_uid for r in ivf] == [r.chunk_uid for r in exact]
+    assert {"text", "filename", "rank", "score"} <= set(ivf[0].asDict())
+
+    pq = coll.search_ann(
+        "spark executors scale", n_results=3, kind="ivfpq", nprobe=4
+    ).collect()
+    assert len(pq) == 3
+    assert [r.rank for r in pq] == [1, 2, 3]
+    assert {"text", "filename", "rank", "score"} <= set(pq[0].asDict())
+    # deterministic: same call, same hits
+    pq2 = coll.search_ann(
+        "spark executors scale", n_results=3, kind="ivfpq", nprobe=4
+    ).collect()
+    assert [r.chunk_uid for r in pq] == [r.chunk_uid for r in pq2]
+
+    with pytest.raises(ValueError, match="unknown ANN index kind"):
+        coll.build_ann_index(kind="hnsw")

@@ -639,6 +639,41 @@ def ivfpq_write(
     fs.create(jvm_path, True).close()
 
 
+def ivfpq_train_write(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """BUILD TIME, end-to-end: train the coarse centroids
+    (:func:`ivf_train`), train the PQ codebooks ON THE RESIDUALS
+    (vector minus its cell centroid — the encoding the quality test
+    shows beating raw-vector PQ when centers outnumber codewords),
+    then persist the codes index (:func:`ivfpq_write`).  Returns
+    (centroids, codebooks) so callers can serve immediately.  At
+    100 TB both trainings run on a sample; write/encode is the only
+    corpus-sized pass."""
+    cents = ivf_train(embeddings, dim, n_centroids, iters, id_col, vec_col)
+    vec = F.col(vec_col).cast("array<double>")
+    cents_lit = F.lit([[float(x) for x in c] for c in cents])
+    resid_df = embeddings.select(
+        F.col(id_col),
+        F.zip_with(
+            vec,
+            F.element_at(cents_lit, _assign_cid(vec, cents) + 1),
+            lambda a, b: a - b,
+        ).alias(vec_col),
+    )
+    cbs = pq_train(resid_df, dim, m, ksub, iters, id_col, vec_col)
+    ivfpq_write(embeddings, path, cents, cbs, id_col, vec_col)
+    return cents, cbs
+
+
 def ivfpq_read(
     spark, path: str
 ) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:

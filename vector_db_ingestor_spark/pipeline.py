@@ -33,7 +33,7 @@ kept.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from typing import Iterator
@@ -370,6 +370,107 @@ class VectorCollection:
             id_col="chunk_uid",
             vec_col="embedding",
         )
+
+    # -------------------------------------------------------- ANN index
+    def _ann_path(self, kind: str) -> str:
+        # leading underscore: Spark's parquet reader skips the directory
+        # when scanning the collection itself (the _centroids trick)
+        return self.path + f"/_ann_{kind}"
+
+    def build_ann_index(
+        self,
+        kind: str = "ivf",
+        n_centroids: int = 16,
+        iters: int = 2,
+        m: int = 4,
+        ksub: int = 16,
+    ) -> None:
+        """Build a persisted ANN index INSIDE the collection directory
+        (the reference gets this implicitly from Chroma's HNSW,
+        ``src/PDFToChromaIngester.py:189-193``; here it is an explicit
+        build step, which is the honest shape for a batch engine).
+
+        ``kind="ivf"`` persists a cid-partitioned copy of the
+        collection (raw vectors, exact re-scoring inside probed cells);
+        ``kind="ivfpq"`` trains residual codebooks and persists codes
+        only (~m bytes/row at query time).  Underscore-prefixed index
+        directories are invisible to the collection scan, so exact
+        search and ``df()`` are unaffected."""
+        from vector_db_ingestor_spark.operators.similarity import (
+            ivf_write,
+            ivfpq_train_write,
+        )
+
+        if kind == "ivf":
+            ivf_write(
+                self.df(), self._ann_path(kind), dim=self.embedder.dim,
+                n_centroids=n_centroids, iters=iters,
+                id_col="chunk_uid", vec_col="embedding",
+            )
+        elif kind == "ivfpq":
+            ivfpq_train_write(
+                self.df(), self._ann_path(kind), dim=self.embedder.dim,
+                n_centroids=n_centroids, m=m, ksub=ksub, iters=iters,
+                id_col="chunk_uid", vec_col="embedding",
+            )
+        else:
+            raise ValueError(f"unknown ANN index kind: {kind!r}")
+
+    def search_ann(
+        self,
+        query: str,
+        n_results: int = 5,
+        kind: str = "ivf",
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Approximate search against a prebuilt index
+        (:meth:`build_ann_index`): embeds the query, prunes to the
+        probe's ``nprobe`` cells (partition file-skipping), scores
+        inside them, and joins the top-k ids back to the collection for
+        the full rows — same output shape as :meth:`search` (ranked
+        hits with text/metadata) with approximate recall.
+
+        Metadata filters are NOT supported here: the indexes don't
+        carry metadata, and silently post-filtering an approximate hit
+        list returns fewer-than-k rows with recall no one chose — use
+        the exact :meth:`search` for filtered queries."""
+        from vector_db_ingestor_spark.operators.similarity import (
+            ivf_index_complete,
+            ivf_read,
+            ivf_topk,
+            ivfpq_read,
+            ivfpq_topk_indexed,
+        )
+
+        if not query or not query.strip():
+            raise ValueError("query must be a non-empty string")
+        path = self._ann_path(kind)
+        if not ivf_index_complete(self.spark, path):
+            raise ValueError(
+                f"no complete {kind!r} index at {path}; run "
+                f"build_ann_index(kind={kind!r}) first"
+            )
+        probe = self.embedder.embed_one(query, prefix="query")
+        if kind == "ivf":
+            indexed, cents = ivf_read(self.spark, path)
+            hits = ivf_topk(
+                indexed, cents, probe, k=n_results, nprobe=nprobe,
+                id_col="chunk_uid", vec_col="embedding",
+            )
+        elif kind == "ivfpq":
+            codes, cents, cbs = ivfpq_read(self.spark, path)
+            hits = ivfpq_topk_indexed(
+                codes, cents, cbs, probe, k=n_results, nprobe=nprobe,
+                id_col="chunk_uid",
+            )
+        else:
+            raise ValueError(f"unknown ANN index kind: {kind!r}")
+        w = Window.orderBy(F.col("score").desc(), F.col("chunk_uid").asc())
+        ranked = hits.select("chunk_uid", "score").withColumn(
+            "rank", F.row_number().over(w)
+        )
+        # k rows broadcast back onto the collection for the full hit
+        return self.df().join(F.broadcast(ranked), "chunk_uid").orderBy("rank")
 
     def context_for_rag(
         self,
