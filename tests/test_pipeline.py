@@ -393,3 +393,70 @@ def test_collection_ann_index_build_and_search(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown ANN index kind"):
         coll.build_ann_index(kind="hnsw")
+
+
+def _make_warc_records() -> list[bytes]:
+    def rec(rtype: str, uri: str | None, body: bytes) -> bytes:
+        h = [b"WARC/1.0", b"WARC-Type: " + rtype.encode()]
+        if uri:
+            h.append(b"WARC-Target-URI: " + uri.encode())
+        h += [
+            b"WARC-Date: 2026-08-15T00:00:00Z",
+            b"Content-Length: " + str(len(body)).encode(),
+        ]
+        return b"\r\n".join(h) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+    html = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        # adversarial: payload CONTAINS a record marker — only exact
+        # Content-Length slicing parses this corpus correctly
+        b"<html>training text about WARC/1.0 markers inside bodies</html>"
+    )
+    nf = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\ngone"
+    return [
+        rec("warcinfo", None, b"software: test"),
+        rec("request", "http://a.example/", b"GET / HTTP/1.1\r\n\r\n"),
+        rec("response", "http://a.example/", html),
+        rec("response", "http://b.example/missing", nf),
+    ]
+
+
+def test_warc_source_plain_and_gzip(spark, tmp_path):
+    """WARC crawl segments (the Common Crawl arrival format) parse
+    identically whether plain or member-per-record gzip (the CC
+    layout), Content-Length slicing survives bodies containing record
+    markers, and warc_responses narrows to HTTP-200 rows shaped like
+    every other document source."""
+    import gzip as _gzip
+
+    from vector_db_ingestor_spark.sources.warc import scan_warc, warc_responses
+
+    recs = _make_warc_records()
+    (tmp_path / "seg1.warc").write_bytes(b"".join(recs))
+    (tmp_path / "seg2.warc.gz").write_bytes(
+        b"".join(_gzip.compress(r) for r in recs)
+    )
+
+    rows = scan_warc(spark, str(tmp_path)).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.source.rsplit("/", 1)[-1], []).append(r)
+    assert set(by_file) == {"seg1.warc", "seg2.warc.gz"}
+    for fname, rs in by_file.items():
+        assert [r.record_type for r in rs] == [
+            "warcinfo", "request", "response", "response",
+        ], fname
+        ok = next(r for r in rs if r.http_status == 200)
+        assert ok.url == "http://a.example/"
+        assert ok.content_type == "text/html; charset=utf-8"
+        assert bytes(ok.payload).startswith(b"<html>")
+        assert b"WARC/1.0 markers" in bytes(ok.payload)
+        nf = next(r for r in rs if r.http_status == 404)
+        assert bytes(nf.payload) == b"gone"
+
+    docs = warc_responses(spark, str(tmp_path)).collect()
+    # only the 200s survive, one per segment file
+    assert len(docs) == 2
+    assert {d.filename for d in docs} == {"http://a.example/"}
+    assert all("training text" in d.text for d in docs)
+    assert all(d.file_bytes == len(docs[0].text.encode()) for d in docs)
