@@ -130,6 +130,7 @@ HEADLINE = [
     "q_dedup_simhash_auto",
     "q_ann_ivfpq",
     "q_text_lm_score",
+    "q_warc_pipeline",
 ]
 
 

@@ -116,6 +116,9 @@ AUDITS: dict[str, dict] = {
     # crossJoin(broadcast) = a 1-row BNLJ, the same benign shape as
     # bm25's corpus-stats join)
     "q_text_lm_score": {"broadcast": True, "partial_agg": True},
+    # synth + parse + project all ride one stage: a single Arrow
+    # eval node, zero shuffles
+    "q_warc_pipeline": {"max_exchange": 0, "max_arrow": 1},
     # EXISTS must compile to a semi join, never a per-row subquery
     "q_sql_tpch_q4": {"semi_join": True, "pushed": True},
     "q_sql_tpch_q13": {"partial_agg": True},

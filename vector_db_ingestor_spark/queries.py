@@ -5882,3 +5882,64 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
+
+
+# =====================================================================
+# round 10: WARC ingest front door, driver-checked end-to-end
+# =====================================================================
+
+@query(
+    "q_warc_pipeline",
+    oracle="""
+    SELECT 'http://fixtures/' || CAST(doc_id AS VARCHAR) AS url,
+           'text/plain' AS content_type,
+           200 AS http_status,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           sha256(text) AS text_sha
+    FROM documents
+    """,
+)
+def q_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC front door (sources/warc.py) hash-checked end-to-end:
+    every fixture document is wrapped as a synthesized WARC response
+    record IN-PLAN (headers with a computed Content-Length, an HTTP/1.1
+    envelope — built with string expressions, no Python), the REAL
+    record parser walks the bytes (one Arrow mapInPandas stage, exact
+    Content-Length slicing, HTTP envelope stripped), and the output is
+    projected to per-document facts the oracle recomputes DIRECTLY from
+    the documents table — so a parser bug (off-by-one slicing, header
+    mishandling, envelope residue) breaks the hash.  Mirrors the
+    q_ingest_pipeline synthetic-wrapping contract.  ASCII caveat: char
+    length == byte length on the all-ASCII fixtures (pinned in
+    tests/test_operators.py), which is what lets Content-Length be
+    computed with ``length()`` in-plan."""
+    from vector_db_ingestor_spark.sources.warc import parse_warc_bytes
+
+    docs = load_table(spark, sf_dir, "documents")
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+        F.col("text"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.concat(F.lit("http://fixtures/"), F.col("doc_id")),
+        F.lit("\r\nWARC-Date: 2026-08-15T00:00:00Z\r\nContent-Length: "),
+        F.length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    segments = docs.select(
+        F.concat(F.lit("mem://"), F.col("doc_id")).alias("path"),
+        F.to_binary(record, F.lit("utf-8")).alias("content"),
+    )
+    recs = parse_warc_bytes(segments)
+    return recs.filter(
+        (F.col("record_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        "url",
+        "content_type",
+        "http_status",
+        F.length(F.col("payload").cast("string")).cast("bigint").alias("n_chars"),
+        F.sha2(F.col("payload").cast("string"), 256).alias("text_sha"),
+    )

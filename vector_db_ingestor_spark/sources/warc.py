@@ -112,8 +112,12 @@ def _split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body[head_end + 4:]
 
 
-def scan_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
-    """All WARC records under ``path`` as one row each.
+def parse_warc_bytes(segments: DataFrame) -> DataFrame:
+    """Parse a (path STRING, content BINARY) DataFrame of WARC segment
+    bytes into one row per record — the column-level core both
+    :func:`scan_warc` (binaryFile-backed) and in-memory callers (e.g.
+    the driver-checked ``q_warc_pipeline`` over synthesized segments)
+    share.
 
     ``record_type`` is the WARC-Type header (response / request /
     warcinfo / metadata / ...); for HTTP response records the envelope
@@ -121,9 +125,6 @@ def scan_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
     carries the body WITHOUT the HTTP headers; for everything else
     ``payload`` is the raw record body.
     """
-    files = (
-        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
-    )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -155,7 +156,15 @@ def scan_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
                 ],
             )
 
-    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+    return segments.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+def scan_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+    """All WARC records under ``path``, one row each — ``binaryFile``
+    per-segment tasks feeding :func:`parse_warc_bytes`."""
+    return parse_warc_bytes(
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
 
 
 def warc_responses(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
