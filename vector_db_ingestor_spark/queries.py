@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -5824,19 +5825,22 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sum (order-insensitive aggregation, the q_text_entropy
     rule), so the corpus-trained model is hash-checked end-to-end.
     Scale: the corpus is scanned and tokenized EXACTLY ONCE — the
-    per-(doc, bigram) multiplicity table is lazily checkpointed
-    (``localCheckpoint(eager=False)``, the q_vec_pq_adc
-    materialize-once pattern) and every model relation derives from
-    it: c2 rolls up dtf, c1 rolls up c2, and the vocabulary is the
-    distinct union of dtf's context/next columns (which covers every
-    token of every size>=2 doc — no separate token-stream scan).
-    Without the checkpoint, column pruning split the shared subtree
-    into FOUR full corpus scans (measured: 4 FileScan/Generate nodes
-    in the executed plan).  Every post-dtf exchange carries
-    aggregated rows, contexts and the vocab scalar broadcast, and all
-    joins are equi-joins on the model keys.  At 100 TB the counts
-    become a persisted model table and scoring joins against it —
-    identical plan minus the training aggregation."""
+    per-(doc, bigram) multiplicity table is persisted DISK_ONLY and
+    every model relation derives from it: c2 rolls up dtf, c1 rolls
+    up c2, and the vocabulary is the distinct union of dtf's
+    context/next columns (which covers every token of every size>=2
+    doc — no separate token-stream scan).  Without the shared
+    materialization, column pruning split the subtree into FOUR full
+    corpus scans (measured: 4 FileScan/Generate nodes); DISK_ONLY
+    rather than an in-memory localCheckpoint because dtf is
+    corpus-sized string rows — heap-resident at 100x it drove
+    38-113s GC-bound walls vs 11-21s serialized-on-disk, and the
+    100x/30x ratio lands at 2.47 vs the 3.33 linear expectation
+    (SCALE_PROBE.md round-10 LM section).  Every post-dtf exchange
+    carries aggregated rows, contexts and the vocab scalar broadcast,
+    and all joins are equi-joins on the model keys.  At 100 TB the
+    counts become a persisted model table and scoring joins against
+    it — identical plan minus the training aggregation."""
     docs = load_table(spark, sf_dir, "documents")
     a = _LM_ALPHA
     w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -5855,8 +5859,10 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "a", "b")
         .agg(F.count("*").alias("m"))
         # materialize once: four consumers (scoring join, c2, via-c2 c1,
-        # vocab) would otherwise each re-scan and re-tokenize the corpus
-        .localCheckpoint(eager=False)
+        # vocab) would otherwise each re-scan and re-tokenize the corpus.
+        # DISK_ONLY: dtf is corpus-sized string rows — heap-resident it
+        # GC-thrashes at scale (measured, see docstring)
+        .persist(StorageLevel.DISK_ONLY)
     )
     c2 = dtf.groupBy("a", "b").agg(F.sum("m").alias("c2"))
     c1 = c2.groupBy("a").agg(F.sum("c2").alias("c1"))
