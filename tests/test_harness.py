@@ -169,3 +169,40 @@ def test_bench_summary_line_fits_driver_tail_window():
     )
     assert len(absurd) <= bench.TAIL_BUDGET
     assert set(json.loads(absurd)["queries"]) == set(bench.HEADLINE)
+
+
+def test_bench_summary_overflow_is_loud_not_truncated(capsys):
+    """If the suite ever outgrows the tail window even at whole-second
+    precision, the formatter must DROP to a keys-count payload (still
+    valid JSON, still under budget) and say so on stderr — never
+    return an oversize line the driver would truncate into unparseable
+    JSON (the exact r9 failure mode the budget exists to prevent)."""
+    import json
+
+    import bench
+
+    huge = {f"q_very_long_headline_key_name_number_{i:04d}": 1.0 for i in range(200)}
+    line = bench.format_summary_line(huge, 200.0, 5, "0.1")
+    assert len(line) <= bench.TAIL_BUDGET
+    parsed = json.loads(line)
+    assert parsed["queries"] == {"_dropped_keys": 200}
+    assert parsed["value"] == 200.0  # the headline total survives
+    assert "TAIL_BUDGET" in capsys.readouterr().err
+
+
+def test_caching_registry_release_unpersists(spark):
+    """caching.register/release_all: the hook bench.py and the guarded
+    dedup/LM plans rely on to reclaim persisted intermediates after the
+    lazy result is consumed (ADVICE r10: without it every invocation
+    leaked one cached RDD until ContextCleaner GC)."""
+    from pyspark import StorageLevel
+
+    from vector_db_ingestor_spark import caching
+    df = spark.range(10).persist(StorageLevel.DISK_ONLY)
+    caching.register(df)
+    df.count()
+    assert df.storageLevel.useDisk
+    caching.release_all()
+    assert not df.storageLevel.useDisk  # unpersisted
+    assert not caching._LIVE
+    caching.release_all()  # idempotent on empty registry

@@ -587,8 +587,10 @@ def ngram_jaccard_pairs(
     (MEMORY_AND_DISK) so the corpus is shingled ONCE — the guard's
     aggregation and the returned join plan share the cache rather than
     each re-running tokenize+shingle+hash; the cache stays alive for
-    the returned DataFrame (callers can ``spark.catalog.clearCache()``
-    after consuming it).  ``max_hot_df=None`` disables the guard, its
+    the returned DataFrame and its handle is registered with
+    :mod:`vector_db_ingestor_spark.caching` — call
+    ``caching.release_all()`` after consuming the result (bench.py
+    does this per rep), or it waits for ContextCleaner GC.  ``max_hot_df=None`` disables the guard, its
     eager job, and the cache — the fully-lazy single-exchange plan —
     for verify-stage calls on pre-vetted/pre-blocked corpora (the
     registered query keys pass ``None``: their fixtures are vetted and
@@ -627,10 +629,18 @@ def ngram_jaccard_pairs(
         # SAME cached token stream the join consumes, so shingling runs
         # once per corpus, not once for the guard and again for the
         # join.  Grams are distinct per doc (word_shingles dedups), so
-        # count(*) == document frequency.
+        # count(*) == document frequency — per xxhash64(gram) bucket:
+        # a 64-bit collision between distinct grams would merge their
+        # dfs and could trip the guard spuriously (never miss a real
+        # hot gram — collisions only INFLATE a bucket's count), at
+        # ~n_grams^2/2^64 odds; the same hash space the join itself
+        # keys on, so the guard is exactly as collision-exposed as the
+        # plan it protects.
         from pyspark import StorageLevel
 
-        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        from vector_db_ingestor_spark.caching import register
+
+        toks = register(toks.persist(StorageLevel.MEMORY_AND_DISK))
         worst = (
             toks.groupBy("blk", "gram")
             .count()
