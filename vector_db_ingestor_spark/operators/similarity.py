@@ -560,7 +560,10 @@ def ivfpq_topk(
     coded = assigned.select(
         id_col,
         "cid",
-        *[pq_code(resid, codebooks[s], s * dsub).alias(f"c{s}") for s in range(m)],
+        *[
+            pq_code(resid, codebooks[s], s * dsub, round_dp).alias(f"c{s}")
+            for s in range(m)
+        ],
     )
     tabs = pq_adc_tables(probe, codebooks)
     q_dot_c = F.lit(
@@ -618,7 +621,7 @@ def ivfpq_write(
             id_col,
             "cid",
             *[
-                pq_code(resid, codebooks[s], s * dsub).alias(f"c{s}")
+                pq_code(resid, codebooks[s], s * dsub, round_dp).alias(f"c{s}")
                 for s in range(m)
             ],
         )
@@ -771,7 +774,7 @@ def ivfpq_append(
             id_col,
             "cid",
             *[
-                pq_code(resid, codebooks[s], s * dsub).alias(f"c{s}")
+                pq_code(resid, codebooks[s], s * dsub, round_dp).alias(f"c{s}")
                 for s in range(m)
             ],
         )
@@ -839,7 +842,10 @@ def ivfpq_topk_batch(
     coded = assigned.select(
         id_col,
         "cid",
-        *[pq_code(resid, codebooks[s], s * dsub).alias(f"c{s}") for s in range(m)],
+        *[
+            pq_code(resid, codebooks[s], s * dsub, round_dp).alias(f"c{s}")
+            for s in range(m)
+        ],
     )
     adc = F.element_at(
         F.element_at(F.lit(qdotc_by_probe), qpos), F.col("cid") + 1

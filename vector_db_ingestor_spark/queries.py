@@ -5613,17 +5613,24 @@ def q_ann_ivfpq_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, cents, cbs, PROBE_64, k=10, nprobe=4)
 
 
-def _ivfpq_oracle(k: int = 10, nprobe: int = 4) -> str:
+def _ivfpq_oracle(
+    k: int = 10, nprobe: int = 4, probe: list[float] | None = None
+) -> str:
     """DuckDB mirror of the full IVF-PQ serving path from the SAME
     literals: routing argmax (rounded cosine, first-wins), shortlist
     re-ranked in SQL, residual subtraction, per-subspace reduced-L2
     argmin codes, and the literal-table ADC sum in the same
-    left-to-right order as the Spark expression."""
+    left-to-right order as the Spark expression.  ``probe`` defaults
+    to PROBE_64 (the q_ann_ivfpq key); the batch oracle replays this
+    per probe."""
     from vector_db_ingestor_spark.operators.similarity import pq_adc_tables
 
+    if probe is None:
+        probe = PROBE_64
+    probe_sql = probe_sql_literal(probe)
     cents, cbs, m, _ = _ivfpq_params()
     dsub = EMBEDDING_DIM // m
-    tabs = pq_adc_tables(PROBE_64, cbs)
+    tabs = pq_adc_tables(probe, cbs)
 
     def bare(v: list[float]) -> str:
         return "[" + ", ".join(repr(x) for x in v) + "]"
@@ -5656,7 +5663,7 @@ def _ivfpq_oracle(k: int = 10, nprobe: int = 4) -> str:
         f"CAST(list_position(d{s}, list_min(d{s})) - 1 AS INTEGER) AS c{s}"
         for s in range(m)
     )
-    q_dot_c = [float(sum(p * c for p, c in zip(PROBE_64, cc))) for cc in cents]
+    q_dot_c = [float(sum(p * c for p, c in zip(probe, cc))) for cc in cents]
     adc = f"{bare(q_dot_c)}[cid + 1]" + "".join(
         f" + {bare(tabs[s])}[c{s} + 1]" for s in range(m)
     )
@@ -5664,9 +5671,9 @@ def _ivfpq_oracle(k: int = 10, nprobe: int = 4) -> str:
     WITH cents(cid, cvec) AS (VALUES {cent_rows}),
     short AS (
         SELECT cid FROM cents
-        ORDER BY (list_dot_product(cvec, {_PROBE_SQL})
+        ORDER BY (list_dot_product(cvec, {probe_sql})
                   / (sqrt(list_dot_product(cvec, cvec))
-                     * sqrt(list_dot_product({_PROBE_SQL}, {_PROBE_SQL})))) DESC,
+                     * sqrt(list_dot_product({probe_sql}, {probe_sql})))) DESC,
                  cid ASC
         LIMIT {nprobe}
     ),
@@ -5695,6 +5702,58 @@ def _ivfpq_oracle(k: int = 10, nprobe: int = 4) -> str:
 
 QUERIES["q_ann_ivfpq"] = q_ann_ivfpq_impl
 ORACLE_SQL["q_ann_ivfpq"] = _ivfpq_oracle()
+
+
+# =====================================================================
+# round 11: batched IVF-PQ serving (N probes, one encode pass)
+# =====================================================================
+
+def _ivfpq_batch_probes() -> list[tuple[int, list[float]]]:
+    """The 2-probe batch of q_ann_ivf_batch (base probe + reversal) so
+    the IVF and IVF-PQ batch keys exercise the same routing split."""
+    return [(0, PROBE_64), (1, list(reversed(PROBE_64)))]
+
+
+def q_ann_ivfpq_batch_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF-PQ serving: N probes answered by ONE corpus
+    assignment + residual encode of the union'd shortlist cells — a
+    broadcast (cid, query_id) route table fans each coded row out to
+    exactly the probes that shortlisted its cell, per-probe ADC tables
+    enter as literals indexed by batch position, and a per-query
+    window takes the top-k (operators/similarity.py ivfpq_topk_batch).
+    The production serving shape: Q probes cost ~1 pruned scan, not Q
+    (the q_topk_batch / q_ann_ivf_batch batching story applied to the
+    codes path).  Hash-exact: the oracle replays the single-probe
+    IVF-PQ mirror once per probe (each probe's own shortlist — the
+    route-table semantics) and UNION ALLs the ranked results, so
+    routing, residual codes, ADC order, and the per-probe top-k are
+    all cross-engine checked."""
+    from vector_db_ingestor_spark.operators.similarity import ivfpq_topk_batch
+
+    cents, cbs, _, _ = _ivfpq_params()
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk_batch(
+        emb, cents, cbs, _ivfpq_batch_probes(), k=10, nprobe=4
+    )
+
+
+def _ivfpq_batch_oracle(k: int = 10, nprobe: int = 4) -> str:
+    """UNION ALL of the single-probe IVF-PQ mirror, one replay per
+    probe with that probe's own shortlist/tables, tagged with query_id
+    and ranked — the _mmr_batch_oracle unrolling pattern."""
+    selects = []
+    for qid, vec in _ivfpq_batch_probes():
+        selects.append(
+            f"""SELECT {qid} AS query_id, vec_id, cid, score,
+           CAST(row_number() OVER (
+               ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+    FROM ({_ivfpq_oracle(k, nprobe, vec)})"""
+        )
+    return "\n    " + "\n    UNION ALL ".join(selects)
+
+
+QUERIES["q_ann_ivfpq_batch"] = q_ann_ivfpq_batch_impl
+ORACLE_SQL["q_ann_ivfpq_batch"] = _ivfpq_batch_oracle()
 
 
 # =====================================================================
@@ -5837,10 +5896,15 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     38-113s GC-bound walls vs 11-21s serialized-on-disk, and the
     100x/30x ratio lands at 2.47 vs the 3.33 linear expectation
     (SCALE_PROBE.md round-10 LM section).  Every post-dtf exchange
-    carries aggregated rows, contexts and the vocab scalar broadcast,
-    and all joins are equi-joins on the model keys.  At 100 TB the
-    counts become a persisted model table and scoring joins against
-    it — identical plan minus the training aggregation."""
+    carries aggregated rows; the 1-row vocab scalar is broadcast, the
+    vocabulary-sized context table is left to AQE (broadcast at sf
+    scale, shuffle at web scale — an explicit hint here would be a
+    driver-OOM at 100 TB), and all joins are equi-joins on the model
+    keys.  At 100 TB the counts become a persisted model table and
+    scoring joins against it — identical plan minus the training
+    aggregation.  The dtf cache is registered with
+    :mod:`vector_db_ingestor_spark.caching`; harnesses call
+    ``release_all()`` after consuming the result."""
     docs = load_table(spark, sf_dir, "documents")
     a = _LM_ALPHA
     w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -5861,9 +5925,16 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize once: four consumers (scoring join, c2, via-c2 c1,
         # vocab) would otherwise each re-scan and re-tokenize the corpus.
         # DISK_ONLY: dtf is corpus-sized string rows — heap-resident it
-        # GC-thrashes at scale (measured, see docstring)
+        # GC-thrashes at scale (measured, see docstring).  The handle is
+        # registered so the harness can reclaim the cache after the
+        # (lazy) result is consumed — without caching.release_all(),
+        # reclamation falls to Spark's ContextCleaner once the handle
+        # is garbage-collected.
         .persist(StorageLevel.DISK_ONLY)
     )
+    from vector_db_ingestor_spark.caching import register
+
+    register(dtf)
     c2 = dtf.groupBy("a", "b").agg(F.sum("m").alias("c2"))
     c1 = c2.groupBy("a").agg(F.sum("c2").alias("c1"))
     vocab = (
@@ -5873,9 +5944,15 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (F.col("c2") + F.lit(a)) / (F.col("c1") + F.lit(a) * F.col("vocab"))
     micro = F.round(-F.log(p) * F.lit(1000000.0), 0).cast("long")
+    # c1 carries one row per distinct CONTEXT TOKEN — vocabulary-sized,
+    # 10^8-10^9 rows on a 100 TB web corpus — so it must NOT carry an
+    # explicit broadcast hint (that would override AQE's size check and
+    # OOM the driver building the table).  AQE broadcasts it when it is
+    # actually small (the sf-scale case) and shuffles it when it isn't;
+    # only the 1-row vocab scalar is hint-broadcast.
     return (
         dtf.join(c2, ["a", "b"])
-        .join(F.broadcast(c1), "a")
+        .join(c1, "a")
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", "m", micro.alias("mn"))
         .groupBy("doc_id")
@@ -5915,10 +5992,10 @@ def q_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected to per-document facts the oracle recomputes DIRECTLY from
     the documents table — so a parser bug (off-by-one slicing, header
     mishandling, envelope residue) breaks the hash.  Mirrors the
-    q_ingest_pipeline synthetic-wrapping contract.  ASCII caveat: char
-    length == byte length on the all-ASCII fixtures (pinned in
-    tests/test_operators.py), which is what lets Content-Length be
-    computed with ``length()`` in-plan."""
+    q_ingest_pipeline synthetic-wrapping contract.  Content-Length is
+    computed with ``octet_length()`` (BYTES, matching the parser's
+    byte slicing), so the synthesized record is byte-correct for any
+    UTF-8 text, not just the all-ASCII fixtures."""
     from vector_db_ingestor_spark.sources.warc import parse_warc_bytes
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5930,7 +6007,10 @@ def q_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
         F.concat(F.lit("http://fixtures/"), F.col("doc_id")),
         F.lit("\r\nWARC-Date: 2026-08-15T00:00:00Z\r\nContent-Length: "),
-        F.length(http).cast("string"),
+        # octet_length, not length: the header names BYTES and the
+        # parser slices bytes — char count would desync on any
+        # non-ASCII text (utf-8 multi-byte chars)
+        F.octet_length(http).cast("string"),
         F.lit("\r\n\r\n"),
         http,
         F.lit("\r\n\r\n"),
