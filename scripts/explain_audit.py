@@ -110,6 +110,9 @@ AUDITS: dict[str, dict] = {
     # the whole IVF-PQ serving path is ONE narrow scan stage: routing,
     # residual encode and ADC ride the scan, top-k is a heap
     "q_ann_ivfpq": {"max_exchange": 0, "top_k": True},
+    # batched IVF-PQ: encode once, broadcast the (cid, query_id) route
+    # table, ONE shuffle total (the per-query window rank)
+    "q_ann_ivfpq_batch": {"broadcast": True, "max_exchange": 1},
     # train+score over ONE lazily-checkpointed bigram table: the
     # final plan reads the checkpoint, contexts + vocab broadcast.
     # (no no_nested_loop pin: the 1-row vocab scalar enters via
