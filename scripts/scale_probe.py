@@ -793,6 +793,17 @@ def ngram100_median(sf_dir: str, reps: int = 3) -> None:
     print(f"appended to {out}")
 
 
+def _ivfpq_indexed_probe(codes: DataFrame) -> DataFrame:
+    """ivfpq_topk_indexed's exact plan over a prebuilt codes table:
+    shortlist partition pruning + literal-table ADC, no raw vectors
+    (operators/similarity.py)."""
+    from vector_db_ingestor_spark.operators.similarity import ivfpq_topk_indexed
+    from vector_db_ingestor_spark.queries import PROBE_64, _ivfpq_params
+
+    cents, cbs, _, _ = _ivfpq_params()
+    return ivfpq_topk_indexed(codes, cents, cbs, PROBE_64, k=10, nprobe=4)
+
+
 def _ivfpq_probe(emb: DataFrame) -> DataFrame:
     """q_ann_ivfpq's exact plan over a replicated corpus: literal
     coarse centroids + residual PQ + ADC top-10 (queries._ivfpq_params
@@ -881,6 +892,20 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
             idx = os.path.join(work, f"ivf_x{factor}")
             ivf_write(emb, idx, dim=EMBEDDING_DIM, n_centroids=16, iters=1)
             indexed, cents = ivf_read(spark, idx)
+            # round-11 (VERDICT r10 #6): the persisted-codes IVF-PQ
+            # serve joins the standing probe set — build the codes
+            # index OUTSIDE the timed region (the deployment contract:
+            # encode once, serve many)
+            from vector_db_ingestor_spark.operators.similarity import (
+                ivfpq_read,
+                ivfpq_write,
+            )
+            from vector_db_ingestor_spark.queries import _ivfpq_params
+
+            pq_cents, pq_cbs, _, _ = _ivfpq_params()
+            pq_idx = os.path.join(work, f"ivfpq_x{factor}")
+            ivfpq_write(emb, pq_idx, pq_cents, pq_cbs)
+            pq_codes, _, _ = ivfpq_read(spark, pq_idx)
             batch_probes = [
                 (
                     b,
@@ -929,6 +954,10 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
                 # scan stage, linear expectation; production amortizes
                 # the encode into a persisted codes table
                 "ivfpq_topk": _ivfpq_probe(emb),
+                # round-11: the amortized serve itself — codes-only
+                # pruned read, ~m bytes/row, expected FLAT wall with
+                # probed rows linear (the 100 TB claim's plan shape)
+                "ivfpq_topk_indexed": _ivfpq_indexed_probe(pq_codes),
             }
             for name, df in fams.items():
                 times.setdefault(name, {})[factor] = _time_median(df, reps)
@@ -942,23 +971,22 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
 
     lines = [
         "",
-        "## 100x ANN-serving probe — round-10, MATERIALIZED inputs, "
-        "warm median-of-%d" % reps,
+        "## 100x ANN-serving probe — round-11 full set, MATERIALIZED "
+        "inputs, warm median-of-%d" % reps,
         "",
-        "Re-run of the round-9 section over parquet-materialized",
-        "corpora (the text_100x methodology): the round-9 run timed the",
-        "scan-dominated families over the inline replicator, whose",
-        "O(rows x factor) when-chain costs 1.9s/10.1s at 30x/100x by",
-        "itself — a harness term that could read as false engine",
-        "superlinearity.  This section SUPERSEDES the round-9 ann",
-        "numbers for exact_topk/pq_encode/bm25_scores; the IVF rows",
-        "were already clean (they read the ivf_write parquet index).",
-        "exact/pq/bm25 are one narrow scan stage (linear expectation",
-        "3.33); lsh_topk scans ~1/16 of the corpus (fixed n_bits=4 for",
-        "continuity with the 1x-10x table); ivf_topk scans the nprobe=4",
-        "of 16 cid partitions via partition pruning — its honest cost",
-        "driver is rows-scanned (second table), the local walls carry",
-        "fixed multi-job routing overhead.",
+        "The standing ANN probe set (materialized-parquet methodology,",
+        "established round 10), now including BOTH round-10 IVF-PQ rows",
+        "per VERDICT r10 #6: ivfpq_topk (inline encode — worst-case,",
+        "linear expectation) and ivfpq_topk_indexed (persisted-codes",
+        "serve: pruned partition read of ~m bytes/row — expected FLAT",
+        "wall, probed rows linear; its per-factor ivfpq_write build is",
+        "outside the timed region, the encode-once deployment",
+        "contract).  exact/pq/bm25 are one narrow scan stage (linear",
+        "expectation 3.33); lsh_topk scans ~1/16 of the corpus (fixed",
+        "n_bits=4 for continuity with the 1x-10x table); ivf_topk scans",
+        "the nprobe=4 of 16 cid partitions via partition pruning — its",
+        "honest cost driver is rows-scanned (second table), the local",
+        "walls carry fixed multi-job routing overhead.",
         "",
         "| stage | 30x | 100x | time 100x/30x |",
         "|---|---|---|---|",

@@ -1,0 +1,110 @@
+"""Round-11 additions: the batched IVF-PQ key, the semantic-dedup
+representative join-back recipe, and the WARC byte-length regression.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_ingestor_spark.queries import QUERIES
+
+
+def test_ivfpq_batch_probe0_equals_single_key(spark, sf_dir):
+    """q_ann_ivfpq_batch's probe-0 slice must equal q_ann_ivfpq row for
+    row (same literals, same routing, same codes, same ADC): the batch
+    plan may reorganize the computation — one encode pass, route
+    fan-out, window rank — but never the per-probe answer."""
+    single = (
+        QUERIES["q_ann_ivfpq"](spark, sf_dir)
+        .toPandas()
+        .sort_values("score", ascending=False, ignore_index=True)
+    )
+    batch = QUERIES["q_ann_ivfpq_batch"](spark, sf_dir).toPandas()
+    p0 = (
+        batch[batch["query_id"] == 0]
+        .sort_values("rank", ignore_index=True)[["vec_id", "cid", "score"]]
+    )
+    pd.testing.assert_frame_equal(
+        p0, single[["vec_id", "cid", "score"]], check_dtype=False
+    )
+    # both probes answered, k rows each, ranks dense from 1
+    for qid in (0, 1):
+        ranks = sorted(batch[batch["query_id"] == qid]["rank"])
+        assert ranks == list(range(1, len(ranks) + 1))
+    assert set(batch["query_id"]) == {0, 1}
+
+
+def test_semantic_dedup_representative_joinback(spark, sf_dir):
+    """The join-back recipe the q_dedup_semantic docstring promises
+    (mirroring q_dedup_representatives for the embedding channel):
+    verdict joined onto the corpus yields (a) the surviving corpus =
+    keep rows, (b) a per-representative report of how many near-dup
+    vectors each kept row absorbed.  Invariants: survivors == distinct
+    clusters, every member maps to a kept representative, member
+    counts sum back to the corpus."""
+    from vector_db_ingestor_spark.tables import load_table
+
+    verdict = QUERIES["q_dedup_semantic"](spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    survivors = emb.join(
+        verdict.filter("keep").select("vec_id"), "vec_id"
+    )
+    report = (
+        verdict.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .withColumnRenamed("cluster_id", "vec_id")
+    )
+    rep_rows = report.join(survivors, "vec_id").collect()
+
+    n_emb = emb.count()
+    n_clusters = verdict.select("cluster_id").distinct().count()
+    assert survivors.count() == n_clusters  # one survivor per cluster
+    assert len(rep_rows) == n_clusters  # every representative survives
+    assert sum(r.n_members for r in rep_rows) == n_emb  # partition
+    assert any(r.n_members > 1 for r in rep_rows)  # dups were absorbed
+
+
+def test_warc_synthesis_byte_correct_for_utf8(spark):
+    """Regression for the ADVICE r10 char-vs-byte caveat: the
+    q_warc_pipeline synthesis pattern (Content-Length from
+    octet_length) must round-trip NON-ASCII text exactly — with
+    char-count length the parser would slice short and corrupt every
+    multi-byte document."""
+    from vector_db_ingestor_spark.sources.warc import parse_warc_bytes
+
+    texts = ["héllo wörld — ünïcode", "日本語のテキスト", "plain ascii"]
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+        F.col("text"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.concat(F.lit("http://fixtures/"), F.col("doc_id")),
+        F.lit("\r\nWARC-Date: 2026-08-15T00:00:00Z\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    segments = docs.select(
+        F.concat(F.lit("mem://"), F.col("doc_id")).alias("path"),
+        F.to_binary(record, F.lit("utf-8")).alias("content"),
+    )
+    got = {
+        r.url: bytes(r.payload).decode("utf-8")
+        for r in parse_warc_bytes(segments).collect()
+    }
+    assert got == {f"http://fixtures/{i}": t for i, t in enumerate(texts)}
+
+
+def test_char_length_would_have_broken_utf8(spark):
+    """The counterfactual the fix closes: char-count Content-Length
+    under-slices multi-byte payloads (documents the WHY of
+    octet_length; if this ever starts passing with equality, the
+    parser stopped honoring Content-Length)."""
+    t = "héllo wörld — ünïcode"
+    assert len(t) < len(t.encode("utf-8"))  # chars undercount bytes
