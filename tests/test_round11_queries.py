@@ -3,7 +3,6 @@ representative join-back recipe, and the WARC byte-length regression.
 """
 
 import pandas as pd
-import pytest
 from pyspark.sql import functions as F
 
 from vector_db_ingestor_spark.queries import QUERIES
@@ -108,3 +107,41 @@ def test_char_length_would_have_broken_utf8(spark):
     parser stopped honoring Content-Length)."""
     t = "héllo wörld — ünïcode"
     assert len(t) < len(t.encode("utf-8"))  # chars undercount bytes
+
+
+def test_ivf_drift_report_matches_duckdb_oracle(spark, sf_dir):
+    """Round-12 queue item, differentially tested AHEAD of declaration
+    (the round-11 rotation window is full): q_ivf_drift_report_impl on
+    Spark vs _ivf_drift_oracle on DuckDB over the same parquet — the
+    exact comparison the driver gate will run once the key registers."""
+    import duckdb
+
+    from vector_db_ingestor_spark.queries import (
+        _ivf_drift_oracle,
+        q_ivf_drift_report_impl,
+    )
+
+    got = (
+        q_ivf_drift_report_impl(spark, sf_dir)
+        .toPandas()
+        .sort_values("cid", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = con.execute(_ivf_drift_oracle()).df().sort_values(
+        "cid", ignore_index=True
+    )
+    assert len(got) == len(want) == 8  # full cid range, empties included
+    pd.testing.assert_frame_equal(
+        got[["cid", "n", "share", "skew"]].astype(
+            {"cid": "int64", "n": "int64", "share": "float64", "skew": "float64"}
+        ),
+        want[["cid", "n", "share", "skew"]].astype(
+            {"cid": "int64", "n": "int64", "share": "float64", "skew": "float64"}
+        ),
+    )
+    assert abs(got["share"].sum() - 1.0) < 1e-6
+    assert abs(got["skew"].mean() - 1.0) < 1e-6

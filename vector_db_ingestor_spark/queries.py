@@ -5757,6 +5757,80 @@ ORACLE_SQL["q_ann_ivfpq_batch"] = _ivfpq_batch_oracle()
 
 
 # =====================================================================
+# round-12 queue: IVF occupancy drift report (built + differentially
+# tested in round 11, DECLARATION DEFERRED — the round-11 50-key
+# rotation window is exactly full: 1 new + 2 changed + 4 rows-only +
+# 43 r8-stale.  Register as q_ivf_drift_report once the rotation
+# clears.  Differential evidence until then:
+# tests/test_round11_queries.py runs this Spark plan and the oracle
+# SQL side by side on DuckDB.)
+# =====================================================================
+
+def q_ivf_drift_report_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance reporting (operators/similarity.py
+    ivf_drift_report): per-centroid occupancy (n, share, skew =
+    n / mean) of the corpus under the literal assignment centroids —
+    the retrain signal for frozen-model IVF/IVF-PQ indexes absorbing
+    appends (`skew > ~4` on any cell means probes of that cell scan
+    4x the ideal row count).  Assignment is the hash-green
+    q_ann_ivf_assign expression; the report is one hash agg over the
+    cid column (at deployment it reads ONLY the partition key of the
+    codes table — no vectors), a full-outer join against the model's
+    cid range so empty (drifted-away-from) cells surface as n=0 rows,
+    and a 1-row broadcast total.  Closed-form given the literals, so
+    the oracle re-derives assignment AND the share/skew arithmetic."""
+    from vector_db_ingestor_spark.operators.similarity import (
+        _assign_cid,
+        ivf_drift_report,
+    )
+
+    cents = _ivf_assign_centroids()
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    assigned = emb.select(_assign_cid(vec, cents, round_dp=6).alias("cid"))
+    return ivf_drift_report(assigned, n_centroids=len(cents))
+
+
+def _ivf_drift_oracle() -> str:
+    """DuckDB mirror: the q_ann_ivf_assign assignment CTE feeding the
+    occupancy arithmetic — counts over the FULL cid range (empty cells
+    as zero rows), share = n/total, skew = n*k/total, both rounded
+    like the Spark side."""
+    cents = _ivf_assign_centroids()
+
+    def cvec(c: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]"
+
+    def cos_sql(c: list[float]) -> str:
+        lit = cvec(c)
+        return (
+            f"round(list_dot_product(embedding::DOUBLE[], {lit})"
+            f" / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+            f" * sqrt(list_dot_product({lit}, {lit}))), 6)"
+        )
+
+    sims = ", ".join(cos_sql(c) for c in cents)
+    k = len(cents)
+    return f"""
+    WITH assigned AS (
+        SELECT CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER) AS cid
+        FROM (SELECT [{sims}] AS sims FROM embeddings)
+    ),
+    counts AS (
+        SELECT r.cid, CAST(coalesce(a.n, 0) AS BIGINT) AS n
+        FROM (SELECT CAST(range AS INTEGER) AS cid FROM range({k})) r
+        LEFT JOIN (SELECT cid, count(*) AS n FROM assigned GROUP BY cid) a
+          USING (cid)
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t, count(*) AS k FROM counts)
+    SELECT cid, n,
+           round(n / t, 6) AS share,
+           round(n * k / t, 6) AS skew
+    FROM counts CROSS JOIN tot
+    """
+
+
+# =====================================================================
 # round 10: semantic dedup (SemDeDup-style keep/drop over embeddings)
 # =====================================================================
 
