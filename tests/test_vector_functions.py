@@ -661,3 +661,45 @@ def test_ivfpq_append_frozen_models(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="_INDEX_SUCCESS"):
         ivfpq_append(new, str(tmp_path / "nonexistent"))
+
+
+def test_ivfpq_batch_indexed_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """The batched persisted-codes serve (round 11, completing the
+    single-probe symmetry): ivfpq_topk_batch_indexed over a written
+    codes table returns exactly what the encode-inline batch returns,
+    and its plan is the pruned shape the 100 TB claim needs —
+    PartitionFilters on cid, no raw vectors, no per-row vector math
+    (ADC is literal lookups over the code columns)."""
+    from vector_db_ingestor_spark.operators.similarity import (
+        ivfpq_read,
+        ivfpq_topk_batch,
+        ivfpq_topk_batch_indexed,
+        ivfpq_write,
+    )
+    from vector_db_ingestor_spark.queries import PROBE_64, _ivfpq_params
+
+    cents, cbs, _, _ = _ivfpq_params()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = [(0, PROBE_64), (1, list(reversed(PROBE_64)))]
+    idx = str(tmp_path / "ivfpq_idx_batch")
+    ivfpq_write(emb, idx, cents, cbs)
+    codes, cents_r, cbs_r = ivfpq_read(spark, idx)
+
+    served = ivfpq_topk_batch_indexed(codes, cents_r, cbs_r, probes, k=10, nprobe=4)
+    key = ["query_id", "rank"]
+    got = sorted(
+        (tuple(r[c] for c in key + ["vec_id", "cid", "score"]))
+        for r in served.collect()
+    )
+    want = sorted(
+        (tuple(r[c] for c in key + ["vec_id", "cid", "score"]))
+        for r in ivfpq_topk_batch(
+            emb, cents, cbs, probes, k=10, nprobe=4
+        ).collect()
+    )
+    assert got == want and len(got) == 20
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "embedding" not in plan
+    assert "zip_with" not in plan and "aggregate(" not in plan

@@ -807,26 +807,20 @@ def ivfpq_topk_batch(
     position in the batch (O(Q x m x ksub) doubles — driver-held-model
     scale).  Per-probe results are pinned equal to :func:`ivfpq_topk`
     in tests; the batch property mirrors :func:`ivf_topk_batch` — Q
-    probes cost ~1 pruned scan, not Q.
+    probes cost ~1 pruned scan, not Q.  The encode feeds the SAME
+    scoring tail the persisted-codes path uses
+    (:func:`ivfpq_topk_batch_indexed`), so inline and indexed batch
+    answers are equal by construction given an up-to-date index.
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    spark = embeddings.sparkSession
-    routes = [
-        (cid, int(qid))
-        for qid, vec in probes
-        for cid in ivf_shortlist(centroids, vec, nprobe)
-    ]
-    route_df = spark.createDataFrame(routes, schema="cid INT, query_id INT")
-    union_cids = sorted({cid for cid, _ in routes})
-    # probe order defines the literal index space; qpos = position+1
-    qids = [int(qid) for qid, _ in probes]
-    qpos = F.array_position(F.lit(qids), F.col("query_id")).cast("int")
-    tabs_by_probe = [pq_adc_tables(vec, codebooks) for _, vec in probes]
-    qdotc_by_probe = [
-        [float(sum(p * c for p, c in zip(vec, cc))) for cc in centroids]
-        for _, vec in probes
-    ]
+    union_cids = sorted(
+        {
+            cid
+            for _, vec in probes
+            for cid in ivf_shortlist(centroids, vec, nprobe)
+        }
+    )
     vec = F.col(vec_col).cast("array<double>")
     assigned = embeddings.select(
         id_col,
@@ -847,6 +841,49 @@ def ivfpq_topk_batch(
             for s in range(m)
         ],
     )
+    return ivfpq_topk_batch_indexed(
+        coded, centroids, codebooks, probes, k, nprobe, id_col, round_dp
+    )
+
+
+def ivfpq_topk_batch_indexed(
+    codes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    probes: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """QUERY TIME, batched, over a prebuilt IVF-PQ codes table
+    (:func:`ivfpq_write`'s layout): the batch counterpart of
+    :func:`ivfpq_topk_indexed` and the tail of
+    :func:`ivfpq_topk_batch` — no assignment, no encode, no raw
+    vectors.  The union'd shortlist prunes ``cid=`` partitions (file
+    skipping), the broadcast route table fans each code row out to
+    exactly the probes that shortlisted its cell, per-probe ADC tables
+    enter as literals indexed by batch position, and one window rank
+    takes each probe's top-k.  This is the production serving plan at
+    100 TB: Q queries cost one pruned ~m-bytes-per-row scan plus one
+    bounded shuffle (the rank, <= Q x union-cell rows of code ints)."""
+    m = len(codebooks)
+    spark = codes.sparkSession
+    routes = [
+        (cid, int(qid))
+        for qid, vec in probes
+        for cid in ivf_shortlist(centroids, vec, nprobe)
+    ]
+    route_df = spark.createDataFrame(routes, schema="cid INT, query_id INT")
+    union_cids = sorted({cid for cid, _ in routes})
+    # probe order defines the literal index space; qpos = position+1
+    qids = [int(qid) for qid, _ in probes]
+    qpos = F.array_position(F.lit(qids), F.col("query_id")).cast("int")
+    tabs_by_probe = [pq_adc_tables(vec, codebooks) for _, vec in probes]
+    qdotc_by_probe = [
+        [float(sum(p * c for p, c in zip(vec, cc))) for cc in centroids]
+        for _, vec in probes
+    ]
     adc = F.element_at(
         F.element_at(F.lit(qdotc_by_probe), qpos), F.col("cid") + 1
     )
@@ -855,8 +892,10 @@ def ivfpq_topk_batch(
             F.element_at(F.lit([t[s] for t in tabs_by_probe]), qpos),
             F.col(f"c{s}") + 1,
         )
-    scored = coded.join(F.broadcast(route_df), "cid").withColumn(
-        "score", F.round(adc, round_dp)
+    scored = (
+        codes.filter(F.col("cid").isin(union_cids))
+        .join(F.broadcast(route_df), "cid")
+        .withColumn("score", F.round(adc, round_dp))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
