@@ -528,3 +528,53 @@ def test_ingest_warc_end_to_end(spark, tmp_path):
     # same collection contract as the PDF path: searchable as-is
     hits = coll.search("alpha crawl sentence", n_results=3).collect()
     assert hits and hits[0].filename == "http://a.example/doc"
+
+
+def test_collection_ann_batch_queries(spark, tmp_path):
+    """search_ann with a LIST of queries (Chroma query_texts parity,
+    round 11): served by the batched operators over the persisted
+    index, one union'd-shortlist scan for the whole batch; per-query
+    slices must equal the single-query calls."""
+    import pytest
+
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    texts = [
+        b"Spark processes data at scale across many executors. ",
+        b"Chroma stores embeddings for retrieval workloads daily. ",
+        b"Retrieval augmented generation assembles cited context. ",
+        b"Product quantization compresses vectors into tiny codes. ",
+    ]
+    files = spark.createDataFrame(
+        [
+            (
+                f"file:/fake/{i}.pdf",
+                f"{i}.pdf",
+                len(b),
+                bytearray(b"stream\n(" + b * 4 + b") Tj\nendstream"),
+            )
+            for i, b in enumerate(texts)
+        ],
+        "source STRING, filename STRING, file_bytes LONG, content BINARY",
+    )
+    coll = VectorCollection(spark, str(tmp_path / "coll"))
+    coll.overwrite(build_chunks(files, chunk_size=60, overlap=10))
+    coll.build_ann_index(kind="ivf", n_centroids=4)
+    coll.build_ann_index(kind="ivfpq", n_centroids=4, m=4, ksub=8)
+
+    qs = ["spark executors scale", "quantization codes"]
+    for kind in ("ivf", "ivfpq"):
+        batch = coll.search_ann(qs, n_results=3, kind=kind, nprobe=4).collect()
+        assert {r.query_id for r in batch} == {0, 1}
+        for qid, q in enumerate(qs):
+            single = coll.search_ann(q, n_results=3, kind=kind, nprobe=4).collect()
+            got = sorted(
+                ((r.rank, r.chunk_uid, r.score) for r in batch if r.query_id == qid)
+            )
+            want = sorted(((r.rank, r.chunk_uid, r.score) for r in single))
+            assert got == want, (kind, qid)
+
+    with pytest.raises(ValueError, match="non-empty"):
+        coll.search_ann(["ok", "  "], kind="ivf")
+    with pytest.raises(ValueError, match="non-empty"):
+        coll.search_ann([], kind="ivf")

@@ -433,7 +433,7 @@ class VectorCollection:
 
     def search_ann(
         self,
-        query: str,
+        query: str | list[str],
         n_results: int = 5,
         kind: str = "ivf",
         nprobe: int = 4,
@@ -445,6 +445,12 @@ class VectorCollection:
         the full rows — same output shape as :meth:`search` (ranked
         hits with text/metadata) with approximate recall.
 
+        A LIST of queries (Chroma's ``query_texts`` shape, the
+        :meth:`search`/:meth:`search_batch` parity) is served by the
+        BATCHED operators — the union'd shortlist is scanned once for
+        the whole batch — and the result carries a ``query_id`` column
+        (position in the list) with per-query ranks.
+
         Metadata filters are NOT supported here: the indexes don't
         carry metadata, and silently post-filtering an approximate hit
         list returns fewer-than-k rows with recall no one chose — use
@@ -453,17 +459,45 @@ class VectorCollection:
             ivf_index_complete,
             ivf_read,
             ivf_topk,
+            ivf_topk_batch,
             ivfpq_read,
+            ivfpq_topk_batch_indexed,
             ivfpq_topk_indexed,
         )
 
-        if not query or not query.strip():
-            raise ValueError("query must be a non-empty string")
+        queries = query if isinstance(query, list) else [query]
+        if not queries or any(not q or not q.strip() for q in queries):
+            raise ValueError("query must be (a list of) non-empty string(s)")
         path = self._ann_path(kind)
         if not ivf_index_complete(self.spark, path):
             raise ValueError(
                 f"no complete {kind!r} index at {path}; run "
                 f"build_ann_index(kind={kind!r}) first"
+            )
+        if isinstance(query, list):
+            probes = [
+                (i, self.embedder.embed_one(q, prefix="query"))
+                for i, q in enumerate(queries)
+            ]
+            if kind == "ivf":
+                indexed, cents = ivf_read(self.spark, path)
+                hits = ivf_topk_batch(
+                    indexed, cents, probes, k=n_results, nprobe=nprobe,
+                    id_col="chunk_uid", vec_col="embedding",
+                )
+            elif kind == "ivfpq":
+                codes, cents, cbs = ivfpq_read(self.spark, path)
+                hits = ivfpq_topk_batch_indexed(
+                    codes, cents, cbs, probes, k=n_results, nprobe=nprobe,
+                    id_col="chunk_uid",
+                )
+            else:
+                raise ValueError(f"unknown ANN index kind: {kind!r}")
+            ranked = hits.select("query_id", "chunk_uid", "score", "rank")
+            return (
+                self.df()
+                .join(F.broadcast(ranked), "chunk_uid")
+                .orderBy("query_id", "rank")
             )
         probe = self.embedder.embed_one(query, prefix="query")
         if kind == "ivf":
