@@ -793,6 +793,20 @@ def ngram100_median(sf_dir: str, reps: int = 3) -> None:
     print(f"appended to {out}")
 
 
+def _ivfpq_batch_indexed_probe(codes: DataFrame) -> DataFrame:
+    """ivfpq_topk_batch_indexed's exact plan over a prebuilt codes
+    table: 2 probes (q_ann_ivfpq_batch's pair), union'd shortlist
+    pruning, broadcast route table, window rank."""
+    from vector_db_ingestor_spark.operators.similarity import (
+        ivfpq_topk_batch_indexed,
+    )
+    from vector_db_ingestor_spark.queries import PROBE_64, _ivfpq_params
+
+    cents, cbs, _, _ = _ivfpq_params()
+    probes = [(0, PROBE_64), (1, list(reversed(PROBE_64)))]
+    return ivfpq_topk_batch_indexed(codes, cents, cbs, probes, k=10, nprobe=4)
+
+
 def _ivfpq_indexed_probe(codes: DataFrame) -> DataFrame:
     """ivfpq_topk_indexed's exact plan over a prebuilt codes table:
     shortlist partition pruning + literal-table ADC, no raw vectors
@@ -958,6 +972,9 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
                 # pruned read, ~m bytes/row, expected FLAT wall with
                 # probed rows linear (the 100 TB claim's plan shape)
                 "ivfpq_topk_indexed": _ivfpq_indexed_probe(pq_codes),
+                # round-11: batched persisted-codes serve (2 probes,
+                # one union'd pruned scan + route join + window rank)
+                "ivfpq_batch2_indexed": _ivfpq_batch_indexed_probe(pq_codes),
             }
             for name, df in fams.items():
                 times.setdefault(name, {})[factor] = _time_median(df, reps)
