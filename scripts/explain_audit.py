@@ -113,8 +113,11 @@ AUDITS: dict[str, dict] = {
     # batched IVF-PQ: encode once, broadcast the (cid, query_id) route
     # table, ONE shuffle total (the per-query window rank)
     "q_ann_ivfpq_batch": {"broadcast": True, "max_exchange": 1},
-    # train+score over ONE lazily-checkpointed bigram table: the
-    # final plan reads the checkpoint, contexts + vocab broadcast.
+    # train+score over ONE persisted bigram table: the final plan
+    # reads the cache; the vocab scalar is hint-broadcast and AQE
+    # broadcasts the context table at sf scale (the explicit c1 hint
+    # was removed in r11 — vocabulary-sized at web scale, VERDICT r10
+    # #1 — so at 100 TB this pin's broadcast comes from vocab alone).
     # (no no_nested_loop pin: the 1-row vocab scalar enters via
     # crossJoin(broadcast) = a 1-row BNLJ, the same benign shape as
     # bm25's corpus-stats join)
