@@ -145,3 +145,37 @@ def test_ivf_drift_report_matches_duckdb_oracle(spark, sf_dir):
     )
     assert abs(got["share"].sum() - 1.0) < 1e-6
     assert abs(got["skew"].mean() - 1.0) < 1e-6
+
+
+def test_warc_ingest_matches_duckdb_oracle(spark, sf_dir):
+    """Round-12 queue item 2/2, differentially tested ahead of
+    declaration: the synthesized-WARC -> real parser -> real chunk
+    kernel chain vs its recursive-CTE oracle on DuckDB — the driver
+    comparison q_warc_ingest will face once registered."""
+    import duckdb
+
+    from vector_db_ingestor_spark.queries import (
+        _warc_ingest_oracle,
+        q_warc_ingest_impl,
+    )
+
+    cols = ["chunk_uid", "filename", "chunk_index", "total_chunks",
+            "chunk_chars", "emb_dim"]
+    got = (
+        q_warc_ingest_impl(spark, sf_dir)
+        .toPandas()[cols]
+        .sort_values(cols, ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(_warc_ingest_oracle()).df()[cols].sort_values(
+        cols, ignore_index=True
+    )
+    assert len(got) == len(want) > 0
+    for c in cols:
+        got[c] = got[c].astype(str)
+        want[c] = want[c].astype(str)
+    pd.testing.assert_frame_equal(got, want)

@@ -5831,6 +5831,98 @@ def _ivf_drift_oracle() -> str:
 
 
 # =====================================================================
+# round-12 queue (2/2): WARC ingest chain, synthesized records through
+# the REAL parser into the REAL fused chunk kernel — the q_warc_ingest
+# candidate SURVEY §7 names.  Built + differentially tested round 11
+# (tests/test_round11_queries.py), DECLARATION DEFERRED with
+# q_ivf_drift_report for the same rotation-window reason.
+# =====================================================================
+
+def q_warc_ingest_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Common Crawl front door under the hash gate: fixture
+    documents wrapped as WARC response records IN-PLAN (the
+    q_warc_pipeline synthesis — byte-correct Content-Length), the REAL
+    record parser walks the bytes, and the surviving responses run the
+    REAL ingest tail (pipeline.build_chunks: UTF-8 decode -> reference
+    chunker -> deterministic sha-256 uids -> embedding UDF), exactly
+    the `ingest_warc` chain minus the parquet write.  The oracle
+    recomputes filenames, chunk indices/counts and uids from
+    `documents` via the recursive-CTE chunker mirror — so a defect in
+    parsing (slicing, envelope), decoding, chunk semantics or uid
+    derivation breaks the hash.  Composes the q_warc_pipeline and
+    q_ingest_pipeline contracts into the one pipeline a crawl corpus
+    actually runs."""
+    from vector_db_ingestor_spark.pipeline import build_chunks
+    from vector_db_ingestor_spark.sources.warc import parse_warc_bytes
+
+    docs = load_table(spark, sf_dir, "documents")
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+        F.col("text"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.concat(F.lit("http://fixtures/"), F.col("doc_id")),
+        F.lit("\r\nWARC-Date: 2026-08-15T00:00:00Z\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    segments = docs.select(
+        F.concat(F.lit("mem://"), F.col("doc_id")).alias("path"),
+        F.to_binary(record, F.lit("utf-8")).alias("content"),
+    )
+    recs = parse_warc_bytes(segments)
+    files = recs.filter(
+        (F.col("record_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        "source",
+        F.col("url").alias("filename"),
+        F.col("payload").alias("content"),
+    )
+    chunks = build_chunks(
+        files,
+        chunk_size=200,
+        overlap=30,
+        extract=lambda b: b.decode("utf-8", "replace"),
+    )
+    return chunks.select(
+        "chunk_uid", "filename", "chunk_index", "total_chunks",
+        F.length("text").alias("chunk_chars"),
+        F.size("embedding").alias("emb_dim"),
+    )
+
+
+def _warc_ingest_oracle() -> str:
+    """DuckDB mirror: parse+decode are the identity on the synthetic
+    wrapping (pinned by q_warc_pipeline's sha256 check and the UTF-8
+    round-trip test), so the oracle chunks the raw documents text with
+    the recursive-CTE chunker mirror (cs=200, ov=30), names each doc by
+    its synthesized URL, and recomputes the deterministic uids — the
+    _ingest_pipeline_oracle skeleton with the WARC front door's
+    filename contract."""
+    ws = _PY_STRIP_SET
+    return f"""
+    WITH base AS ({_chunker_oracle(chunk_size=200, overlap=30)}),
+    named AS (
+        SELECT b.doc_id, b.chunk_index, b.chunk,
+               'http://fixtures/' || CAST(b.doc_id AS VARCHAR) AS filename,
+               CAST(count(*) OVER (PARTITION BY b.doc_id) AS INTEGER)
+                   AS total_chunks
+        FROM base b
+    )
+    SELECT sha256(filename || chr(1) || CAST(chunk_index AS VARCHAR)
+                  || chr(1) || chunk) AS chunk_uid,
+           filename, chunk_index, total_chunks,
+           CAST(length(chunk) AS INTEGER) AS chunk_chars,
+           CAST(64 AS INTEGER) AS emb_dim
+    FROM named
+    WHERE trim(chunk, {ws}) <> ''
+    """
+
+
+# =====================================================================
 # round 10: semantic dedup (SemDeDup-style keep/drop over embeddings)
 # =====================================================================
 
