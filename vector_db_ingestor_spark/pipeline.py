@@ -575,6 +575,7 @@ def ingest_warc(
     overlap: int = 50,
     embedder: HashingEmbedder | None = None,
     glob: str = "*.warc*",
+    html_to_text: bool = False,
 ) -> DataFrame:
     """The Common Crawl front door, wired into the SAME collection the
     PDF path feeds (VERDICT r10 gap #3): WARC segments under ``path``
@@ -587,6 +588,12 @@ def ingest_warc(
     dedup / ANN indexing downstream cannot tell the sources apart:
     ``source`` is the segment file, ``filename`` is the document URL
     (the identity the report and upserts key on).
+
+    ``html_to_text=True`` routes each payload through the stdlib HTML
+    extractor (sources/html.py) inside the SAME fused kernel — crawl
+    bodies are overwhelmingly HTML, and chunking markup would poison
+    every downstream text signal (quality ratios, shingles, LM score).
+    Leave it False for plain-text corpora.
 
     Scale: one task per segment (crawl shards arrive pre-sized ~1 GB),
     record parse + chunk + embed all inside one Arrow stage, and the
@@ -605,13 +612,20 @@ def ingest_warc(
         F.col("url").alias("filename"),
         F.col("payload").alias("content"),
     )
+    if html_to_text:
+        from vector_db_ingestor_spark.sources.html import (
+            html_to_text as _extract,
+        )
+    else:
+        def _extract(b: bytes) -> str:
+            return b.decode("utf-8", "replace")
     chunks = build_chunks(
         files,
         metadata,
         chunk_size,
         overlap,
         embedder,
-        extract=lambda b: b.decode("utf-8", "replace"),
+        extract=_extract,
     )
     coll = VectorCollection(spark, collection_path, embedder)
     if mode == "overwrite":
