@@ -578,3 +578,47 @@ def test_collection_ann_batch_queries(spark, tmp_path):
         coll.search_ann(["ok", "  "], kind="ivf")
     with pytest.raises(ValueError, match="non-empty"):
         coll.search_ann([], kind="ivf")
+
+
+def test_collection_ann_drift_report(spark, tmp_path):
+    """ann_drift_report completes the collection-level index
+    maintenance story: full cid range (empty cells as n=0), shares sum
+    to 1, mean skew is 1 by construction, works for both index kinds,
+    and refuses an unbuilt index."""
+    import pytest
+
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    texts = [
+        b"Spark processes data at scale across many executors. ",
+        b"Chroma stores embeddings for retrieval workloads daily. ",
+        b"Retrieval augmented generation assembles cited context. ",
+        b"Product quantization compresses vectors into tiny codes. ",
+    ]
+    files = spark.createDataFrame(
+        [
+            (
+                f"file:/fake/{i}.pdf",
+                f"{i}.pdf",
+                len(b),
+                bytearray(b"stream\n(" + b * 4 + b") Tj\nendstream"),
+            )
+            for i, b in enumerate(texts)
+        ],
+        "source STRING, filename STRING, file_bytes LONG, content BINARY",
+    )
+    coll = VectorCollection(spark, str(tmp_path / "coll"))
+    coll.overwrite(build_chunks(files, chunk_size=60, overlap=10))
+
+    with pytest.raises(ValueError, match="build_ann_index"):
+        coll.ann_drift_report(kind="ivf")
+
+    coll.build_ann_index(kind="ivf", n_centroids=4)
+    coll.build_ann_index(kind="ivfpq", n_centroids=4, m=4, ksub=8)
+    n_rows = coll.count()
+    for kind in ("ivf", "ivfpq"):
+        rep = coll.ann_drift_report(kind=kind).collect()
+        assert sorted(r.cid for r in rep) == [0, 1, 2, 3], kind
+        assert sum(r.n for r in rep) == n_rows, kind
+        assert abs(sum(r.share for r in rep) - 1.0) < 1e-6, kind
+        assert abs(sum(r.skew for r in rep) / len(rep) - 1.0) < 1e-6, kind

@@ -431,6 +431,34 @@ class VectorCollection:
         else:
             raise ValueError(f"unknown ANN index kind: {kind!r}")
 
+    def ann_drift_report(self, kind: str = "ivf") -> DataFrame:
+        """Occupancy report for a prebuilt index (per-cell n / share /
+        skew, operators/similarity.py ivf_drift_report): the retrain
+        signal for a frozen-model index absorbing appends — rule of
+        thumb, rebuild via :meth:`build_ann_index` when max(skew)
+        exceeds ~4.  Reads ONLY the cid partition column (no vectors,
+        no codes), so the report is cheap at any collection size."""
+        from vector_db_ingestor_spark.operators.similarity import (
+            ivf_drift_report,
+            ivf_index_complete,
+            ivf_read,
+            ivfpq_read,
+        )
+
+        path = self._ann_path(kind)
+        if not ivf_index_complete(self.spark, path):
+            raise ValueError(
+                f"no complete {kind!r} index at {path}; run "
+                f"build_ann_index(kind={kind!r}) first"
+            )
+        if kind == "ivf":
+            indexed, cents = ivf_read(self.spark, path)
+        elif kind == "ivfpq":
+            indexed, cents, _ = ivfpq_read(self.spark, path)
+        else:
+            raise ValueError(f"unknown ANN index kind: {kind!r}")
+        return ivf_drift_report(indexed, n_centroids=len(cents))
+
     def search_ann(
         self,
         query: str | list[str],
