@@ -86,3 +86,39 @@ def test_ingest_warc_html_mode_end_to_end(spark, tmp_path):
     assert "Paragraph 0 about distributed ingestion pipelines." in joined
     assert "Paragraph 7" in joined  # the last paragraph made it through
     assert "<p>" not in joined and "junk()" not in joined
+
+
+def test_html_extractor_total_on_tag_soup():
+    """Property: html_to_text never raises and never leaks tag markup,
+    whatever soup it is fed — generated nests of open/unclosed/bogus
+    tags, entities, and raw bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frags = st.one_of(
+        st.sampled_from(
+            [
+                "<p>", "</p>", "<div class='x'>", "<b>", "</b>", "<br>",
+                "<script>", "</script>", "<style>", "</style>", "<title>",
+                "</title>", "&amp;", "&lt;", "&#65;", "&bogus;", "<",
+                "< p", "<!---->", "<!-- open",
+            ]
+        ),
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12
+        ),
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(frags, max_size=20).map("".join), st.booleans())
+    def prop(soup, as_bytes):
+        from vector_db_ingestor_spark.sources.html import html_title, html_to_text
+
+        doc = soup.encode("utf-8") if as_bytes else soup
+        text = html_to_text(doc)
+        assert isinstance(text, str)
+        for tag in ("<p>", "</p>", "<div", "<script>", "<style>"):
+            assert tag not in text
+        assert isinstance(html_title(doc), str)
+
+    prop()

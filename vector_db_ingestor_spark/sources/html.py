@@ -83,16 +83,43 @@ class _TextExtractor(HTMLParser):
         return "\n\n".join(ln for ln in "\n".join(out).split("\n\n"))
 
 
+def _decode_and_trim(html: bytes | str) -> str:
+    """Decode (UTF-8, replacement) and drop a trailing UNTERMINATED
+    markup construct.  html.parser flushes incomplete constructs as
+    raw data at EOF, which would leak markup into the text; the HTML5
+    tokenizer instead lets an unterminated comment / CDATA / tag
+    swallow everything to EOF — truncating matches the spec.  A bare
+    ``<`` before a non-letter stays: that IS text per the tokenizer
+    (``< p`` is prose, ``<p`` is a tag)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", "replace")
+    # first comment whose "-->" never arrives swallows to EOF
+    pos = 0
+    while (i := html.find("<!--", pos)) != -1:
+        end = html.find("-->", i)
+        if end == -1:
+            html = html[:i]
+            break
+        pos = end + 3
+    i = html.rfind("<!")
+    if i != -1 and html.find(">", i) == -1:
+        html = html[:i]
+    i = html.rfind("<")
+    if i != -1 and html.find(">", i) == -1:
+        nxt = html[i + 1 : i + 2]
+        if nxt.isalpha() or (nxt == "/" and html[i + 2 : i + 3].isalpha()):
+            html = html[:i]
+    return html
+
+
 def html_to_text(html: bytes | str) -> str:
     """Extract readable text from an HTML document (bytes are decoded
     UTF-8 with replacement — crawl charsets lie, and U+FFFD is the
     honest representation of undecodable bytes).  Tolerant of broken
     markup; never raises on malformed input."""
-    if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", "replace")
     p = _TextExtractor()
     try:
-        p.feed(html)
+        p.feed(_decode_and_trim(html))
         p.close()
     except Exception:
         # html.parser is already tolerant; this is a last-resort guard
@@ -103,11 +130,9 @@ def html_to_text(html: bytes | str) -> str:
 
 def html_title(html: bytes | str) -> str:
     """The document <title>, whitespace-normalized ('' if absent)."""
-    if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", "replace")
     p = _TextExtractor()
     try:
-        p.feed(html)
+        p.feed(_decode_and_trim(html))
         p.close()
     except Exception:
         pass
