@@ -179,3 +179,37 @@ def test_warc_ingest_matches_duckdb_oracle(spark, sf_dir):
         got[c] = got[c].astype(str)
         want[c] = want[c].astype(str)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_url_curation_matches_duckdb_oracle(spark, sf_dir):
+    """Round-13 queue item, differentially tested ahead of declaration:
+    synthesized crawl URLs through functions/url.py's host /
+    registrable-domain / canonical-normalization expressions vs an
+    oracle that rebuilds every output from the raw document fields."""
+    import duckdb
+
+    from vector_db_ingestor_spark.queries import (
+        _url_curation_oracle,
+        q_url_curation_impl,
+    )
+
+    cols = ["doc_id", "url_raw", "host", "rdom", "url_canon"]
+    got = (
+        q_url_curation_impl(spark, sf_dir)
+        .toPandas()[cols]
+        .astype(str)
+        .sort_values(cols, ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = (
+        con.execute(_url_curation_oracle())
+        .df()[cols]
+        .astype(str)
+        .sort_values(cols, ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0

@@ -5923,6 +5923,72 @@ def _warc_ingest_oracle() -> str:
 
 
 # =====================================================================
+# round-13 queue: URL curation (built + differentially tested round
+# 11; r12's window is reserved for q_ivf_drift_report +
+# q_warc_ingest, see SURVEY §7).  Certifies functions/url.py's
+# normalization contract cross-engine.
+# =====================================================================
+
+def q_url_curation_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation over synthesized crawl URLs (fixtures carry no URL
+    column, so one is derived in-plan from document fields — the
+    q_warc_pipeline synthesis contract): host extraction, registrable
+    domain, and canonical normalization (functions/url.py — lowercase
+    scheme/host, fragment dropped, tracking params stripped, trailing
+    slash removed).  The oracle recomputes every output DIRECTLY from
+    the same document fields — host casing, utm/fbclid removal, path
+    and fragment handling are all cross-engine checked.  All JVM-side
+    expressions riding the scan: the curation pass costs a projection."""
+    from vector_db_ingestor_spark.functions.url import (
+        registrable_domain,
+        url_host,
+        url_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("lang"),
+        F.lit(".Example.COM/docs/"),
+        F.col("doc_id"),
+        F.lit("/?utm_source=feed&fbclid="),
+        F.col("doc_id"),
+        F.lit("&q="),
+        F.col("n_chars"),
+        F.lit("#sec"),
+    )
+    host = url_host(url)
+    return docs.select(
+        "doc_id",
+        url.alias("url_raw"),
+        host.alias("host"),
+        registrable_domain(host).alias("rdom"),
+        url_normalize(url).alias("url_canon"),
+    )
+
+
+def _url_curation_oracle() -> str:
+    """DuckDB mirror: the synthesized URL and every curation output
+    rebuilt from the raw document fields with plain string concat —
+    independent of the engine-side parse_url/regexp mechanism, so it
+    pins the CONTRACT (what normalization must produce), not the
+    implementation."""
+    return """
+    SELECT doc_id,
+           'https://WWW.' || lang || '.Example.COM/docs/'
+               || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&fbclid='
+               || CAST(doc_id AS VARCHAR) || '&q='
+               || CAST(n_chars AS VARCHAR) || '#sec' AS url_raw,
+           'www.' || lower(lang) || '.example.com' AS host,
+           'example.com' AS rdom,
+           'https://www.' || lower(lang) || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?q='
+               || CAST(n_chars AS VARCHAR) AS url_canon
+    FROM documents
+    """
+
+
+# =====================================================================
 # round 10: semantic dedup (SemDeDup-style keep/drop over embeddings)
 # =====================================================================
 
