@@ -612,3 +612,63 @@ def test_dedup_stream_state_bounded_over_soak(spark, tmp_path):
     out = spark.sql("SELECT event_id FROM soak_dedup")
     assert out.count() == total_keys
     assert out.distinct().count() == total_keys
+
+
+def test_stream_ingest_warc_exactly_once_per_segment(spark, tmp_path):
+    """Continuous crawl ingest (round 11): .warc.gz segments stream
+    exactly-once through parse -> HTML reduce -> chunk -> embed into
+    the shared collection layout; a segment landing AFTER the first
+    drain is picked up by the next drain, already-seen segments are
+    not re-ingested."""
+    import gzip
+
+    from vector_db_ingestor_spark.streaming.ingest import stream_ingest_warc
+
+    def rec(uri: str, body: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+            + uri.encode()
+            + b"\r\nWARC-Date: 2026-08-15T00:00:00Z\r\nContent-Length: "
+            + str(len(body)).encode()
+            + b"\r\n\r\n" + body + b"\r\n\r\n"
+        )
+
+    def seg(uri: str, text: str) -> bytes:
+        html = (
+            "<html><body>"
+            + f"<p>{text}</p>" * 6
+            + "</body></html>"
+        ).encode()
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        return gzip.compress(rec(uri, http))
+
+    raw = tmp_path / "crawl"
+    raw.mkdir()
+    (raw / "seg1.warc.gz").write_bytes(
+        seg("http://s.example/one", "Segment one prose about pipelines.")
+    )
+    out, ckpt = tmp_path / "coll", tmp_path / "ckpt"
+    q = stream_ingest_warc(
+        spark, str(raw), str(out), str(ckpt),
+        chunk_size=80, overlap=10, html_to_text=True,
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(str(out)).collect()
+    assert first and {r.filename for r in first} == {"http://s.example/one"}
+    assert all("<p>" not in r.text for r in first)
+
+    # a new segment arrives; the old one must not be re-ingested
+    (raw / "seg2.warc.gz").write_bytes(
+        seg("http://s.example/two", "Segment two prose about curation.")
+    )
+    q2 = stream_ingest_warc(
+        spark, str(raw), str(out), str(ckpt),
+        chunk_size=80, overlap=10, html_to_text=True,
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    assert {r.filename for r in rows} == {
+        "http://s.example/one", "http://s.example/two",
+    }
+    n_one = sum(r.filename.endswith("/one") for r in rows)
+    assert n_one == len(first)  # exactly-once per segment

@@ -140,3 +140,80 @@ def stream_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_warc_segments(
+    spark: SparkSession,
+    directory: str,
+    glob: str = "*.warc*",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream twin of sources.warc.scan_warc's file scan: new crawl
+    segments landing in the directory become (path, content) rows
+    exactly once (the file-source checkpoint), ready for the record
+    parser."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(directory).select("path", "content")
+
+
+def stream_ingest_warc(
+    spark: SparkSession,
+    directory: str,
+    collection_path: str,
+    checkpoint_path: str,
+    metadata: dict[str, str] | None = None,
+    chunk_size: int = 600,
+    overlap: int = 50,
+    embedder: HashingEmbedder | None = None,
+    glob: str = "*.warc*",
+    max_files_per_trigger: int | None = None,
+    html_to_text: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous crawl ingest — ``pipeline.ingest_warc`` as a
+    Structured Streaming job, which is how crawl data actually arrives
+    (a bucket that new segments land in every hour, not a directory
+    scanned once).  Segments flow exactly-once through the SAME chain
+    as the batch path: stdlib WARC record parse (one Arrow stage) →
+    HTTP-200 filter → the fused chunk/embed kernel (optionally behind
+    the stdlib HTML→text reducer) → atomic per-micro-batch parquet
+    appends into the same collection layout every other source writes.
+    ``max_files_per_trigger`` bounds executor memory per micro-batch
+    (segments are whole-file rows, the binaryFile contract); all other
+    state is the file-source log — the pipeline itself is stateless."""
+    from vector_db_ingestor_spark.sources.warc import parse_warc_bytes
+
+    segments = stream_warc_segments(spark, directory, glob, max_files_per_trigger)
+    recs = parse_warc_bytes(segments)
+    files = recs.filter(
+        (F.col("record_type") == "response") & (F.col("http_status") == 200)
+    ).select(
+        "source",
+        F.col("url").alias("filename"),
+        F.col("payload").alias("content"),
+    )
+    if html_to_text:
+        from vector_db_ingestor_spark.sources.html import (
+            html_to_text as _extract,
+        )
+    else:
+        def _extract(b: bytes) -> str:
+            return b.decode("utf-8", "replace")
+    chunks = build_chunks(
+        files, metadata, chunk_size, overlap, embedder, extract=_extract
+    )
+    writer = (
+        chunks.writeStream.format("parquet")
+        .option("path", collection_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
