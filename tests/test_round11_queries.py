@@ -213,3 +213,100 @@ def test_url_curation_matches_duckdb_oracle(spark, sf_dir):
     )
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 0
+
+
+def _duck(sf_dir, tables=("documents",)):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _frames_equal(got, want, cols):
+    got = got[cols].astype(str).sort_values(cols, ignore_index=True)
+    want = want[cols].astype(str).sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_dedup_url_matches_duckdb_oracle(spark, sf_dir):
+    """Round-13/14 queue item: canonical-URL dedup — url_normalize's
+    collapse of host casing / tracking params / trailing slash vs the
+    oracle's hand-built canonical, plus the first-seen keep rule."""
+    from vector_db_ingestor_spark.queries import (
+        _dedup_url_oracle,
+        q_dedup_url_impl,
+    )
+
+    cols = ["doc_id", "url_canon", "n_dups", "keep"]
+    got = q_dedup_url_impl(spark, sf_dir).toPandas()
+    want = _duck(sf_dir).execute(_dedup_url_oracle()).df()
+    _frames_equal(got, want, cols)
+    # collisions actually engineered: dedup must drop something
+    assert (~got["keep"]).sum() > 0
+    assert got["keep"].sum() == got["url_canon"].nunique()
+
+
+def test_boilerplate_strip_matches_duckdb_oracle(spark, sf_dir):
+    """Round-13/14 queue item: the boilerplate REMOVAL pass — cleaned
+    text pinned by sha256 cross-engine, order preserved, footers gone."""
+    from vector_db_ingestor_spark.queries import (
+        _boilerplate_strip_oracle,
+        q_text_boilerplate_strip_impl,
+    )
+
+    cols = ["doc_id", "n_kept", "n_dropped", "clean_chars", "clean_sha"]
+    got = q_text_boilerplate_strip_impl(spark, sf_dir).toPandas()
+    want = _duck(sf_dir).execute(_boilerplate_strip_oracle()).df()
+    _frames_equal(got, want, cols)
+    # the seeded footers are 2 lines per doc and must all be dropped
+    assert (got["n_dropped"].astype(int) >= 2).all()
+    assert (got["n_kept"].astype(int) >= 1).all()
+
+
+def test_nb_classify_matches_duckdb_oracle(spark, sf_dir):
+    """Round-13/14 queue item: closed-form Naive Bayes train+score —
+    integer micro-nat scores and argmax verdicts must agree exactly."""
+    from vector_db_ingestor_spark.queries import (
+        _nb_classify_oracle,
+        q_nb_classify_impl,
+    )
+
+    cols = ["doc_id", "actual_lang", "pred_lang", "correct", "score_mn"]
+    got = q_nb_classify_impl(spark, sf_dir).toPandas()
+    want = _duck(sf_dir).execute(_nb_classify_oracle()).df()
+    _frames_equal(got, want, cols)
+
+
+def test_nb_classify_learns_the_seeded_marker(spark, sf_dir):
+    """Quality property: held-out docs carrying the seeded lang marker
+    must classify correctly (the marker is class-pure in training), and
+    overall accuracy must beat chance."""
+    from vector_db_ingestor_spark.queries import q_nb_classify_impl
+
+    got = q_nb_classify_impl(spark, sf_dir).toPandas()
+    marked = got[got["doc_id"] % 7 < 4]
+    assert len(marked) > 0
+    assert marked["correct"].astype(bool).mean() >= 0.9
+    assert got["correct"].astype(bool).mean() > 1.0 / 5
+
+
+def test_stream_dedup_matches_duckdb_oracle(spark, sf_dir):
+    """Round-13/14 queue item: at-least-once -> exactly-once batch
+    parity of streaming/windows.py dedup_stream."""
+    from vector_db_ingestor_spark.queries import (
+        _stream_dedup_oracle,
+        q_stream_dedup_impl,
+    )
+
+    cols = ["event_type", "n_delivered", "n_unique", "total_value"]
+    got = q_stream_dedup_impl(spark, sf_dir).toPandas()
+    want = _duck(sf_dir, tables=("events",)).execute(
+        _stream_dedup_oracle()
+    ).df()
+    _frames_equal(got, want, cols)
+    assert (got["n_delivered"].astype(int) > got["n_unique"].astype(int)).all()

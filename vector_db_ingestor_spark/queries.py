@@ -6261,3 +6261,343 @@ def q_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("payload").cast("string")).cast("bigint").alias("n_chars"),
         F.sha2(F.col("payload").cast("string"), 256).alias("text_sha"),
     )
+
+
+# =====================================================================
+# round 11: queue items for rounds 13-14 (built + differentially
+# tested now, declared when the rotation window has room — the
+# q_ivf_drift_report / q_warc_ingest / q_url_curation discipline)
+# =====================================================================
+
+def q_dedup_url_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the cheapest dedup pass in a crawl pipeline
+    (CCNet/RefinedWeb run it BEFORE any content signal: mirrors and
+    trackers produce the same page under many raw URLs).  Fixtures
+    carry no URL column, so raw URLs are synthesized in-plan with
+    engineered collisions: the path buckets on (lang, n_chars % 50) so
+    ~10 docs share each canonical page, while host casing, a trailing
+    slash, and a per-doc utm_campaign tracking param make every RAW
+    url distinct.  functions/url.py's ``url_normalize`` collapses the
+    noise; first-seen wins (keep = min doc_id per canonical).  The
+    oracle rebuilds the CANONICAL form directly from the raw fields
+    with plain string concat — pinning the normalization contract,
+    not the parse_url mechanism.  Scale: one shuffle on the canonical
+    key; both window functions share the single partitioning.  At
+    100 TB this is the exact plan — no candidate generation, no
+    verify stage, just hash-partition on url_canon."""
+    from vector_db_ingestor_spark.functions.url import url_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.Example.COM"))
+        .otherwise(F.lit("www.example.com")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        (F.col("n_chars") % 50).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_campaign=c"),
+        F.col("doc_id").cast("string"),
+    )
+    w = Window.partitionBy("url_canon")
+    return (
+        docs.select("doc_id", url_normalize(raw).alias("url_canon"))
+        .withColumn("n_dups", F.count("*").over(w))
+        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+
+
+def _dedup_url_oracle() -> str:
+    """DuckDB mirror: the canonical URL rebuilt from raw document
+    fields by hand (lowercased host, tracking params gone, trailing
+    slash and empty query dropped) — if ``url_normalize`` leaves any
+    noise behind, the collision groups differ and the hash breaks."""
+    return """
+    WITH u AS (
+        SELECT doc_id,
+               'https://www.example.com/' || lang || '/page-'
+                   || CAST(n_chars % 50 AS VARCHAR) AS url_canon
+        FROM documents
+    )
+    SELECT doc_id, url_canon,
+           CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT) AS n_dups,
+           doc_id = min(doc_id) OVER (PARTITION BY url_canon) AS keep
+    FROM u
+    """
+
+
+def q_text_boilerplate_strip_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL pass q_text_boilerplate's docstring promises: detect
+    cross-document repeated lines (>= 3 distinct docs — the seeded
+    per-source footers), then rebuild every document WITHOUT them via a
+    broadcast anti-flag join and an order-preserving reassembly
+    (posexplode -> collect_list(struct(pos, line)) -> array_sort ->
+    array_join).  The cleaned text is pinned cross-engine by sha256,
+    so a single mis-ordered or mis-dropped line breaks the hash.  A
+    doc whose every line is boilerplate yields NULL clean text (both
+    engines).  Scale: the boilerplate list is structurally tiny
+    (lines repeated across >= 3 docs after the frequency cut), so the
+    flag join is a broadcast — the corpus shuffles once for the
+    frequency count and once for the per-doc regroup; at 100 TB key
+    the shuffle on sha2(line) instead of the line text."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.col("text"),
+        F.lit(". Published by "), F.col("source"), F.lit(" syndicate. "),
+        F.lit("All rights reserved "), F.col("source"), F.lit("."),
+    )
+    lines = (
+        docs.select("doc_id", F.posexplode(F.split(page, r"\.")).alias("pos", "s"))
+        .select("doc_id", "pos", F.trim("s").alias("line"))
+        .filter(F.col("line") != "")
+    )
+    bp = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .select("line", F.lit(True).alias("bp"))
+    )
+    marked = lines.join(F.broadcast(bp), "line", "left")
+    kept_arr = F.array_sort(
+        F.collect_list(
+            F.when(F.col("bp").isNull(), F.struct("pos", "line"))
+        )
+    )
+    clean = F.when(
+        F.size(kept_arr) > 0,
+        F.array_join(F.transform(kept_arr, lambda x: x["line"]), ". "),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("bp").isNull(), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("bp").isNotNull(), 1).otherwise(0)).alias("n_dropped"),
+            F.length(clean).cast("bigint").alias("clean_chars"),
+            F.sha2(clean, 256).alias("clean_sha"),
+        )
+    )
+
+
+def _boilerplate_strip_oracle() -> str:
+    """DuckDB mirror: same seeded footers, same line split/trim/filter,
+    boilerplate = HAVING count(DISTINCT doc_id) >= 3, reassembly via
+    ordered string_agg (aggregates skip the NULLed boilerplate lines),
+    sha256 over the rebuilt text."""
+    return """
+    WITH raw AS (
+        SELECT doc_id,
+               text || '. Published by ' || source || ' syndicate. '
+               || 'All rights reserved ' || source || '.' AS page
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, u['pos'] AS pos, u['line'] AS line
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(parts) + 1),
+                            i -> {'pos': i, 'line': trim(parts[i])})) AS u
+              FROM (SELECT doc_id, string_split(page, '.') AS parts FROM raw))
+        WHERE u['line'] <> ''
+    ),
+    freq AS (
+        SELECT line FROM lines GROUP BY line
+        HAVING count(DISTINCT doc_id) >= 3
+    ),
+    marked AS (
+        SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS bp
+        FROM lines l LEFT JOIN freq f ON l.line = f.line
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN NOT bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(length(string_agg(CASE WHEN NOT bp THEN line END, '. '
+                                  ORDER BY pos)) AS BIGINT) AS clean_chars,
+           sha256(string_agg(CASE WHEN NOT bp THEN line END, '. '
+                             ORDER BY pos)) AS clean_sha
+    FROM marked GROUP BY doc_id
+    """
+
+
+def q_nb_classify_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multinomial Naive Bayes, trained AND scored in one
+    declarative plan — the architecture of a fastText-style corpus
+    quality/language filter expressed as count aggregations + joins
+    (no iterative optimizer, so the distributed training is exact and
+    hash-checkable, unlike SGD).  Labels are ``lang``; the synthetic
+    text is lang-independent, so a deterministic marker token is
+    seeded onto ~4/7 of docs (the q_pii_redact fixture pattern) to
+    give training a real signal; docs with doc_id % 5 == 0 are held
+    out and scored.  Determinism: every log-probability is integer
+    micro-nats (round(ln(p)*1e6) BIGINT — the q_text_lm_score rule)
+    weighted by integer token multiplicity, so per-doc aggregation
+    order cannot break cross-engine parity; argmax tie-breaks on lang
+    ascending.  Scale: the model (per-class token counts) is the only
+    state — counts shuffle once, the class list and priors broadcast,
+    and the count join is left to AQE exactly like the LM scorer's
+    context table (vocabulary-sized at web scale, never hinted).  At
+    100 TB train and score are separate passes over a persisted model
+    table; the single-plan form here exists so the driver can
+    hash-check training end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 < 4, F.concat(F.lit(" xmarker"), F.col("lang"))
+        ).otherwise(F.lit("")),
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(page)), r"\s+")).alias("t"),
+    )
+    train = toks.filter(F.col("doc_id") % 5 != 0)
+    test = (
+        toks.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("m"))
+    )
+    cnt = train.groupBy("lang", "t").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("tot"))
+    voc = cnt.select("t").distinct().agg(F.count("*").alias("v"))
+    prior = train.select("doc_id", "lang").distinct().groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    ntr = prior.agg(F.sum("nd").alias("ntr"))
+    pmn = prior.crossJoin(F.broadcast(ntr)).select(
+        "lang",
+        F.round(F.log(F.col("nd") / F.col("ntr")) * 1000000.0, 0)
+        .cast("long")
+        .alias("pmn"),
+    )
+    cand = test.crossJoin(F.broadcast(prior.select("lang")))
+    # token-count join left to AQE (vocabulary-sized at web scale);
+    # per-class totals, vocab scalar, priors, and the class fan-out
+    # are all genuinely tiny -> explicit broadcasts
+    part = F.col("m") * F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
+            / (F.col("tot") + F.col("v"))
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    ll = (
+        cand.join(cnt, ["lang", "t"], "left")
+        .join(F.broadcast(tot), "lang")
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", "lang", part.alias("part"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("part").alias("ll"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_mn"), F.asc("lang")
+    )
+    ranked = (
+        ll.join(F.broadcast(pmn), "lang")
+        .select("doc_id", "lang", (F.col("ll") + F.col("pmn")).alias("score_mn"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    actual = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("lang").alias("actual_lang")
+    )
+    return ranked.join(actual, "doc_id").select(
+        "doc_id",
+        "actual_lang",
+        F.col("lang").alias("pred_lang"),
+        (F.col("lang") == F.col("actual_lang")).alias("correct"),
+        "score_mn",
+    )
+
+
+def _nb_classify_oracle() -> str:
+    """DuckDB mirror of the NB train+score plan: identical marker
+    seeding, tokenization, add-one smoothing, integer micro-nat
+    encoding, and argmax tie-break.  DuckDB sums BIGINT into HUGEINT,
+    so the final score is cast back to BIGINT for schema parity."""
+    w = ("string_split_regex(lower(trim(text || CASE WHEN doc_id % 7 < 4 "
+         "THEN ' xmarker' || lang ELSE '' END)), '\\s+')")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({w}) AS t FROM documents
+    ),
+    train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+    test AS (
+        SELECT doc_id, t, count(*) AS m
+        FROM toks WHERE doc_id % 5 = 0 GROUP BY doc_id, t
+    ),
+    cnt AS (SELECT lang, t, count(*) AS c FROM train GROUP BY lang, t),
+    tot AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY lang),
+    voc AS (SELECT count(DISTINCT t) AS v FROM cnt),
+    prior AS (
+        SELECT lang, count(DISTINCT doc_id) AS nd FROM train GROUP BY lang
+    ),
+    ntr AS (SELECT sum(nd) AS ntr FROM prior),
+    pmn AS (
+        SELECT lang, CAST(round(ln(nd / ntr) * 1000000) AS BIGINT) AS pmn
+        FROM prior CROSS JOIN ntr
+    ),
+    cand AS (
+        SELECT test.doc_id, test.t, test.m, prior.lang
+        FROM test CROSS JOIN prior
+    ),
+    ll AS (
+        SELECT cand.doc_id, cand.lang,
+               sum(cand.m * CAST(round(ln((coalesce(cnt.c, 0) + 1)
+                   / (tot.tot + voc.v)) * 1000000) AS BIGINT)) AS ll
+        FROM cand LEFT JOIN cnt ON cand.lang = cnt.lang AND cand.t = cnt.t
+                  JOIN tot ON cand.lang = tot.lang
+                  CROSS JOIN voc
+        GROUP BY cand.doc_id, cand.lang
+    ),
+    ranked AS (
+        SELECT ll.doc_id, ll.lang,
+               CAST(ll.ll + pmn.pmn AS BIGINT) AS score_mn,
+               row_number() OVER (PARTITION BY ll.doc_id
+                   ORDER BY ll.ll + pmn.pmn DESC, ll.lang ASC) AS rn
+        FROM ll JOIN pmn ON ll.lang = pmn.lang
+    )
+    SELECT r.doc_id, d.lang AS actual_lang, r.lang AS pred_lang,
+           d.lang = r.lang AS correct, r.score_mn
+    FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+    WHERE r.rn = 1
+    """
+
+
+def q_stream_dedup_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery collapsed to exactly-once — batch parity
+    for ``streaming/windows.py dedup_stream`` (whose streaming half,
+    ``dropDuplicatesWithinWatermark`` with bounded state, is
+    soak-tested in tests/test_streaming.py).  Redelivery is synthesized
+    in-plan (every event_id % 3 == 0 arrives twice), the dedup keys on
+    event_id, and the output reports per-event-type delivered vs
+    unique counts — so a broken dedup shows up as BOTH a row-value
+    mismatch (n_unique) and a wrong sum.  Scale: dropDuplicates is one
+    hash shuffle on the key; the streaming twin's state is bounded by
+    the watermark horizon, not by history."""
+    from vector_db_ingestor_spark.streaming.windows import dedup_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    at_least_once = ev.unionAll(ev.filter(F.col("event_id") % 3 == 0))
+    uniq = dedup_stream(at_least_once, keys=["event_id"])
+    delivered = at_least_once.groupBy("event_type").agg(
+        F.count("*").alias("n_delivered")
+    )
+    unique = uniq.groupBy("event_type").agg(
+        F.count("*").alias("n_unique"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return delivered.join(unique, "event_type")
+
+
+def _stream_dedup_oracle() -> str:
+    """DuckDB mirror: delivered = rows + redelivered subset; unique and
+    the value sum come from the event table itself (exactly-once)."""
+    return """
+    SELECT event_type,
+           CAST(count(*) + sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_delivered,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """
