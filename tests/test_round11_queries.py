@@ -310,3 +310,36 @@ def test_stream_dedup_matches_duckdb_oracle(spark, sf_dir):
     ).df()
     _frames_equal(got, want, cols)
     assert (got["n_delivered"].astype(int) > got["n_unique"].astype(int)).all()
+
+
+def test_html_extract_matches_duckdb_oracle(spark, sf_dir):
+    """Round-13/14 queue item: in-plan synthesized HTML through the
+    REAL stdlib extractor vs the oracle's hand-built expectation —
+    script-subtree skipping, title capture, entity unescaping, and
+    block/whitespace normalization all pinned by sha256."""
+    from vector_db_ingestor_spark.queries import (
+        _html_extract_oracle,
+        q_html_extract_impl,
+    )
+
+    cols = ["doc_id", "title", "extract_chars", "extract_sha"]
+    got = q_html_extract_impl(spark, sf_dir).toPandas()
+    want = _duck(sf_dir).execute(_html_extract_oracle()).df()
+    _frames_equal(got, want, cols)
+    assert len(got) == 500
+
+
+def test_fixture_text_is_html_safe(sf_dir):
+    """The q_html_extract oracle rebuilds the extraction verbatim from
+    raw text — valid only while fixture text is single-line,
+    single-spaced, markup-free.  Pin that contract."""
+    import duckdb
+
+    con = duckdb.connect()
+    bad = con.execute(
+        f"""SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE contains(text, '  ') OR text <> trim(text)
+           OR contains(text, '<') OR contains(text, '&')
+           OR contains(text, chr(10)) OR contains(text, chr(9))"""
+    ).fetchone()[0]
+    assert bad == 0

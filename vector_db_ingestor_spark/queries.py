@@ -6601,3 +6601,77 @@ def _stream_dedup_oracle() -> str:
            round(sum(value), 2) AS total_value
     FROM events GROUP BY event_type
     """
+
+
+def q_html_extract_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTML front door (sources/html.py) hash-checked end-to-end —
+    the q_warc_pipeline contract applied one layer up the stack: every
+    fixture document is wrapped IN-PLAN as a full HTML page (title in a
+    skipped <head>, a <script> subtree that must NOT leak, block-level
+    h1/p/footer structure, an ``&copy;`` entity), the REAL stdlib
+    extractor recovers title and prose in ONE Arrow mapInPandas stage,
+    and the oracle rebuilds the expected extraction DIRECTLY from the
+    raw document fields — so a tag-handling, entity, skip-subtree, or
+    whitespace-normalization bug breaks the hash.  Relies on the
+    fixture text contract (single-line, single-spaced, no markup
+    chars — true of every sf tier, asserted in tests).  Scale: the
+    parse rides one Arrow-batched Python stage exactly like production
+    WARC ingest (pipeline.ingest_warc(html_to_text=True)); everything
+    else is JVM-side expressions."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x = 1;</script></head><body><h1>"),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><footer>&copy; "),
+        F.col("source"),
+        F.lit("</footer></body></html>"),
+    )
+    src = docs.select("doc_id", html.alias("html"))
+
+    def gen(batches):
+        from vector_db_ingestor_spark.sources.html import (
+            html_title,
+            html_to_text,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "title": pdf["html"].map(html_title),
+                    "text_ex": pdf["html"].map(html_to_text),
+                }
+            )
+
+    ex = src.mapInPandas(gen, "doc_id long, title string, text_ex string")
+    return ex.select(
+        "doc_id",
+        "title",
+        F.length("text_ex").cast("bigint").alias("extract_chars"),
+        F.sha2("text_ex", 256).alias("extract_sha"),
+    )
+
+
+def _html_extract_oracle() -> str:
+    """DuckDB mirror: the extractor's output rebuilt by hand — title
+    from the synthesized <title>, prose as the three block lines
+    (h1 text, body text, unescaped footer) joined by blank lines,
+    pinned by sha256."""
+    return """
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           CAST(length(x) AS BIGINT) AS extract_chars,
+           sha256(x) AS extract_sha
+    FROM (
+        SELECT doc_id,
+               source || chr(10) || chr(10) || text || chr(10) || chr(10)
+               || '© ' || source AS x
+        FROM documents
+    )
+    """
