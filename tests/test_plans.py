@@ -81,3 +81,56 @@ def test_plan_shape(spark, key, shape):
         assert n <= 1, f"{n} python eval nodes in {key}"
     else:  # pragma: no cover
         raise AssertionError(f"unknown shape {shape}")
+
+
+def test_bucketed_join_and_agg_are_shuffle_free(spark, tmp_path):
+    """The bucketed-layout story (operators/joins.py bucketed_write):
+    two tables co-bucketed on the join key must join AND aggregate
+    with ZERO shuffle exchanges — the scans themselves satisfy the
+    required distribution.  Results are pinned equal to the unbucketed
+    plans, so the layout is purely a plan optimization."""
+    from vector_db_ingestor_spark.operators.joins import (
+        bucketed_join,
+        bucketed_write,
+    )
+    from vector_db_ingestor_spark.tables import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    try:
+        bucketed_write(
+            orders, "b_orders", "o_custkey", n_buckets=8,
+            path=str(tmp_path / "b_orders"),
+        )
+        bucketed_write(
+            customer, "b_customer", "c_custkey", n_buckets=8,
+            path=str(tmp_path / "b_customer"),
+        )
+        joined = bucketed_join(
+            spark,
+            "b_orders",
+            "b_customer",
+            spark.table("b_orders")["o_custkey"]
+            == spark.table("b_customer")["c_custkey"],
+        ).select("o_orderkey", "c_name")
+        plan = _executed_plan(joined)
+        n = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n == 0, f"bucketed join shuffled:\n{plan}"
+        assert "SortMergeJoin" in plan, plan
+
+        want = (
+            orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+            .select("o_orderkey", "c_name")
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+        agg = spark.table("b_orders").groupBy("o_custkey").count()
+        plan = _executed_plan(agg)
+        n = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n == 0, f"bucketed agg shuffled:\n{plan}"
+        assert agg.count() == orders.select("o_custkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -20,7 +20,7 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -168,3 +168,65 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return b.join(s, [key, "__salt"], how).drop("__salt")
+
+
+def bucketed_write(
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as a bucketed (and per-bucket sorted) catalog table
+    — the storage-layout half of shuffle elimination.
+
+    The 100 TB rationale: a fact table that is joined or aggregated on
+    the same key every day (orders x customer, events x user) pays a
+    full corpus shuffle per query unless the layout already clusters
+    that key.  ``bucketBy(n, key)`` hash-partitions rows into a fixed
+    bucket count AT WRITE TIME; every later equi-join between two
+    tables bucketed identically on the join key — and every groupBy on
+    the bucket key — satisfies the required child distribution straight
+    off the scan, so Catalyst plans NO Exchange (asserted in
+    tests/test_plans.py).  One write-time shuffle is amortized over
+    every subsequent query — the same trade the IVF-PQ codes index
+    makes for ANN serving (operators/similarity.py), applied to the
+    relational core.
+
+    ``sort=True`` additionally orders each bucket file by the key so
+    sort-merge joins can skip their Sort when Spark reads one file per
+    bucket.  ``path`` makes the table external (data under ``path``,
+    e.g. a test tmp dir) instead of the session warehouse.
+
+    Sizing at scale: pick ``n_buckets`` so one bucket of the LARGEST
+    co-bucketed table fits an executor core's working set (~128-512 MB
+    of parquet); both sides must use the SAME count — Spark joins
+    unequal bucket counts only by re-shuffling one side.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_name: str,
+    right_name: str,
+    key: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join two co-bucketed catalog tables (see
+    :func:`bucketed_write`).  Results are identical to joining the
+    unbucketed frames; the point is the PLAN — with both sides
+    bucketed on ``key`` with equal counts, the join runs shuffle-free
+    off the scans.  Broadcast is suppressed via a merge-join hint so
+    tiny test inputs exercise the same shuffle-free sort-merge path
+    that production-sized tables would take (a broadcast would hide
+    the layout's benefit behind the small-table fast path)."""
+    left = spark.table(left_name).hint("merge")
+    right = spark.table(right_name).hint("merge")
+    return left.join(right, key, how)
