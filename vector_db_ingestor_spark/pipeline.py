@@ -74,9 +74,17 @@ def build_chunks(
     file-level {source, filename, total_chunks} + chunk-level
     {chunk_index, chunk_id} + caller metadata, plus the embedding col.
 
-    The chain extract -> chunk -> enrich -> embed is one narrow stage;
-    ``num_partitions`` (default: cluster parallelism) rebalances the
-    non-splittable file blobs across CPUs first.
+    The chain extract -> chunk -> enrich -> embed is one narrow stage.
+    ``num_partitions`` rebalances the non-splittable file blobs across
+    CPUs first; the default (None) repartitions ONLY when the input
+    carries fewer partitions than the cluster's parallelism — the
+    rebalance exists for small directory listings (binaryFile gives
+    one partition per file), and on an already-parallel input (e.g.
+    parsed WARC records) the exchange is a pure loss: it shuffles the
+    raw blob bytes between two Python stages, measured at 42% of the
+    whole ingest wall at 100x sf0.1 (SCALE_PROBE round-11) while
+    buying nothing.  Pass an explicit ``num_partitions`` to force the
+    rebalance either way (e.g. a few huge skewed segments).
 
     ``extract`` maps a document's raw bytes to text inside the fused
     kernel; default is the PDF engine chain.  Non-PDF front doors
@@ -86,7 +94,17 @@ def build_chunks(
     """
     embedder = embedder or HashingEmbedder()
     if num_partitions is None:
-        num_partitions = files.sparkSession.sparkContext.defaultParallelism
+        parallelism = files.sparkSession.sparkContext.defaultParallelism
+        if files.isStreaming:
+            # micro-batches carry a handful of newly-arrived files;
+            # .rdd is illegal on a stream, so always rebalance
+            num_partitions = parallelism
+        elif files.rdd.getNumPartitions() < parallelism:
+            num_partitions = parallelism
+        # else: input is already at least as parallel as the cluster —
+        # an exchange here would shuffle raw blob bytes between two
+        # Python stages for nothing (42% of ingest wall at 100x,
+        # SCALE_PROBE round-11)
     extract_fn = extract or extract_pdf_text
     make_embedder = embedder.task_factory()
 
@@ -121,9 +139,10 @@ def build_chunks(
             if out["source"]:  # empty frame's array col trips Arrow
                 yield pd.DataFrame(out)
 
-    chunks = files.select("source", "filename", "content").repartition(
-        num_partitions
-    ).mapInPandas(
+    src = files.select("source", "filename", "content")
+    if num_partitions is not None:
+        src = src.repartition(num_partitions)
+    chunks = src.mapInPandas(
         fused,
         schema=(
             "source string, filename string, total_chunks int, "
