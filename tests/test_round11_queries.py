@@ -343,3 +343,20 @@ def test_fixture_text_is_html_safe(sf_dir):
            OR contains(text, chr(10)) OR contains(text, chr(9))"""
     ).fetchone()[0]
     assert bad == 0
+
+
+def test_sketch_cms_matches_duckdb_oracle(spark, sf_dir):
+    """Round-14 queue item: count-min sketch build + probe, every hash
+    closed-form — estimates and top-20 ranking must agree exactly."""
+    from vector_db_ingestor_spark.queries import (
+        _sketch_cms_oracle,
+        q_sketch_cms_impl,
+    )
+
+    cols = ["token", "exact_n", "cms_est"]
+    got = q_sketch_cms_impl(spark, sf_dir).toPandas()
+    want = _duck(sf_dir).execute(_sketch_cms_oracle()).df()
+    _frames_equal(got, want, cols)
+    # count-min error is one-sided: never underestimates
+    assert (got["cms_est"].astype(int) >= got["exact_n"].astype(int)).all()
+    assert len(got) == 20

@@ -6675,3 +6675,110 @@ def _html_extract_oracle() -> str:
         FROM documents
     )
     """
+
+
+_CMS_D, _CMS_W = 4, 1024  # sketch depth x width, shared with the oracle
+
+
+def q_sketch_cms_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters — the mergeable-summary answer to
+    "top tokens over 100 TB": the sketch is a FIXED d x w counter grid
+    (4 x 1024 here), built with one partial-aggregated shuffle that
+    moves at most d*w cells per partition regardless of corpus size,
+    then queried by probing each candidate token's d cells and taking
+    the min.  Every hash is the portable md5-affine family
+    (operators/dedup.py:187 pattern), so the whole sketch — build,
+    probe, estimate — is closed-form and hash-checked against a DuckDB
+    mirror; output pairs each top-20 exact count with its sketch
+    estimate so the one-sided error (est >= exact, property-tested) is
+    visible in the result itself.  At 100 TB: the sketch table is
+    ~4 KB whatever the corpus, merges across shards/days by cell-wise
+    sum (the same mergeability contract as approx_count_distinct's
+    HLL), and probing is a broadcast join — token text never shuffles
+    for estimation.  The exact side here exists to certify the sketch;
+    production uses the sketch alone where exact top-k is the thing
+    being avoided."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t")
+    )
+
+    def pos(i: int, col: Column = None):
+        c = col if col is not None else F.col("t")
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), c)), 1, 8), 16, 10
+            ).cast("long")
+            % _CMS_W
+        )
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("r"), pos(i).alias("c")
+                        )
+                        for i in range(_CMS_D)
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.r", "x.c")
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    exact = toks.groupBy("t").agg(F.count("*").alias("exact_n"))
+    probes = exact.select(
+        "t",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("r"), pos(i).alias("c"))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("x"),
+    ).select("t", "exact_n", "x.r", "x.c")
+    est = (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("t", "exact_n")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    return (
+        est.select(F.col("t").alias("token"), "exact_n", "cms_est")
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def _sketch_cms_oracle() -> str:
+    """DuckDB mirror: identical tokenization, identical salted-md5 cell
+    positions, identical d x w grid, min-over-rows estimate."""
+    d, w = _CMS_D, _CMS_W
+    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    h = ("CAST(CAST('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' || {t}),"
+         " 1, 8) AS BIGINT) % " + str(w) + " AS BIGINT)")
+    return f"""
+    WITH toks AS (SELECT unnest({tok}) AS t FROM documents),
+    cells AS (
+        SELECT rr.r AS r, {h.format(r='rr.r', t='t')} AS c, count(*) AS n
+        FROM toks, range({d}) rr(r)
+        GROUP BY 1, 2
+    ),
+    exact AS (SELECT t, count(*) AS exact_n FROM toks GROUP BY t),
+    est AS (
+        SELECT e.t, e.exact_n, min(cl.n) AS cms_est
+        FROM exact e, range({d}) rr(r)
+        JOIN cells cl
+          ON cl.r = rr.r AND cl.c = {h.format(r='rr.r', t='e.t')}
+        GROUP BY e.t, e.exact_n
+    )
+    SELECT t AS token, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(cms_est AS BIGINT) AS cms_est
+    FROM est
+    ORDER BY exact_n DESC, token ASC
+    LIMIT 20
+    """
