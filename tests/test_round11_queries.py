@@ -360,3 +360,41 @@ def test_sketch_cms_matches_duckdb_oracle(spark, sf_dir):
     # count-min error is one-sided: never underestimates
     assert (got["cms_est"].astype(int) >= got["exact_n"].astype(int)).all()
     assert len(got) == 20
+
+
+def test_ivfpq_refine_matches_duckdb_oracle(spark, sf_dir):
+    """Round-14 queue item: ADC shortlist + exact re-rank — the
+    composition of two hash-green primitives must stay hash-exact."""
+    from vector_db_ingestor_spark.queries import (
+        _ivfpq_refine_oracle,
+        q_ann_ivfpq_refine_impl,
+    )
+
+    cols = ["vec_id", "label", "score", "rank"]
+    got = q_ann_ivfpq_refine_impl(spark, sf_dir).toPandas()
+    want = _duck(sf_dir, tables=("embeddings",)).execute(
+        _ivfpq_refine_oracle()
+    ).df()
+    _frames_equal(got, want, cols)
+    assert len(got) == 10
+
+
+def test_ivfpq_refine_improves_on_raw_adc(spark, sf_dir):
+    """Quality property: against exact full-corpus top-10, the refined
+    list must recall at least as much as the raw ADC top-10 (refine
+    can only fix PQ ordering error, never introduce it)."""
+    from vector_db_ingestor_spark.constants import PROBE_64
+    from vector_db_ingestor_spark.operators.topk import topk_cosine
+    from vector_db_ingestor_spark.queries import (
+        QUERIES as Q,
+        q_ann_ivfpq_refine_impl,
+    )
+    from vector_db_ingestor_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {r.vec_id for r in topk_cosine(emb, PROBE_64, k=10).collect()}
+    adc = {r.vec_id for r in Q["q_ann_ivfpq"](spark, sf_dir).collect()}
+    refined = {
+        r.vec_id for r in q_ann_ivfpq_refine_impl(spark, sf_dir).collect()
+    }
+    assert len(refined & exact) >= len(adc & exact)

@@ -6782,3 +6782,47 @@ def _sketch_cms_oracle() -> str:
     ORDER BY exact_n DESC, token ASC
     LIMIT 20
     """
+
+
+def q_ann_ivfpq_refine_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact refine — the last rung of the FAISS serving
+    ladder (IndexRefineFlat): the ADC shortlist is deliberately
+    over-fetched (k2=30) and re-ranked by EXACT cosine against the
+    stored vectors, so PQ quantization error affects candidate RECALL
+    but never the final ordering.  Composition of two hash-green
+    primitives: the q_ann_ivfpq serving plan (shortlist) and the
+    q_topk_cosine exact ranking, so the oracle is their literal SQL
+    composition — hash-exact end to end.  Scale: the shortlist is k2
+    ids (driver-model scale) broadcast back against the vector table —
+    a point-lookup semi-join touching k2 rows, not a second corpus
+    scan; at 100 TB bucket the vector table by vec_id
+    (operators/joins.py bucketed_write) so the fetch is file-pruned.
+    The exact re-rank costs k2 cosine evaluations total — the recall
+    of nprobe x k2 over-fetch with the precision of exact search."""
+    from vector_db_ingestor_spark.operators.similarity import ivfpq_topk
+
+    cents, cbs, _, _ = _ivfpq_params()
+    emb = load_table(spark, sf_dir, "embeddings")
+    short = ivfpq_topk(emb, cents, cbs, PROBE_64, k=30, nprobe=4).select(
+        "vec_id"
+    )
+    cand = emb.join(F.broadcast(short), "vec_id")
+    return topk_cosine(cand, PROBE_64, k=10)
+
+
+def _ivfpq_refine_oracle(k: int = 10, k2: int = 30, nprobe: int = 4) -> str:
+    """DuckDB mirror: the q_ann_ivfpq oracle (k2-deep) feeding the
+    q_topk_cosine exact scorer — the same two-primitive composition."""
+    return f"""
+    WITH short AS ({_ivfpq_oracle(k=k2, nprobe=nprobe)}),
+    cand AS (
+        SELECT e.vec_id, e.label, {_SCORE_SQL} AS score
+        FROM embeddings e JOIN short s ON e.vec_id = s.vec_id
+    )
+    SELECT vec_id, label, score,
+           CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC)
+                AS INTEGER) AS rank
+    FROM cand
+    ORDER BY score DESC, vec_id ASC
+    LIMIT {k}
+    """
