@@ -1176,7 +1176,8 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
     """Round-11: 30x/100x probe for the declaration-queue impls (the
     rounds-12/13/14 keys built ahead of their rotation window):
     q_ivf_drift_report, q_warc_ingest, q_url_curation, q_dedup_url,
-    q_text_boilerplate_strip, q_nb_classify, q_stream_dedup.
+    q_text_boilerplate_strip, q_nb_classify, q_stream_dedup,
+    q_html_extract, q_sketch_cms, q_ann_ivfpq_refine.
 
     Zero probe-side plan drift BY CONSTRUCTION: the replicated
     documents/embeddings/events tables are MATERIALIZED to parquet
@@ -1206,9 +1207,12 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
     import tempfile
 
     from vector_db_ingestor_spark.queries import (
+        q_ann_ivfpq_refine_impl,
         q_dedup_url_impl,
+        q_html_extract_impl,
         q_ivf_drift_report_impl,
         q_nb_classify_impl,
+        q_sketch_cms_impl,
         q_stream_dedup_impl,
         q_text_boilerplate_strip_impl,
         q_url_curation_impl,
@@ -1250,6 +1254,9 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
                 "warc_ingest": q_warc_ingest_impl,
                 "ivf_drift_report": q_ivf_drift_report_impl,
                 "stream_dedup": q_stream_dedup_impl,
+                "html_extract": q_html_extract_impl,
+                "sketch_cms": q_sketch_cms_impl,
+                "ivfpq_refine": q_ann_ivfpq_refine_impl,
             }
             for name, impl in fams.items():
                 times.setdefault(name, {})[factor] = _time_median(
