@@ -744,3 +744,31 @@ def test_simhash_kernel_property_random_text():
         assert out.tolist() == [_scalar_simhash_fp(t) for t in texts]
 
     check()
+
+
+def test_hll_sketches_merge_exactly(spark, sf_dir):
+    """The MERGEABILITY contract behind every 100 TB aggregation of
+    q_agg_approx's family: per-group datasketches HLL sketches unioned
+    register-wise must yield the IDENTICAL estimate to one global
+    sketch over the same rows — so shard/day/partition-level sketches
+    can be persisted and rolled up without ever rescanning the corpus
+    (the same amortization bucketed_write gives joins).  Exact
+    equality, not tolerance: union is a register-wise max, and both
+    paths see the same values at the same lgK."""
+    from pyspark.sql import functions as F
+
+    from vector_db_ingestor_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    global_est = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).first()["e"]
+    merged_est = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    exact = ev.select("user_id").distinct().count()
+    assert merged_est == global_est
+    assert abs(merged_est - exact) / exact < 0.05
