@@ -6826,3 +6826,33 @@ def _ivfpq_refine_oracle(k: int = 10, k2: int = 30, nprobe: int = 4) -> str:
     ORDER BY score DESC, vec_id ASC
     LIMIT {k}
     """
+
+
+# =====================================================================
+# the declaration queue, as data: every built-ahead impl/oracle pair
+# (single source of truth for scripts/check_oracle.py --queue and the
+# per-round registration diffs; tests import the pairs directly)
+# =====================================================================
+
+QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
+    "q_ivf_drift_report": (q_ivf_drift_report_impl, _ivf_drift_oracle()),
+    "q_warc_ingest": (q_warc_ingest_impl, _warc_ingest_oracle()),
+    "q_url_curation": (q_url_curation_impl, _url_curation_oracle()),
+    "q_dedup_url": (q_dedup_url_impl, _dedup_url_oracle()),
+    "q_text_boilerplate_strip": (
+        q_text_boilerplate_strip_impl,
+        _boilerplate_strip_oracle(),
+    ),
+    "q_nb_classify": (q_nb_classify_impl, _nb_classify_oracle()),
+    "q_stream_dedup": (q_stream_dedup_impl, _stream_dedup_oracle()),
+    "q_html_extract": (q_html_extract_impl, _html_extract_oracle()),
+    "q_sketch_cms": (q_sketch_cms_impl, _sketch_cms_oracle()),
+    "q_ann_ivfpq_refine": (q_ann_ivfpq_refine_impl, _ivfpq_refine_oracle()),
+}
+
+# a queued key must not also be declared (the whole point is that the
+# rotation window hasn't admitted it yet)
+assert not set(QUEUED_QUERIES) & set(QUERIES), (
+    "queued keys overlap declared inventory: "
+    f"{set(QUEUED_QUERIES) & set(QUERIES)}"
+)
