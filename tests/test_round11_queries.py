@@ -398,3 +398,54 @@ def test_ivfpq_refine_improves_on_raw_adc(spark, sf_dir):
         r.vec_id for r in q_ann_ivfpq_refine_impl(spark, sf_dir).collect()
     }
     assert len(refined & exact) >= len(adc & exact)
+
+
+def test_join_interval_matches_quadratic_oracle(spark, sf_dir):
+    """Round-14 queue item: the bucketed interval-overlap plan vs the
+    literal quadratic theta join it replaces — per-campaign visit
+    counts must agree exactly, including zero-overlap campaigns."""
+    from vector_db_ingestor_spark.queries import (
+        _join_interval_oracle,
+        q_join_interval_impl,
+    )
+
+    cols = ["event_id", "n_visits"]
+    got = q_join_interval_impl(spark, sf_dir).toPandas()
+    want = _duck(sf_dir, tables=("events",)).execute(
+        _join_interval_oracle()
+    ).df()
+    _frames_equal(got, want, cols)
+    assert len(got) >= 5  # one campaign per 97 events
+    assert (got["n_visits"].astype(int) > 0).any()
+
+
+def test_interval_overlap_counts_each_pair_once(spark):
+    """Adversarial micro-fixture for the canonical-bucket dedup: a pair
+    sharing MANY buckets (long intervals, small buckets) must still
+    count once, and a zero-overlap probe must keep its 0."""
+    from vector_db_ingestor_spark.operators.joins import (
+        interval_overlap_count,
+    )
+
+    probe = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+         (2, "2024-06-01 00:00:00", "2024-06-01 00:10:00")],
+        "pid int, s string, e string",
+    ).select("pid", F.col("s").cast("timestamp").alias("s"),
+             F.col("e").cast("timestamp").alias("e"))
+    build = spark.createDataFrame(
+        [("2024-01-01 00:30:00", "2024-01-01 01:30:00"),  # nested, 60min
+         ("2024-01-01 01:59:00", "2024-01-01 03:00:00")],  # straddles end
+        "s string, e string",
+    ).select(F.col("s").cast("timestamp").alias("s"),
+             F.col("e").cast("timestamp").alias("e"))
+    out = {
+        r.pid: r.n
+        for r in interval_overlap_count(
+            probe, build, "s", "e", "s", "e",
+            probe_keys=["pid"], bucket_seconds=300, count_alias="n",
+        ).collect()
+    }
+    # pid 1: both build intervals overlap, each spanning many 5-min
+    # buckets shared with the 2h probe — still exactly 1 count each
+    assert out == {1: 2, 2: 0}

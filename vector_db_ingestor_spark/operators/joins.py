@@ -230,3 +230,70 @@ def bucketed_join(
     left = spark.table(left_name).hint("merge")
     right = spark.table(right_name).hint("merge")
     return left.join(right, key, how)
+
+
+def interval_overlap_count(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_start: str,
+    probe_end: str,
+    build_start: str,
+    build_end: str,
+    probe_keys: list[str],
+    bucket_seconds: int,
+    count_alias: str = "n_overlaps",
+) -> DataFrame:
+    """For each probe INTERVAL, count build INTERVALS overlapping it
+    (``ps <= be AND bs <= pe``, closed ends) — the interval x interval
+    generalization of :func:`range_join_count`, and another operator
+    whose naive form is a nested-loop theta join.
+
+    Scale shape: both sides explode into the time buckets their
+    interval touches (``sequence(floor(s/w), floor(e/w))`` — bounded by
+    interval_length/w + 1, so pick ``bucket_seconds`` at or above the
+    typical interval length), the join is a plain hash equi-join on the
+    bucket, and each overlapping pair is counted EXACTLY ONCE via the
+    canonical-bucket residual: a pair may share several buckets, but
+    only the bucket containing the overlap's start
+    (``floor(greatest(ps, bs) / w)``) scores it.  Left semantics —
+    probes with zero overlaps keep a 0 count (conditional count, not a
+    post-join filter)."""
+    w = F.lit(bucket_seconds)
+
+    def secs(col: str) -> Column:
+        return F.unix_timestamp(F.col(col))
+
+    p = probe.select(
+        *probe_keys,
+        secs(probe_start).alias("__ps"),
+        secs(probe_end).alias("__pe"),
+        F.explode(
+            F.sequence(
+                F.floor(secs(probe_start) / w), F.floor(secs(probe_end) / w)
+            )
+        ).alias("__bucket"),
+    )
+    b = build.select(
+        secs(build_start).alias("__bs"),
+        secs(build_end).alias("__be"),
+        F.explode(
+            F.sequence(
+                F.floor(secs(build_start) / w), F.floor(secs(build_end) / w)
+            )
+        ).alias("__bucket"),
+    )
+    joined = p.join(b, "__bucket", "left")
+    overlaps = (
+        (F.col("__ps") <= F.col("__be"))
+        & (F.col("__bs") <= F.col("__pe"))
+        & (
+            F.floor(F.greatest(F.col("__ps"), F.col("__bs")) / w)
+            == F.col("__bucket")
+        )
+    )
+    # the probe's own bucket fan-out folds back in the same aggregation
+    # that counts the matches: the canonical-bucket term scores each
+    # overlapping pair on exactly one of the probe's exploded rows
+    return joined.groupBy(*probe_keys).agg(
+        F.count(F.when(overlaps, 1)).alias(count_alias)
+    )

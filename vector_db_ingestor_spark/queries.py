@@ -6828,6 +6828,75 @@ def _ivfpq_refine_oracle(k: int = 10, k2: int = 30, nprobe: int = 4) -> str:
     """
 
 
+
+
+def q_join_interval_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — the interval x interval temporal
+    operator next to q_join_range (point-in-window) and q_join_asof
+    (latest-at-or-before): for every "campaign" interval (a sparse
+    event subset held open 30 minutes), count the "visit" intervals
+    (every event, held open 1 minute) overlapping it, closed ends.
+    The naive form is a nested-loop theta join; the plan here is
+    operators/joins.py interval_overlap_count — both sides explode
+    into the 30-minute buckets their interval touches (<= 2 each by
+    construction), one hash equi-join on the bucket, and each
+    overlapping pair is scored exactly once via the canonical
+    overlap-start-bucket residual.  The oracle IS the quadratic theta
+    join (DuckDB can afford it at sf scale), so the linear plan is
+    hash-checked against the thing it replaces.  Left semantics:
+    campaigns with zero overlapping visits keep their 0."""
+    from vector_db_ingestor_spark.operators.joins import (
+        interval_overlap_count,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    campaigns = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_id",
+        F.col("ts").alias("c_start"),
+        (F.col("ts") + F.make_interval(mins=F.lit(30))).alias("c_end"),
+    )
+    visits = ev.select(
+        F.col("ts").alias("v_start"),
+        (F.col("ts") + F.make_interval(mins=F.lit(1))).alias("v_end"),
+    )
+    return interval_overlap_count(
+        campaigns,
+        visits,
+        "c_start",
+        "c_end",
+        "v_start",
+        "v_end",
+        probe_keys=["event_id"],
+        bucket_seconds=1800,
+        count_alias="n_visits",
+    )
+
+
+def _join_interval_oracle() -> str:
+    """DuckDB mirror: the literal quadratic theta join the bucketed
+    plan replaces — same closed-end overlap predicate, same epoch-level
+    timestamp arithmetic (events ts is TIMESTAMP_NS; truncate to
+    seconds exactly like unix_timestamp does)."""
+    return """
+    WITH c AS (
+        SELECT event_id,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS cs,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 1800 AS ce
+        FROM events WHERE event_id % 97 = 0
+    ),
+    v AS (
+        SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS vs,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 60 AS ve
+        FROM events
+    )
+    SELECT c.event_id,
+           CAST(count(CASE WHEN c.cs <= v.ve AND v.vs <= c.ce THEN 1 END)
+                AS BIGINT) AS n_visits
+    FROM c LEFT JOIN v ON c.cs <= v.ve AND v.vs <= c.ce
+    GROUP BY c.event_id
+    """
+
+
 # =====================================================================
 # the declaration queue, as data: every built-ahead impl/oracle pair
 # (single source of truth for scripts/check_oracle.py --queue and the
@@ -6848,6 +6917,7 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q_html_extract": (q_html_extract_impl, _html_extract_oracle()),
     "q_sketch_cms": (q_sketch_cms_impl, _sketch_cms_oracle()),
     "q_ann_ivfpq_refine": (q_ann_ivfpq_refine_impl, _ivfpq_refine_oracle()),
+    "q_join_interval": (q_join_interval_impl, _join_interval_oracle()),
 }
 
 # a queued key must not also be declared (the whole point is that the
