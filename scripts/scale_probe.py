@@ -1177,7 +1177,7 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
     rounds-12/13/14 keys built ahead of their rotation window):
     q_ivf_drift_report, q_warc_ingest, q_url_curation, q_dedup_url,
     q_text_boilerplate_strip, q_nb_classify, q_stream_dedup,
-    q_html_extract, q_sketch_cms, q_ann_ivfpq_refine.
+    q_html_extract, q_sketch_cms, q_ann_ivfpq_refine, q_join_interval.
 
     Zero probe-side plan drift BY CONSTRUCTION: the replicated
     documents/embeddings/events tables are MATERIALIZED to parquet
@@ -1208,6 +1208,7 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
 
     from vector_db_ingestor_spark.queries import (
         q_ann_ivfpq_refine_impl,
+        q_join_interval_impl,
         q_dedup_url_impl,
         q_html_extract_impl,
         q_ivf_drift_report_impl,
@@ -1257,6 +1258,7 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
                 "html_extract": q_html_extract_impl,
                 "sketch_cms": q_sketch_cms_impl,
                 "ivfpq_refine": q_ann_ivfpq_refine_impl,
+                "join_interval": q_join_interval_impl,
             }
             for name, impl in fams.items():
                 times.setdefault(name, {})[factor] = _time_median(

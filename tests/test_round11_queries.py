@@ -449,3 +449,43 @@ def test_interval_overlap_counts_each_pair_once(spark):
     # pid 1: both build intervals overlap, each spanning many 5-min
     # buckets shared with the 2h probe — still exactly 1 count each
     assert out == {1: 2, 2: 0}
+
+
+def test_graph_pagerank_conserves_total_rank(spark, sf_dir):
+    """Round-15 queue item sanity: on a dangling-free 3-out-regular
+    graph total PageRank is invariant (sum = 1 at every iteration —
+    the integer recurrence preserves it exactly)."""
+    from vector_db_ingestor_spark.queries import q_graph_pagerank_impl
+
+    got = q_graph_pagerank_impl(spark, sf_dir).toPandas()
+    assert abs(got["pagerank"].sum() - 1.0) < 1e-5
+    assert got["pagerank"].min() > 0  # teleport floor reaches everyone
+    assert got["pr_units"].nunique() > 10  # structure, not uniformity
+
+
+def _queued_keys():
+    from vector_db_ingestor_spark.queries import QUEUED_QUERIES
+
+    return sorted(QUEUED_QUERIES)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("key", _queued_keys())
+def test_queue_registry_pair_is_hash_green(spark, sf_dir, key):
+    """Every QUEUED_QUERIES pair through the uniform driver-style
+    comparison (schema by sorted column names, values exact after
+    string-normalization) — the registry-wide safety net behind the
+    per-key tests above, and the same check scripts/check_oracle.py
+    --queue runs."""
+    from vector_db_ingestor_spark.queries import QUEUED_QUERIES
+
+    fn, sql = QUEUED_QUERIES[key]
+    got = fn(spark, sf_dir).toPandas()
+    want = _duck(
+        sf_dir, tables=("documents", "embeddings", "events")
+    ).execute(sql).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want) > 0
+    _frames_equal(got, want, sorted(got.columns))

@@ -6897,6 +6897,111 @@ def _join_interval_oracle() -> str:
     """
 
 
+
+
+def q_graph_pagerank_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph centrality for crawl curation (the frontier-ranking
+    signal behind Common Crawl-style URL prioritization): PageRank with
+    damping 17/20 over a synthesized 3-out-regular citation graph
+    (deterministic affine out-links u -> (a*u + b) % n), run for THREE
+    unrolled iterations — iterative algorithms become bounded DAGs of
+    join+agg rounds, one shuffle per iteration.
+
+    The parity trick: floats never enter the iteration.  With every
+    node at out-degree 3 and d = 17/20, the scaled rank
+    R_i = pr_i * n * 60^i satisfies the INTEGER recurrence
+    ``R_{i+1} = 9 * 60^i + 17 * sum(R_i over in-neighbors)`` (R_0 = 1),
+    so all three rounds are exact BIGINT arithmetic — aggregation
+    order cannot move a ulp — and the float rank appears only in the
+    final projection as round(R_3 / (n * 60^3), 9).  At 100 TB: n and
+    the affine constants are the only driver state; each iteration is
+    an edges-ranks equi-join (pre-partition both by node id to reuse
+    the partitioning across iterations) + one partial-agg shuffle;
+    beyond a handful of iterations use a Pregel-style loop with
+    checkpointing, which this bounded unroll deliberately is not."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()  # driver scalar (model-state scale), like k-means
+    u = F.col("doc_id")
+    # quadratic target maps: affine maps mod n are bijections (every
+    # in-degree exactly 3 -> uniform ranks, nothing to test); squares
+    # collapse, so in-degree varies while out-degree stays exactly 3
+    # (which is what the integer recurrence needs)
+    edges = docs.select(
+        u.alias("src"),
+        F.explode(
+            F.array(
+                (u * u + 1) % n, ((u + 3) * (u + 7)) % n, (u * 13 + 5) % n
+            )
+        ).alias("dst"),
+    )
+    ids = docs.select(F.col("doc_id").alias("v"))
+    ranks = ids.select("v", F.lit(1).cast("long").alias("r"))
+    for i in range(3):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("r").alias("s"))
+            .withColumnRenamed("dst", "v")
+        )
+        ranks = ids.join(contrib, "v", "left").select(
+            "v",
+            (
+                F.lit(9 * 60**i).cast("long")
+                + F.lit(17) * F.coalesce(F.col("s"), F.lit(0))
+            ).alias("r"),
+        )
+    return ranks.select(
+        F.col("v").alias("doc_id"),
+        F.col("r").alias("pr_units"),
+        F.round(F.col("r") / F.lit(float(n * 60**3)), 9).alias("pagerank"),
+    )
+
+
+def _graph_pagerank_oracle() -> str:
+    """DuckDB mirror: same synthesized edges, same integer recurrence
+    unrolled as three CTE rounds (n enters via a scalar cross join)."""
+    return """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+        SELECT doc_id AS src, (doc_id * doc_id + 1) % nn.n AS dst
+        FROM documents CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, ((doc_id + 3) * (doc_id + 7)) % nn.n
+        FROM documents CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents CROSS JOIN nn
+    ),
+    r0 AS (SELECT doc_id AS v, CAST(1 AS BIGINT) AS r FROM documents),
+    r1 AS (
+        SELECT d.doc_id AS v,
+               CAST(9 + 17 * coalesce(sum(r0.r), 0) AS BIGINT) AS r
+        FROM documents d
+        LEFT JOIN edges e ON e.dst = d.doc_id
+        LEFT JOIN r0 ON r0.v = e.src
+        GROUP BY d.doc_id
+    ),
+    r2 AS (
+        SELECT d.doc_id AS v,
+               CAST(9 * 60 + 17 * coalesce(sum(r1.r), 0) AS BIGINT) AS r
+        FROM documents d
+        LEFT JOIN edges e ON e.dst = d.doc_id
+        LEFT JOIN r1 ON r1.v = e.src
+        GROUP BY d.doc_id
+    ),
+    r3 AS (
+        SELECT d.doc_id AS v,
+               CAST(9 * 3600 + 17 * coalesce(sum(r2.r), 0) AS BIGINT) AS r
+        FROM documents d
+        LEFT JOIN edges e ON e.dst = d.doc_id
+        LEFT JOIN r2 ON r2.v = e.src
+        GROUP BY d.doc_id
+    )
+    SELECT r3.v AS doc_id, r3.r AS pr_units,
+           round(r3.r / (nn.n * 216000.0), 9) AS pagerank
+    FROM r3 CROSS JOIN nn
+    """
+
+
 # =====================================================================
 # the declaration queue, as data: every built-ahead impl/oracle pair
 # (single source of truth for scripts/check_oracle.py --queue and the
@@ -6918,6 +7023,7 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q_sketch_cms": (q_sketch_cms_impl, _sketch_cms_oracle()),
     "q_ann_ivfpq_refine": (q_ann_ivfpq_refine_impl, _ivfpq_refine_oracle()),
     "q_join_interval": (q_join_interval_impl, _join_interval_oracle()),
+    "q_graph_pagerank": (q_graph_pagerank_impl, _graph_pagerank_oracle()),
 }
 
 # a queued key must not also be declared (the whole point is that the
