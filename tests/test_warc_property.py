@@ -85,3 +85,45 @@ def test_inflate_truncated_member_does_not_hang():
         assert b"hello"[: len(out)] in (out[:5], b"hello")
     except zlib.error:
         pass
+
+
+def test_inflate_corrupt_member_salvages_prior_records():
+    """A damaged gzip member must end the walk, not the job: every
+    member decompressed before it is kept, the broken tail dropped."""
+    import gzip
+
+    from vector_db_ingestor_spark.sources.warc import _inflate
+
+    good1 = gzip.compress(b"record one bytes")
+    good2 = gzip.compress(b"record two bytes")
+    corrupt = b"\x1f\x8b" + b"\x99" * 40  # gzip magic, garbage stream
+    assert _inflate(good1 + good2 + corrupt) == b"record one bytesrecord two bytes"
+    assert _inflate(good1 + corrupt + good2) == b"record one bytes"
+    assert _inflate(corrupt) == b""
+
+
+def test_parse_warc_survives_corrupt_segment(spark):
+    """End-to-end: a batch holding one healthy gzipped segment and one
+    corrupt blob must yield the healthy records and complete — never
+    raise out of the kernel."""
+    import gzip
+
+    from vector_db_ingestor_spark.sources.warc import parse_warc_bytes
+
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/1\r\nContent-Length: "
+        + str(len(body)).encode()
+        + b"\r\n\r\n"
+        + body
+        + b"\r\n\r\n"
+    )
+    segments = spark.createDataFrame(
+        [("good.warc.gz", bytearray(gzip.compress(rec))),
+         ("bad.warc.gz", bytearray(b"\x1f\x8b" + b"\x00" * 64))],
+        "path string, content binary",
+    )
+    rows = parse_warc_bytes(segments).collect()
+    assert [r.url for r in rows] == ["http://x/1"]
+    assert bytes(rows[0].payload) == b"hello"

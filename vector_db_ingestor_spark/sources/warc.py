@@ -43,14 +43,25 @@ def _inflate(blob: bytes) -> bytes:
     """Decompress a (possibly multi-member) gzip blob; pass plain
     bytes through.  Crawl segments are MEMBER-PER-RECORD gzip — a
     single ``gzip.decompress`` stops at the first member, so loop
-    with raw zlib streams until the buffer is exhausted."""
+    with raw zlib streams until the buffer is exhausted.
+
+    Corruption policy (a 100 TB crawl ALWAYS contains damaged
+    members): a member that fails to inflate ends the walk and the
+    bytes of every member decompressed BEFORE it are returned — the
+    task salvages the good records and drops the broken tail instead
+    of dying (one bad segment must never fail a whole job; WARC
+    records are self-delimiting, so salvage truncates only at a
+    record boundary of the damaged member)."""
     if blob[:2] != b"\x1f\x8b":
         return blob
     out = io.BytesIO()
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.write(d.decompress(blob[pos:]))
+        try:
+            out.write(d.decompress(blob[pos:]))
+        except zlib.error:
+            break  # damaged member: keep everything before it
         tail = d.unused_data
         if not tail:
             break
