@@ -489,3 +489,28 @@ def test_queue_registry_pair_is_hash_green(spark, sf_dir, key):
     assert sorted(got.columns) == sorted(want.columns)
     assert len(got) == len(want) > 0
     _frames_equal(got, want, sorted(got.columns))
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """The Bloom guarantee the pre-filter use case rests on: every
+    truly-present probed token MUST report in_bloom (one-sided error);
+    any false positives are visible in the same result."""
+    from vector_db_ingestor_spark.queries import q_sketch_bloom_impl
+
+    got = q_sketch_bloom_impl(spark, sf_dir).toPandas()
+    present = got[got["truly_present"].astype(bool)]
+    assert len(present) > 0
+    assert present["in_bloom"].astype(bool).all()
+
+
+def test_linear_counting_estimate_tracks_exact(spark, sf_dir):
+    """Linear counting at ~1% bitmap load is near-exact: the
+    milli-encoded estimate must land within 10% of the true distinct
+    count for every language group."""
+    from vector_db_ingestor_spark.queries import q_sketch_linear_impl
+
+    got = q_sketch_linear_impl(spark, sf_dir).toPandas()
+    assert len(got) == 5
+    est = got["est_milli"].astype(float) / 1000.0
+    exact = got["exact_distinct"].astype(float)
+    assert ((est - exact).abs() / exact < 0.10).all()

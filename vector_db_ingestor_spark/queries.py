@@ -7002,6 +7002,160 @@ def _graph_pagerank_oracle() -> str:
     """
 
 
+
+
+_LC_M = 4096  # linear-counting bitmap width, shared with the oracle
+
+
+def q_sketch_linear_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting distinct estimation — the hash-exact companion
+    to q_agg_approx's rows-only HLL (the same evidence-ladder move
+    q_ann_ivf_assign makes for k-means): per language, tokens hash
+    into an m=4096-cell bitmap via the portable salted-md5 family, and
+    the distinct count is estimated from bitmap occupancy,
+    n-hat = m * ln(m / empty_cells).  Everything is closed-form — the
+    occupancy is an exact integer both engines derive identically, and
+    the single ln is integer-encoded as milli-units (the micro-nat
+    rule at coarser precision) — so the sketch is value-hash-checked,
+    not merely rows-checked.  Exact distincts ride along so the
+    estimate's error is visible in the result.  At 100 TB: the bitmap
+    is m bits per group whatever the corpus (the partial agg moves at
+    most m cell-ids per partition), and bitmaps MERGE BY OR across
+    shards/days — same contract as the HLL path, pinned there by
+    tests/test_operators.py::test_hll_sketches_merge_exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+    )
+    pos = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("lc:"), F.col("t"))), 1, 8), 16, 10)
+        .cast("long")
+        % _LC_M
+    )
+    occ = toks.select("lang", pos.alias("p"), "t").groupBy("lang").agg(
+        F.countDistinct("p").alias("occupied"),
+        F.countDistinct("t").alias("exact_distinct"),
+    )
+    est = F.round(
+        F.lit(float(_LC_M))
+        * F.log(F.lit(float(_LC_M)) / (F.lit(_LC_M) - F.col("occupied")))
+        * 1000.0,
+        0,
+    ).cast("long")
+    return occ.select("lang", "occupied", "exact_distinct", est.alias("est_milli"))
+
+
+def _sketch_linear_oracle() -> str:
+    """DuckDB mirror: identical tokenization, identical salted-md5 cell
+    positions, occupancy and the milli-encoded estimate re-derived."""
+    m = _LC_M
+    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    return f"""
+    WITH toks AS (SELECT lang, unnest({tok}) AS t FROM documents),
+    occ AS (
+        SELECT lang,
+               count(DISTINCT CAST('0x' || substr(md5('lc:' || t), 1, 8)
+                               AS BIGINT) % {m}) AS occupied,
+               count(DISTINCT t) AS exact_distinct
+        FROM toks GROUP BY lang
+    )
+    SELECT lang, CAST(occupied AS BIGINT) AS occupied,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(round({m} * ln({m} / ({m} - occupied)) * 1000)
+                AS BIGINT) AS est_milli
+    FROM occ
+    """
+
+
+_BLOOM_M, _BLOOM_K = 2048, 3  # bloom width / hash count, shared with oracle
+
+
+def q_sketch_bloom_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership — the sketch behind scalable incremental
+    dedup pre-filters (test cheap against a bitmap of history, exact-
+    verify only the hits): tokens of EVEN doc_ids build an m=2048,
+    k=3 filter (salted-md5 positions — closed-form, so the whole
+    filter is hash-checked cross-engine); every distinct token of ODD
+    doc_ids probes it.  Output pairs the filter's verdict with ground
+    truth, making the one-sided guarantee part of the checked result:
+    false negatives are impossible (property-tested), false positives
+    are the visible, measurable price.  At 100 TB: the built filter
+    is m bits (broadcast scale) however large history grows; probing
+    is a broadcast join of positions; filters merge by OR."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+    )
+
+    def pos(i: int) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bl{i}:"), F.col("t"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    positions = F.array(*[pos(i) for i in range(_BLOOM_K)])
+    hist_tokens = toks.filter(F.col("doc_id") % 2 == 0).select("t").distinct()
+    bits = (
+        hist_tokens.select(F.explode(positions).alias("b")).distinct()
+    )
+    probe = (
+        toks.filter(F.col("doc_id") % 2 == 1)
+        .select("t")
+        .distinct()
+        .select("t", F.explode(positions).alias("b"))
+    )
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("set", F.lit(1))), "b", "left")
+        .groupBy("t")
+        .agg((F.sum(F.coalesce(F.col("set"), F.lit(0))) == _BLOOM_K).alias("in_bloom"))
+    )
+    truth = hist_tokens.withColumn("truly_present", F.lit(True))
+    return (
+        hits.join(truth, "t", "left")
+        .select(
+            F.col("t").alias("token"),
+            "in_bloom",
+            F.coalesce("truly_present", F.lit(False)).alias("truly_present"),
+        )
+    )
+
+
+def _sketch_bloom_oracle() -> str:
+    """DuckDB mirror: same salted positions, same bitmap derived from
+    even-doc tokens, same all-k membership test over odd-doc tokens."""
+    m, k = _BLOOM_M, _BLOOM_K
+    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    pos = ("CAST('0x' || substr(md5('bl' || CAST(i.i AS VARCHAR) || ':' || {t}),"
+           " 1, 8) AS BIGINT) % " + str(m))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({tok}) AS t FROM documents),
+    hist AS (SELECT DISTINCT t FROM toks WHERE doc_id % 2 = 0),
+    bits AS (
+        SELECT DISTINCT {pos.format(t='hist.t')} AS b
+        FROM hist, range({k}) i(i)
+    ),
+    probe AS (SELECT DISTINCT t FROM toks WHERE doc_id % 2 = 1),
+    probe_pos AS (
+        SELECT probe.t, {pos.format(t='probe.t')} AS pb
+        FROM probe, range({k}) i(i)
+    ),
+    hits AS (
+        SELECT p.t, count(bits.b) = {k} AS in_bloom
+        FROM probe_pos p LEFT JOIN bits ON bits.b = p.pb
+        GROUP BY p.t
+    )
+    SELECT hits.t AS token, hits.in_bloom,
+           hist.t IS NOT NULL AS truly_present
+    FROM hits LEFT JOIN hist ON hits.t = hist.t
+    """
+
+
 # =====================================================================
 # the declaration queue, as data: every built-ahead impl/oracle pair
 # (single source of truth for scripts/check_oracle.py --queue and the
@@ -7024,6 +7178,8 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q_ann_ivfpq_refine": (q_ann_ivfpq_refine_impl, _ivfpq_refine_oracle()),
     "q_join_interval": (q_join_interval_impl, _join_interval_oracle()),
     "q_graph_pagerank": (q_graph_pagerank_impl, _graph_pagerank_oracle()),
+    "q_sketch_linear": (q_sketch_linear_impl, _sketch_linear_oracle()),
+    "q_sketch_bloom": (q_sketch_bloom_impl, _sketch_bloom_oracle()),
 }
 
 # a queued key must not also be declared (the whole point is that the
