@@ -7156,6 +7156,35 @@ def _sketch_bloom_oracle() -> str:
     """
 
 
+
+
+def q_stream_totals_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parity for the CUSTOM STATEFUL streaming operator
+    (streaming/windows.py stateful_running_totals — per-user running
+    count/value kept in applyInPandasWithState state across
+    micro-batches; its streaming half and the batch==stream parity are
+    exercised in tests/test_streaming.py).  The declared key runs the
+    operator's batch mode — the same function, same output contract —
+    so the custom-stateful family carries driver-checked evidence like
+    every built-in window does.  Scale: streaming state is two scalars
+    per user, hash-partitioned with the groupBy (horizontal); the
+    batch mode is one partial-aggregated shuffle."""
+    from vector_db_ingestor_spark.streaming.windows import (
+        stateful_running_totals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return stateful_running_totals(ev)
+
+
+def _stream_totals_oracle() -> str:
+    return """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """
+
+
 # =====================================================================
 # the declaration queue, as data: every built-ahead impl/oracle pair
 # (single source of truth for scripts/check_oracle.py --queue and the
@@ -7180,6 +7209,7 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q_graph_pagerank": (q_graph_pagerank_impl, _graph_pagerank_oracle()),
     "q_sketch_linear": (q_sketch_linear_impl, _sketch_linear_oracle()),
     "q_sketch_bloom": (q_sketch_bloom_impl, _sketch_bloom_oracle()),
+    "q_stream_totals": (q_stream_totals_impl, _stream_totals_oracle()),
 }
 
 # a queued key must not also be declared (the whole point is that the
