@@ -1173,11 +1173,9 @@ def text_100x(sf_dir: str, reps: int = 3) -> None:
 
 
 def queue_100x(sf_dir: str, reps: int = 3) -> None:
-    """Round-11: 30x/100x probe for the declaration-queue impls (the
-    rounds-12/13/14 keys built ahead of their rotation window):
-    q_ivf_drift_report, q_warc_ingest, q_url_curation, q_dedup_url,
-    q_text_boilerplate_strip, q_nb_classify, q_stream_dedup,
-    q_html_extract, q_sketch_cms, q_ann_ivfpq_refine, q_join_interval.
+    """Round-11: 30x/100x probe for the declaration-queue impls —
+    derived live from queries.QUEUED_QUERIES, so every queued pair is
+    probed automatically the moment it is built.
 
     Zero probe-side plan drift BY CONSTRUCTION: the replicated
     documents/embeddings/events tables are MATERIALIZED to parquet
@@ -1206,19 +1204,7 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
     import shutil
     import tempfile
 
-    from vector_db_ingestor_spark.queries import (
-        q_ann_ivfpq_refine_impl,
-        q_join_interval_impl,
-        q_dedup_url_impl,
-        q_html_extract_impl,
-        q_ivf_drift_report_impl,
-        q_nb_classify_impl,
-        q_sketch_cms_impl,
-        q_stream_dedup_impl,
-        q_text_boilerplate_strip_impl,
-        q_url_curation_impl,
-        q_warc_ingest_impl,
-    )
+    from vector_db_ingestor_spark.queries import QUEUED_QUERIES
 
     spark = get_spark("scale_probe_queue100")
     times: dict[str, dict[int, float]] = {}
@@ -1247,18 +1233,11 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
                 os.path.join(fdir, "documents.parquet")
             ).count()
 
+            # derived from the queue registry: every queued pair is
+            # probed automatically the moment it is built
             fams = {
-                "url_curation": q_url_curation_impl,
-                "dedup_url": q_dedup_url_impl,
-                "boilerplate_strip": q_text_boilerplate_strip_impl,
-                "nb_classify": q_nb_classify_impl,
-                "warc_ingest": q_warc_ingest_impl,
-                "ivf_drift_report": q_ivf_drift_report_impl,
-                "stream_dedup": q_stream_dedup_impl,
-                "html_extract": q_html_extract_impl,
-                "sketch_cms": q_sketch_cms_impl,
-                "ivfpq_refine": q_ann_ivfpq_refine_impl,
-                "join_interval": q_join_interval_impl,
+                k.removeprefix("q_"): fn
+                for k, (fn, _) in QUEUED_QUERIES.items()
             }
             for name, impl in fams.items():
                 times.setdefault(name, {})[factor] = _time_median(
