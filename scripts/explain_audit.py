@@ -203,6 +203,28 @@ AUDITS: dict[str, dict] = {
     "q_dedup_crosssource": {"broadcast": True, "partial_agg": True},
 }
 
+# declaration-queue keys (queries.QUEUED_QUERIES): audited with the same
+# machinery so PLANS.md carries plan evidence BEFORE a key registers.
+# q_nb_classify's bounded 5-row class fan-out is a deliberate broadcast
+# cross join, so it pins partial_agg rather than no_nested_loop.
+QUEUE_AUDITS: dict[str, dict] = {
+    "q_ivf_drift_report": {"partial_agg": True},
+    "q_warc_ingest": {"max_arrow": 2, "no_nested_loop": True},
+    "q_url_curation": {"max_exchange": 0},
+    "q_dedup_url": {"max_exchange": 1},
+    "q_text_boilerplate_strip": {"broadcast": True, "partial_agg": True},
+    "q_nb_classify": {"partial_agg": True},
+    "q_stream_dedup": {"partial_agg": True},
+    "q_html_extract": {"max_arrow": 1},
+    "q_sketch_cms": {"broadcast": True, "partial_agg": True},
+    "q_ann_ivfpq_refine": {"top_k": True, "broadcast": True},
+    "q_join_interval": {"no_nested_loop": True, "partial_agg": True},
+    "q_graph_pagerank": {"no_nested_loop": True, "partial_agg": True},
+    "q_sketch_linear": {"partial_agg": True},
+    "q_sketch_bloom": {"broadcast": True, "partial_agg": True},
+    "q_stream_totals": {"partial_agg": True},
+}
+
 
 def executed_plan(df) -> str:
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -362,8 +384,12 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     failures = 0
-    for key, exp in AUDITS.items():
-        df = QUERIES[key](spark, sf_dir)
+    from vector_db_ingestor_spark.queries import QUEUED_QUERIES
+
+    audited = {**AUDITS, **QUEUE_AUDITS}
+    for key, exp in audited.items():
+        fn = QUERIES.get(key) or QUEUED_QUERIES[key][0]
+        df = fn(spark, sf_dir)
         # Execute df's OWN QueryExecution so AQE settles on the final
         # plan (a noop write would spawn a separate QueryExecution and
         # leave df's plan un-adapted — the audited string would be the
