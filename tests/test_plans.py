@@ -134,3 +134,42 @@ def test_bucketed_join_and_agg_are_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+# declaration-queue keys: same plan pins as scripts/explain_audit.py's
+# QUEUE_AUDITS, enforced in CI at sf0.001 so a rewrite cannot degrade a
+# queued plan between build time and declaration time
+QUEUE_CASES = [
+    ("q_url_curation", "no_shuffle"),
+    ("q_html_extract", "fused_python"),
+    ("q_join_interval", "no_nested_loop"),
+    ("q_graph_pagerank", "no_nested_loop"),
+    ("q_ann_ivfpq_refine", "take_ordered"),
+    ("q_sketch_cms", "no_nested_loop"),
+    ("q_warc_ingest", "no_nested_loop"),
+    ("q_dedup_url", "no_nested_loop"),
+]
+
+
+@pytest.mark.parametrize("key,shape", QUEUE_CASES)
+def test_queued_plan_shape(spark, key, shape):
+    from vector_db_ingestor_spark.queries import QUEUED_QUERIES
+
+    plan = _executed_plan(QUEUED_QUERIES[key][0](spark, SF_DIR))
+    if shape == "no_nested_loop":
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    elif shape == "no_shuffle":
+        n = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n == 0, f"{n} shuffle exchanges in {key}"
+    elif shape == "take_ordered":
+        assert "TakeOrderedAndProject" in plan, plan
+    elif shape == "fused_python":
+        n = (
+            plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas")
+        )
+        assert n <= 1, f"{n} python eval nodes in {key}"
+    else:  # pragma: no cover
+        raise AssertionError(f"unknown shape {shape}")
