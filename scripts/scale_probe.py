@@ -1277,6 +1277,118 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
     print(f"appended to {out}")
 
 
+
+def layout_100x(sf_dir: str, reps: int = 2) -> None:
+    """Round-11: 30x/100x probe for the WRITE-PATH architecture
+    features (operators/layout.py, operators/joins.py bucketed_write,
+    operators/rollup.py) — these amortize one write-time cost over
+    every later query, so the thing to verify is that the WRITE itself
+    stays linear in input size.
+
+    Timed per factor (median of ``reps`` full writes each):
+    - zorder_equidepth: quantile pass + Morton interleave +
+      repartitionByRange sort-write of replicated events on
+      (user_id, value).
+    - bucketed_write: 32-bucket sorted bucketBy write on user_id.
+    - rollup_refresh: per-day partial aggregates over ALL days of the
+      replicated events (a fresh state dir each rep — the probe times
+      the full-history cost; production increments are one day).
+
+    Run: python scripts/scale_probe.py --layout100 [sf_dir] [reps]
+    """
+    import shutil
+    import statistics as stats
+    import tempfile
+    import time as _time
+
+    from vector_db_ingestor_spark.operators.joins import bucketed_write
+    from vector_db_ingestor_spark.operators.layout import zorder_write
+    from vector_db_ingestor_spark.operators.rollup import refresh_rollup
+
+    spark = get_spark("scale_probe_layout100")
+    times: dict[str, dict[int, float]] = {}
+    rows: dict[int, int] = {}
+    tmp = tempfile.mkdtemp(prefix="layout100_")
+    try:
+        for factor in (30, 100):
+            src_path = os.path.join(tmp, f"events_x{factor}")
+            replicate_events(
+                load_table(spark, sf_dir, "events"), factor
+            ).repartition(32).write.mode("overwrite").parquet(src_path)
+            ev = spark.read.parquet(src_path)
+            rows[factor] = ev.count()
+            by_day = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+
+            def t_zorder():
+                zorder_write(
+                    ev, os.path.join(tmp, "z"), ["user_id", "value"],
+                    n_files=32, equidepth=True,
+                )
+
+            def t_bucketed():
+                bucketed_write(
+                    ev, "probe_bucketed", "user_id", n_buckets=32,
+                    path=os.path.join(tmp, "b"),
+                )
+
+            def t_rollup():
+                state = os.path.join(
+                    tmp, f"state_{factor}_{_time.monotonic_ns()}"
+                )
+                partitioned = os.path.join(tmp, f"events_day_x{factor}")
+                refresh_rollup(
+                    spark, partitioned, state, ["event_type"]
+                )
+
+            by_day.write.partitionBy("day").mode("overwrite").parquet(
+                os.path.join(tmp, f"events_day_x{factor}")
+            )
+            for name, fn in (
+                ("zorder_equidepth", t_zorder),
+                ("bucketed_write", t_bucketed),
+                ("rollup_refresh", t_rollup),
+            ):
+                fn()  # warm (codegen, listing)
+                ts = []
+                for _ in range(reps):
+                    t0 = _time.perf_counter()
+                    fn()
+                    ts.append(_time.perf_counter() - t0)
+                times.setdefault(name, {})[factor] = stats.median(ts)
+                print(
+                    f"x{factor:<4d} {name}: {times[name][factor]:.2f}s",
+                    flush=True,
+                )
+            spark.sql("DROP TABLE IF EXISTS probe_bucketed")
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    lines = [
+        "",
+        "## 100x write-path layout probe — round-11, median-of-%d full writes" % reps,
+        "",
+        f"zorder_write (equi-depth), bucketed_write, rollup refresh over",
+        f"replicated events ({rows}) — write-time costs these features",
+        "amortize must themselves stay linear.  rollup_refresh here pays",
+        "FULL-history cost (fresh state each rep); production increments",
+        "process one new partition.",
+        "",
+        "| write path | 30x | 100x | time 100x/30x |",
+        "|---|---|---|---|",
+    ]
+    for name, t in times.items():
+        lines.append(
+            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | {t[100] / t[30]:.2f} |"
+        )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
+    )
+    with open(out, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended to {out}")
+
+
 def _replicate_rel(df: DataFrame, id_cols: list[str], factor: int) -> DataFrame:
     """factor copies of a relational table with EVERY listed key column
     offset into a disjoint per-copy range — cross-copy rows can never
@@ -1443,6 +1555,11 @@ if __name__ == "__main__":
         rel_100x(
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
             int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+    elif sys.argv[1:2] == ["--layout100"]:
+        layout_100x(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 2,
         )
     elif sys.argv[1:2] == ["--queue100"]:
         queue_100x(
