@@ -622,3 +622,21 @@ def test_collection_ann_drift_report(spark, tmp_path):
         assert sum(r.n for r in rep) == n_rows, kind
         assert abs(sum(r.share for r in rep) - 1.0) < 1e-6, kind
         assert abs(sum(r.skew for r in rep) / len(rep) - 1.0) < 1e-6, kind
+
+
+def test_pdf_extractor_never_raises_on_corrupt_bytes():
+    """The PDF front door's corruption policy, pinned like the WARC
+    salvage: damaged/garbage inputs extract to '' (the file lands in
+    the ingest report as no_text_extracted) — one bad file must never
+    fail a task."""
+    from vector_db_ingestor_spark.sources.pdf import extract_pdf_text
+
+    for blob in (
+        b"",
+        b"not a pdf at all",
+        b"%PDF-1.4 garbage \x00\xff" * 50,
+        b"%PDF-1.7\n1 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+        b"\xde\xad\xbe\xef\nendstream\nendobj",
+        b"%PDF-1.5\nxref\n0 999999999\n",
+    ):
+        assert extract_pdf_text(blob) == ""
