@@ -210,3 +210,29 @@ def test_tiny_embedder_beats_hashing_on_token_identity_recall():
     assert tiny > hashing + 0.2, (
         f"tiny {tiny:.3f} must clearly beat hashing {hashing:.3f}"
     )
+
+
+def test_hashing_embedder_frozen_vectors():
+    """Regression pin for the bincount rewrite (and any future
+    embed_one change): known inputs must produce these exact frozen
+    values — the hashing stub's output is a CONTRACT (collection
+    parquet, oracle mirrors, goldens all embed with it)."""
+    from vector_db_ingestor_spark.embedding import HashingEmbedder
+
+    e = HashingEmbedder()
+    v = e.embed_one("hello world")
+    assert len(v) == 64
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-12  # unit norm
+    # frozen fingerprint: first differing implementation breaks these
+    import hashlib
+    import json
+
+    fp = hashlib.sha256(
+        json.dumps(
+            [e.embed_one(t, p) for t, p in
+             [("hello world", "passage"), ("hello world", "query"),
+              ("", "passage"), ("a", "passage"),
+              ("the quick brown fox", "passage")]]
+        ).encode()
+    ).hexdigest()
+    assert fp == "a1cadefbd3d0a5aaa2375717e92ec6c873a86e4db1df85d5a35d1a1ffb28c1c3"
