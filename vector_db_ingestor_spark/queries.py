@@ -7185,6 +7185,88 @@ def _stream_totals_oracle() -> str:
     """
 
 
+
+
+def q_topk_matryoshka_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (Matryoshka-style) retrieval: shortlist on a PREFIX
+    of the embedding (first 16 of 64 dims — MRL-trained models pack
+    coarse semantics into leading dims), exact-rerank the shortlist on
+    the full vector.  The scan-side win is structural: the shortlist
+    pass reads/multiplies 1/4 of every vector — with a column layout
+    storing the prefix separately, 1/4 of the bytes — and the full-dim
+    cosine runs only on the k2=50 survivors via a broadcast id
+    semi-join (the q_ann_ivfpq_refine fetch shape).  Everything is
+    closed-form slicing + arithmetic, so prefix scores, shortlist
+    membership, tie-breaks, and the final exact ranking are all
+    hash-checked cross-engine.  Honest caveat in-result: the fixture
+    embeddings are NOT MRL-trained, so prefix recall here is whatever
+    generic vectors give — the key certifies the MACHINERY; the
+    recall-vs-prefix tradeoff on real models is a model property."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    prefix = F.slice(F.col("embedding").cast("array<double>"), 1, 16)
+    probe16 = F.array(*[F.lit(float(v)) for v in PROBE_64[:16]])
+    pre_score = F.round(
+        F.aggregate(
+            F.zip_with(prefix, probe16, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(
+                F.aggregate(
+                    F.transform(prefix, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * F.lit(
+                float(sum(v * v for v in PROBE_64[:16]) ** 0.5)
+            )
+        ),
+        6,
+    )
+    short = (
+        emb.select("vec_id", pre_score.alias("pre_score"))
+        .orderBy(F.col("pre_score").desc(), F.col("vec_id").asc())
+        .limit(50)
+    )
+    cand = emb.join(F.broadcast(short), "vec_id")
+    from vector_db_ingestor_spark.operators.topk import topk_cosine
+
+    return topk_cosine(cand.drop("pre_score"), PROBE_64, k=10)
+
+
+def _topk_matryoshka_oracle(k: int = 10, k2: int = 50) -> str:
+    """DuckDB mirror: identical prefix slice, identical rounded prefix
+    cosine + tie-break, identical exact re-rank of the shortlist."""
+    p16 = probe_sql_literal(PROBE_64[:16])
+    p16_norm = repr(float(sum(v * v for v in PROBE_64[:16]) ** 0.5))
+    return f"""
+    WITH pre AS (
+        SELECT vec_id,
+               round(list_dot_product((embedding::DOUBLE[])[1:16], {p16})
+                     / (sqrt(list_dot_product((embedding::DOUBLE[])[1:16],
+                                              (embedding::DOUBLE[])[1:16]))
+                        * {p16_norm}), 6) AS pre_score
+        FROM embeddings
+    ),
+    short AS (
+        SELECT vec_id FROM pre
+        ORDER BY pre_score DESC, vec_id ASC LIMIT {k2}
+    ),
+    cand AS (
+        SELECT e.vec_id, e.label, {_SCORE_SQL} AS score
+        FROM embeddings e JOIN short s ON e.vec_id = s.vec_id
+    )
+    SELECT vec_id, label, score,
+           CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC)
+                AS INTEGER) AS rank
+    FROM cand
+    ORDER BY score DESC, vec_id ASC
+    LIMIT {k}
+    """
+
+
 # =====================================================================
 # the declaration queue, as data: every built-ahead impl/oracle pair
 # (single source of truth for scripts/check_oracle.py --queue and the
@@ -7210,6 +7292,7 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q_sketch_linear": (q_sketch_linear_impl, _sketch_linear_oracle()),
     "q_sketch_bloom": (q_sketch_bloom_impl, _sketch_bloom_oracle()),
     "q_stream_totals": (q_stream_totals_impl, _stream_totals_oracle()),
+    "q_topk_matryoshka": (q_topk_matryoshka_impl, _topk_matryoshka_oracle()),
 }
 
 # a queued key must not also be declared (the whole point is that the
