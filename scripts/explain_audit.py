@@ -223,6 +223,7 @@ QUEUE_AUDITS: dict[str, dict] = {
     "q_sketch_linear": {"partial_agg": True},
     "q_sketch_bloom": {"broadcast": True, "partial_agg": True},
     "q_stream_totals": {"partial_agg": True},
+    "q_topk_matryoshka": {"top_k": True, "broadcast": True},
 }
 
 

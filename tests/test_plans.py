@@ -148,6 +148,7 @@ QUEUE_CASES = [
     ("q_sketch_cms", "no_nested_loop"),
     ("q_warc_ingest", "no_nested_loop"),
     ("q_dedup_url", "no_nested_loop"),
+    ("q_topk_matryoshka", "take_ordered"),
 ]
 
 
