@@ -154,9 +154,12 @@ QUEUE_CASES = [
 
 @pytest.mark.parametrize("key,shape", QUEUE_CASES)
 def test_queued_plan_shape(spark, key, shape):
-    from vector_db_ingestor_spark.queries import QUEUED_QUERIES
+    # a queued key keeps its pin after declaration: fall back to the
+    # declared registry once the rotation window admits it
+    from vector_db_ingestor_spark.queries import QUERIES, QUEUED_QUERIES
 
-    plan = _executed_plan(QUEUED_QUERIES[key][0](spark, SF_DIR))
+    fn = QUERIES.get(key) or QUEUED_QUERIES[key][0]
+    plan = _executed_plan(fn(spark, SF_DIR))
     if shape == "no_nested_loop":
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan

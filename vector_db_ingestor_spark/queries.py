@@ -5757,13 +5757,12 @@ ORACLE_SQL["q_ann_ivfpq_batch"] = _ivfpq_batch_oracle()
 
 
 # =====================================================================
-# round-12 queue: IVF occupancy drift report (built + differentially
-# tested in round 11, DECLARATION DEFERRED — the round-11 50-key
-# rotation window is exactly full: 1 new + 2 changed + 4 rows-only +
-# 43 r8-stale.  Register as q_ivf_drift_report once the rotation
-# clears.  Differential evidence until then:
+# q_ivf_drift_report: IVF occupancy drift report (built +
+# differentially tested in round 11, DECLARED round 12 per the SURVEY
+# §7 window arithmetic: 2 new + 4 rows-only + 44 r9-stale = 50).
+# Differential evidence since round 11:
 # tests/test_round11_queries.py runs this Spark plan and the oracle
-# SQL side by side on DuckDB.)
+# SQL side by side on DuckDB.
 # =====================================================================
 
 def q_ivf_drift_report_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5830,12 +5829,16 @@ def _ivf_drift_oracle() -> str:
     """
 
 
+QUERIES["q_ivf_drift_report"] = q_ivf_drift_report_impl
+ORACLE_SQL["q_ivf_drift_report"] = _ivf_drift_oracle()
+
+
 # =====================================================================
-# round-12 queue (2/2): WARC ingest chain, synthesized records through
-# the REAL parser into the REAL fused chunk kernel — the q_warc_ingest
-# candidate SURVEY §7 names.  Built + differentially tested round 11
-# (tests/test_round11_queries.py), DECLARATION DEFERRED with
-# q_ivf_drift_report for the same rotation-window reason.
+# q_warc_ingest (declared round 12 with q_ivf_drift_report): WARC
+# ingest chain, synthesized records through the REAL parser into the
+# REAL fused chunk kernel — the q_warc_ingest candidate SURVEY §7
+# names.  Built + differentially tested round 11
+# (tests/test_round11_queries.py).
 # =====================================================================
 
 def q_warc_ingest_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5922,10 +5925,14 @@ def _warc_ingest_oracle() -> str:
     """
 
 
+QUERIES["q_warc_ingest"] = q_warc_ingest_impl
+ORACLE_SQL["q_warc_ingest"] = _warc_ingest_oracle()
+
+
 # =====================================================================
 # round-13 queue: URL curation (built + differentially tested round
-# 11; r12's window is reserved for q_ivf_drift_report +
-# q_warc_ingest, see SURVEY §7).  Certifies functions/url.py's
+# 11; declared r13 per SURVEY §7 — the r12 window was consumed by
+# q_ivf_drift_report + q_warc_ingest).  Certifies functions/url.py's
 # normalization contract cross-engine.
 # =====================================================================
 
@@ -7274,8 +7281,6 @@ def _topk_matryoshka_oracle(k: int = 10, k2: int = 50) -> str:
 # =====================================================================
 
 QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
-    "q_ivf_drift_report": (q_ivf_drift_report_impl, _ivf_drift_oracle()),
-    "q_warc_ingest": (q_warc_ingest_impl, _warc_ingest_oracle()),
     "q_url_curation": (q_url_curation_impl, _url_curation_oracle()),
     "q_dedup_url": (q_dedup_url_impl, _dedup_url_oracle()),
     "q_text_boilerplate_strip": (
