@@ -1253,10 +1253,11 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
 
     lines = [
         "",
-        "## 100x declaration-queue probe — round-11, warm median-of-%d" % reps,
+        "## 100x declaration-queue probe — warm median-of-%d" % reps,
         "",
-        "The seven queued-but-undeclared impls (rounds 12-14 windows) at",
-        f"30x/100x (docs rows: {rows}), timed by calling the PRODUCTION",
+        "The %d queued-but-undeclared impls (from queries.QUEUED_QUERIES"
+        % len(QUEUED_QUERIES),
+        f"at probe time) at 30x/100x (docs rows: {rows}), timed by calling the PRODUCTION",
         "callables against a materialized replicated fixture dir — the",
         "probe and the driver run the identical code path.  Linear",
         "expectation 3.33; nb_classify's model table grows with the",

@@ -80,6 +80,28 @@ def test_zorder_key_is_morton_interleave(spark):
     assert got == 39
 
 
+def test_zorder_write_honors_explicit_bits_with_equidepth(spark, tmp_path, monkeypatch):
+    """ADVICE r11: equidepth=True silently overwrote the caller's
+    ``bits`` with 8.  An explicit ``bits=4`` must now drive the
+    quantile-cell count (2**4 cells -> 15 boundaries per column)."""
+    import vector_db_ingestor_spark.operators.layout as layout
+
+    seen = []
+    orig = layout.normalize_equidepth
+
+    def spy(col, boundaries):
+        seen.append(len(boundaries))
+        return orig(col, boundaries)
+
+    monkeypatch.setattr(layout, "normalize_equidepth", spy)
+    ev = load_table(spark, SF_DIR, "events").limit(500)
+    layout.zorder_write(
+        ev, str(tmp_path / "z4"), ["user_id", "value"],
+        n_files=2, bits=4, equidepth=True,
+    )
+    assert seen == [15, 15]  # 2**4 - 1 boundaries, NOT 2**8 - 1
+
+
 def test_normalize_clamps_and_spans(spark):
     df = spark.createDataFrame([(0.0,), (50.0,), (100.0,), (-5.0,), (200.0,)], "x double")
     out = [

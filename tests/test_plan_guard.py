@@ -68,6 +68,34 @@ def test_global_window_detection(spark):
     assert_scalable(part, forbid_global_window=True)
 
 
+def test_stateful_pandas_stage_counts_once(spark):
+    """ADVICE r11: substring counting made every
+    FlatMapGroupsInPandasWithState line ALSO count as a
+    FlatMapGroupsInPandas — one stateful op plus one mapInPandas
+    reported 3 python evals and tripped the default cap.  Node names
+    are now matched whole, line-anchored."""
+    from vector_db_ingestor_spark.plans.guard import plan_report as pr
+
+    # synthesize the two plan texts rather than standing up a
+    # streaming query: the counter is a pure function of the plan
+    # string (same entry point plan_report uses internally)
+    import vector_db_ingestor_spark.plans.guard as guard
+
+    fake_plan = "\n".join([
+        "*(1) Project [a]",
+        "+- FlatMapGroupsInPandasWithState [grp], state=...",
+        "   +- MapInPandas f(x)",
+        "      +- Exchange hashpartitioning(grp, 32)",
+    ])
+    orig = guard._physical_plan
+    guard._physical_plan = lambda df: fake_plan
+    try:
+        facts = pr(None)
+    finally:
+        guard._physical_plan = orig
+    assert facts["python_evals"] == 2  # not 3: WithState counts once
+
+
 def test_shuffle_budget(spark):
     ev = load_table(spark, SF_DIR, "events")
     agg = ev.groupBy("event_type").count()

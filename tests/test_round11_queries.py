@@ -451,6 +451,37 @@ def test_interval_overlap_counts_each_pair_once(spark):
     assert out == {1: 2, 2: 0}
 
 
+def test_interval_overlap_null_probe_bounds_surface_as_zero(spark):
+    """Left-semantics corner: a probe with a NULL start/end must NOT
+    vanish from the report — it overlaps nothing, so it keeps a
+    0-count row (ADVICE r11: explode over a NULL sequence silently
+    dropped the probe key entirely)."""
+    from vector_db_ingestor_spark.operators.joins import (
+        interval_overlap_count,
+    )
+
+    probe = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+         (2, None, "2024-01-01 02:00:00"),
+         (3, "2024-01-01 00:00:00", None)],
+        "pid int, s string, e string",
+    ).select("pid", F.col("s").cast("timestamp").alias("s"),
+             F.col("e").cast("timestamp").alias("e"))
+    build = spark.createDataFrame(
+        [("2024-01-01 00:30:00", "2024-01-01 01:30:00")],
+        "s string, e string",
+    ).select(F.col("s").cast("timestamp").alias("s"),
+             F.col("e").cast("timestamp").alias("e"))
+    out = {
+        r.pid: r.n
+        for r in interval_overlap_count(
+            probe, build, "s", "e", "s", "e",
+            probe_keys=["pid"], bucket_seconds=300, count_alias="n",
+        ).collect()
+    }
+    assert out == {1: 1, 2: 0, 3: 0}
+
+
 def test_graph_pagerank_conserves_total_rank(spark, sf_dir):
     """Round-15 queue item sanity: on a dangling-free 3-out-regular
     graph total PageRank is invariant (sum = 1 at every iteration —

@@ -257,7 +257,10 @@ def interval_overlap_count(
     only the bucket containing the overlap's start
     (``floor(greatest(ps, bs) / w)``) scores it.  Left semantics —
     probes with zero overlaps keep a 0 count (conditional count, not a
-    post-join filter)."""
+    post-join filter); a probe with a NULL start/end survives as a
+    0-count row too (``explode_outer`` — a NULL interval overlaps
+    nothing, but the probe key must not vanish from the report).
+    Build rows with NULL bounds are dropped (they can match nothing)."""
     w = F.lit(bucket_seconds)
 
     def secs(col: str) -> Column:
@@ -267,7 +270,7 @@ def interval_overlap_count(
         *probe_keys,
         secs(probe_start).alias("__ps"),
         secs(probe_end).alias("__pe"),
-        F.explode(
+        F.explode_outer(
             F.sequence(
                 F.floor(secs(probe_start) / w), F.floor(secs(probe_end) / w)
             )

@@ -82,7 +82,7 @@ def zorder_write(
     path: str,
     cols: list[str],
     n_files: int = 32,
-    bits: int = 16,
+    bits: int | None = None,
     equidepth: bool = False,
 ) -> None:
     """Write ``df`` z-ordered by ``cols``: one stats pass per column
@@ -95,9 +95,15 @@ def zorder_write(
     multi-dimension range scan — the pruning analogue of
     ``bucketed_write``'s join story.  ``equidepth=True`` (8-bit cells)
     is the right default for real, skewed data; linear min/max suits
-    known-uniform columns and avoids the quantile pass."""
+    known-uniform columns and avoids the quantile pass.
+
+    ``bits`` defaults per mode (8 equidepth — the quantile pass is
+    2**bits boundaries per column, so deeper cells get expensive fast;
+    16 linear).  An explicit ``bits`` is honored in BOTH modes rather
+    than silently overwritten."""
+    if bits is None:
+        bits = 8 if equidepth else 16
     if equidepth:
-        bits = 8
         cells = 2**bits
         qs = [i / cells for i in range(1, cells)]
         normalized = [

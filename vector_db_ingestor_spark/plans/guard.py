@@ -72,11 +72,17 @@ def plan_report(df: DataFrame) -> dict:
         stripped = re.sub(r"^[\s:+\-|]*(\*\(\d+\)\s*)?", "", line)
         if stripped.startswith("Exchange "):
             shuffles += 1
-    python_evals = sum(
-        plan.count(op)
-        for op in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
-                   "FlatMapGroupsInPandas", "FlatMapGroupsInPandasWithState")
-    )
+    # count whole node names line-anchored (like the Exchange/Window
+    # checks): a bare substring count would double-count every
+    # FlatMapGroupsInPandasWithState line under FlatMapGroupsInPandas
+    python_evals = 0
+    _py_ops = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+               "FlatMapGroupsInPandas", "FlatMapGroupsInPandasWithState")
+    for line in plan.splitlines():
+        stripped = re.sub(r"^[\s:+\-|]*(\*\(\d+\)\s*)?", "", line)
+        node = stripped.split(" ", 1)[0]
+        if node in _py_ops:
+            python_evals += 1
     return {
         "shuffles": shuffles,
         "python_evals": python_evals,
