@@ -409,6 +409,69 @@ def _time_median(df: DataFrame, reps: int) -> float:
     return statistics.median(ts)
 
 
+def monotone_violations(
+    times: dict[str, dict[int, float]], linear: set[str]
+) -> list[str]:
+    """Families whose LARGEST-factor leg measured FASTER than their
+    smallest-factor leg despite a linear cost expectation — physically
+    impossible on this workload, so the number is box noise, not
+    engine behavior (round-11 recorded two such orderings by hand;
+    this makes the detection mechanical — VERDICT r11 #5)."""
+    out = []
+    for name in sorted(linear):
+        t = times.get(name)
+        if not t or len(t) < 2:
+            continue
+        lo, hi = min(t), max(t)
+        if t[hi] < t[lo]:
+            out.append(name)
+    return out
+
+
+def time_with_guard(
+    builders: "dict[str, dict[int, object]]",
+    reps: int,
+    linear: set[str],
+    timer=None,
+) -> tuple[dict[str, dict[int, float]], set[str]]:
+    """Time every (family, factor) leg with the measurement discipline
+    the round-11 prose applied by hand, enforced in the runner: a
+    linear-expectation family whose big-factor leg comes out FASTER
+    than its small-factor leg is re-timed once, BOTH legs,
+    within-session (the only comparison this box supports —
+    BENCH-notes r11); a family still inverted after the re-run is
+    returned in ``polluted`` so the published table marks the row
+    instead of presenting a number the box already disproved.
+
+    ``builders[name][factor]`` is a zero-arg callable returning the
+    DataFrame to time (rebuilt per timing so re-runs don't reuse a
+    cached plan); ``timer`` is injectable for tests."""
+    timer = timer or _time_median
+    times: dict[str, dict[int, float]] = {}
+    for name, legs in builders.items():
+        for factor in sorted(legs):
+            times.setdefault(name, {})[factor] = timer(legs[factor](), reps)
+            print(
+                f"x{factor:<4d} {name}: {times[name][factor]:.2f}s",
+                flush=True,
+            )
+    polluted: set[str] = set()
+    for name in monotone_violations(times, linear):
+        print(f"GUARD {name}: impossible ordering, re-timing both legs",
+              flush=True)
+        for factor in sorted(builders[name]):
+            times[name][factor] = timer(builders[name][factor](), reps)
+            print(
+                f"x{factor:<4d} {name} (rerun): {times[name][factor]:.2f}s",
+                flush=True,
+            )
+        if monotone_violations({name: times[name]}, {name}):
+            polluted.add(name)
+            print(f"GUARD {name}: still inverted — marking POLLUTED",
+                  flush=True)
+    return times, polluted
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -884,7 +947,7 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
 
     spark = get_spark("scale_probe_ann100")
     work = tempfile.mkdtemp(prefix="ann100_")
-    times: dict[str, dict[int, float]] = {}
+    builders: dict[str, dict[int, object]] = {}
     ivf_meta: dict[int, tuple[int, int, int]] = {}
     try:
         for factor in (30, 100):
@@ -920,6 +983,28 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
             pq_idx = os.path.join(work, f"ivfpq_x{factor}")
             ivfpq_write(emb, pq_idx, pq_cents, pq_cbs)
             pq_codes, _, _ = ivfpq_read(spark, pq_idx)
+            # round-12 (VERDICT r11 #2): the refine rung's vector fetch
+            # over a vec_id range layout — built OUTSIDE the timed
+            # region like every other index artifact
+            from vector_db_ingestor_spark.operators.similarity import (
+                fetch_vectors,
+                ivfpq_topk_indexed,
+                vectors_write,
+            )
+
+            vecs_path = os.path.join(work, f"vecs_x{factor}")
+            vectors_write(emb, vecs_path, n_files=64)
+            refine_ids = [
+                r["vec_id"]
+                for r in ivfpq_topk_indexed(
+                    pq_codes, pq_cents, pq_cbs, PROBE_64, k=30, nprobe=4
+                )
+                .select("vec_id")
+                .collect()
+            ]
+            short_df = spark.createDataFrame(
+                [(i,) for i in refine_ids], "vec_id LONG"
+            )
             batch_probes = [
                 (
                     b,
@@ -975,20 +1060,42 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
                 # round-11: batched persisted-codes serve (2 probes,
                 # one union'd pruned scan + route join + window rank)
                 "ivfpq_batch2_indexed": _ivfpq_batch_indexed_probe(pq_codes),
+                # round-12: the refine rung's exact re-rank fetch, both
+                # layouts — range layout (In pushdown + disjoint file
+                # ranges: expected FLAT, ~k2 row-groups whatever the
+                # corpus size) vs the r11 shape (broadcast id join
+                # against the unordered corpus: linear, the contrast
+                # row VERDICT r11 #2 flagged)
+                "refine_fetch_range": topk_cosine(
+                    fetch_vectors(spark, vecs_path, refine_ids),
+                    PROBE_64,
+                    k=10,
+                ),
+                "refine_fetch_scan": topk_cosine(
+                    emb.join(F.broadcast(short_df), "vec_id"),
+                    PROBE_64,
+                    k=10,
+                ),
             }
             for name, df in fams.items():
-                times.setdefault(name, {})[factor] = _time_median(df, reps)
-                print(
-                    f"x{factor:<4d} {name}: {times[name][factor]:.2f}s",
-                    flush=True,
-                )
+                builders.setdefault(name, {})[factor] = lambda df=df: df
+
+        # timing runs AFTER both factors are built so the guard can
+        # re-time either leg within-session (inputs persist until the
+        # finally cleanup); FLAT-expectation families are exempt —
+        # t(100x) ~ t(30x) either side of equal is their healthy shape
+        linear = {
+            "exact_topk", "pq_encode", "bm25_scores", "lsh_topk",
+            "ivfpq_topk", "refine_fetch_scan",
+        }
+        times, polluted = time_with_guard(builders, reps, linear)
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)
 
     lines = [
         "",
-        "## 100x ANN-serving probe — round-11 full set, MATERIALIZED "
+        "## 100x ANN-serving probe — round-12 full set, MATERIALIZED "
         "inputs, warm median-of-%d" % reps,
         "",
         "The standing ANN probe set (materialized-parquet methodology,",
@@ -1003,14 +1110,23 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
         "n_bits=4 for continuity with the 1x-10x table); ivf_topk scans",
         "the nprobe=4 of 16 cid partitions via partition pruning — its",
         "honest cost driver is rows-scanned (second table), the local",
-        "walls carry fixed multi-job routing overhead.",
+        "walls carry fixed multi-job routing overhead.  New round 12:",
+        "refine_fetch_range (exact re-rank fetch over the vectors_write",
+        "vec_id range layout — In pushdown + disjoint file ranges,",
+        "expected FLAT) vs refine_fetch_scan (the r11 broadcast-id-join",
+        "shape it replaces — linear, kept as the contrast row).",
+        "Impossible orderings (linear leg faster at 100x) are re-timed",
+        "in-session by time_with_guard; rows it could not clear are",
+        "marked POLLUTED.",
         "",
         "| stage | 30x | 100x | time 100x/30x |",
         "|---|---|---|---|",
     ]
     for name, t in times.items():
+        mark = " POLLUTED" if name in polluted else ""
         lines.append(
-            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | {t[100] / t[30]:.2f} |"
+            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | "
+            f"{t[100] / t[30]:.2f}{mark} |"
         )
     lines += [
         "",
@@ -1207,7 +1323,7 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
     from vector_db_ingestor_spark.queries import QUEUED_QUERIES
 
     spark = get_spark("scale_probe_queue100")
-    times: dict[str, dict[int, float]] = {}
+    builders: dict[str, dict[int, object]] = {}
     rows: dict[int, int] = {}
     tmp = tempfile.mkdtemp(prefix="queue100_")
     try:
@@ -1240,13 +1356,13 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
                 for k, (fn, _) in QUEUED_QUERIES.items()
             }
             for name, impl in fams.items():
-                times.setdefault(name, {})[factor] = _time_median(
-                    impl(spark, fdir), reps
+                builders.setdefault(name, {})[factor] = (
+                    lambda impl=impl, fdir=fdir: impl(spark, fdir)
                 )
-                print(
-                    f"x{factor:<4d} {name}: {times[name][factor]:.2f}s",
-                    flush=True,
-                )
+
+        # every queue family carries a linear expectation (docstring
+        # above), so all are guarded against impossible orderings
+        times, polluted = time_with_guard(builders, reps, set(builders))
     finally:
         spark.stop()
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1262,13 +1378,17 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
         "probe and the driver run the identical code path.  Linear",
         "expectation 3.33; nb_classify's model table grows with the",
         "replicator-inflated vocabulary (real corpora saturate instead).",
+        "Impossible orderings are re-timed in-session by",
+        "time_with_guard; rows it could not clear are marked POLLUTED.",
         "",
         "| impl | 30x | 100x | time 100x/30x |",
         "|---|---|---|---|",
     ]
     for name, t in times.items():
+        mark = " POLLUTED" if name in polluted else ""
         lines.append(
-            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | {t[100] / t[30]:.2f} |"
+            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | "
+            f"{t[100] / t[30]:.2f}{mark} |"
         )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
