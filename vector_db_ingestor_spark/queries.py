@@ -7275,6 +7275,396 @@ def _topk_matryoshka_oracle(k: int = 10, k2: int = 50) -> str:
 
 
 # =====================================================================
+# round-16 queue (1/2): fixed-size per-stratum sampling — the
+# distributed reservoir-sample analogue (hash-rank sampling), built
+# round 12 for the r16 declaration window per the SURVEY §7 cadence.
+# =====================================================================
+
+def q_sample_reservoir_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling (k=10 per language) — the
+    training-data subsampling contract q_sample_stratified's
+    FRACTION thresholds can't give ("take exactly 10 examples per
+    class for the eval set", "cap every domain at k docs").  The
+    classic sequential reservoir algorithm is order-dependent and
+    unshardable; the distributed form ranks each stratum by a
+    portable salted hash and keeps the k smallest — same marginal
+    uniformity, deterministic, append-stable for the SURVIVORS'
+    ordering (a new doc displaces at most the largest kept hash).
+    Plan: one narrow projection (md5 of the key) riding the scan, one
+    hash shuffle on the stratum for the window rank, filter <= k —
+    the order key is (hash, doc_id) so even a hash collision cannot
+    make the kept set nondeterministic.  At 100 TB: per-stratum top-k
+    via window is one shuffle; for few strata and tiny k prefer a
+    partial-agg top-k-by-heap, but the window form is the general
+    one."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws("\x01", F.lit("resv1"), F.col("doc_id")))
+    w = Window.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 10)
+        .select("lang", "doc_id", "source", "sample_rank")
+    )
+
+
+def _sample_reservoir_oracle() -> str:
+    """DuckDB mirror: same salted md5, same window, same keep rule."""
+    return """
+    WITH ranked AS (
+        SELECT lang, doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('resv1' || chr(1) || CAST(doc_id AS VARCHAR)),
+                            doc_id
+               ) AS INTEGER) AS sample_rank
+        FROM documents
+    )
+    SELECT lang, doc_id, source, sample_rank
+    FROM ranked WHERE sample_rank <= 10
+    """
+
+
+# =====================================================================
+# round-16 queue (2/2): duplicated-passage detection (built round 12)
+# =====================================================================
+
+def q_dedup_passage_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage report — the substring-level
+    dedup signal (the "Deduplicating Training Data Makes Language
+    Models Better" recipe's reporting half): 5-word shingles over the
+    whitespace token stream, aggregated corpus-wide; a passage
+    appearing in >1 document is boilerplate/copy evidence the
+    document-level dedup family (minhash/simhash/ngram) can't
+    localize.  Top 20 by document reach, with occurrence counts and
+    the smallest carrying doc_id as the example.  Plan: one narrow
+    shingle explode (|words| rows per doc, bounded) -> one map-side-
+    combined hash agg -> TakeOrderedAndProject; linear at any corpus
+    size, no pair enumeration anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
+    )
+    # the >= 5 filter first: Spark's sequence(1, n) DESCENDS for n < 1
+    # (sequence(1, 0) == [1, 0]), so short docs must never reach it
+    sh = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 4),
+                    lambda i: F.array_join(
+                        F.slice(F.col("ws"), i, F.lit(5)), " "
+                    ),
+                )
+            ).alias("passage"),
+        )
+    )
+    return (
+        sh.groupBy("passage")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(
+            F.col("n_docs").desc(),
+            F.col("n_occurrences").desc(),
+            F.col("passage").asc(),
+        )
+        .limit(20)
+    )
+
+
+def _dedup_passage_oracle() -> str:
+    """DuckDB mirror: same tokenization (string_split_regex on
+    lower(trim)), same 5-word windows via unnest(range), same
+    aggregation and keep/order rules."""
+    return """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 3, 1))) AS i
+        FROM w
+    ),
+    sh AS (
+        SELECT doc_id, array_to_string(ws[i : i + 4], ' ') AS passage
+        FROM pos
+    )
+    SELECT passage,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(doc_id) AS example_doc_id
+    FROM sh
+    GROUP BY passage
+    HAVING count(DISTINCT doc_id) > 1
+    ORDER BY n_docs DESC, n_occurrences DESC, passage ASC
+    LIMIT 20
+    """
+
+
+# =====================================================================
+# round-17 queue (1/2): HITS hubs/authorities (built round 12) — the
+# second link-analysis rung next to q_graph_pagerank, same synthesized
+# deterministic graph, same floats-never-enter-the-iteration rule.
+# =====================================================================
+
+def q_graph_hits_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the q_graph_pagerank citation
+    graph (same deterministic 3-out-regular edges: u -> u^2+1,
+    (u+3)(u+7), 13u+5 mod n) — the complementary centrality signal for
+    crawl curation (PageRank ranks endorsement mass; HITS separates
+    directories/link-hubs from endorsed content).  TWO unrolled
+    mutual-recursion rounds: a_{i+1}(v) = sum of h_i over in-neighbors,
+    h_{i+1}(u) = sum of a_{i+1} over out-neighbors, h_0 = 1 — all pure
+    BIGINT sums (HITS normalization deferred to the final projection,
+    where both scores divide by their deterministic global max,
+    round 9), so aggregation order cannot move a ulp.  Each half-round
+    is one edges-scores equi-join + one partial-agg shuffle; at scale
+    pre-partition edges by both endpoints once and reuse across
+    rounds.  Top 20 by authority, doc_id tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()  # driver scalar (model-state scale), like pagerank
+    u = F.col("doc_id")
+    edges = docs.select(
+        u.alias("src"),
+        F.explode(
+            F.array(
+                (u * u + 1) % n, ((u + 3) * (u + 7)) % n, (u * 13 + 5) % n
+            )
+        ).alias("dst"),
+    )
+    ids = docs.select(F.col("doc_id").alias("v"))
+    h = ids.select("v", F.lit(1).cast("long").alias("s"))
+    for _ in range(2):
+        a = (
+            edges.join(h.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("s").alias("s"))
+            .withColumnRenamed("dst", "v")
+        )
+        a = ids.join(a, "v", "left").select(
+            "v", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s")
+        )
+        h = (
+            edges.join(a.withColumnRenamed("v", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("s").alias("s"))
+            .withColumnRenamed("src", "v")
+        )
+        h = ids.join(h, "v", "left").select(
+            "v", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s")
+        )
+    scores = a.withColumnRenamed("s", "auth_units").join(
+        h.withColumnRenamed("s", "hub_units"), "v"
+    )
+    mx = scores.agg(
+        F.max("auth_units").alias("ma"), F.max("hub_units").alias("mh")
+    )
+    return (
+        scores.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("v").alias("doc_id"),
+            "auth_units",
+            "hub_units",
+            F.round(F.col("auth_units") / F.col("ma"), 9).alias("authority"),
+            F.round(F.col("hub_units") / F.col("mh"), 9).alias("hub"),
+        )
+        .orderBy(F.col("auth_units").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _graph_hits_oracle() -> str:
+    """DuckDB mirror: same edges, the two mutual-recursion rounds as a
+    CTE chain of integer join+aggs, same max-normalized projection."""
+    return """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+        SELECT doc_id AS src, (doc_id * doc_id + 1) % nn.n AS dst
+        FROM documents CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, ((doc_id + 3) * (doc_id + 7)) % nn.n
+        FROM documents CROSS JOIN nn
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents CROSS JOIN nn
+    ),
+    h0 AS (SELECT doc_id AS v, CAST(1 AS BIGINT) AS s FROM documents),
+    a1 AS (
+        SELECT d.doc_id AS v,
+               CAST(coalesce(sum(h0.s), 0) AS BIGINT) AS s
+        FROM documents d
+        LEFT JOIN edges e ON e.dst = d.doc_id
+        LEFT JOIN h0 ON h0.v = e.src
+        GROUP BY d.doc_id
+    ),
+    h1 AS (
+        SELECT d.doc_id AS v,
+               CAST(coalesce(sum(a1.s), 0) AS BIGINT) AS s
+        FROM documents d
+        LEFT JOIN edges e ON e.src = d.doc_id
+        LEFT JOIN a1 ON a1.v = e.dst
+        GROUP BY d.doc_id
+    ),
+    a2 AS (
+        SELECT d.doc_id AS v,
+               CAST(coalesce(sum(h1.s), 0) AS BIGINT) AS s
+        FROM documents d
+        LEFT JOIN edges e ON e.dst = d.doc_id
+        LEFT JOIN h1 ON h1.v = e.src
+        GROUP BY d.doc_id
+    ),
+    h2 AS (
+        SELECT d.doc_id AS v,
+               CAST(coalesce(sum(a2.s), 0) AS BIGINT) AS s
+        FROM documents d
+        LEFT JOIN edges e ON e.src = d.doc_id
+        LEFT JOIN a2 ON a2.v = e.dst
+        GROUP BY d.doc_id
+    ),
+    mx AS (SELECT (SELECT max(s) FROM a2) AS ma,
+                  (SELECT max(s) FROM h2) AS mh)
+    SELECT a2.v AS doc_id,
+           a2.s AS auth_units,
+           h2.s AS hub_units,
+           round(a2.s / CAST(mx.ma AS DOUBLE), 9) AS authority,
+           round(h2.s / CAST(mx.mh AS DOUBLE), 9) AS hub
+    FROM a2 JOIN h2 ON a2.v = h2.v CROSS JOIN mx
+    ORDER BY auth_units DESC, doc_id ASC
+    LIMIT 20
+    """
+
+
+# =====================================================================
+# round-17 queue (2/2): KMV distinct sketch (built round 12) — the
+# third distinct-estimation rung (exact -> linear-counting -> KMV),
+# and the first with in-plan MERGEABILITY evidence.
+# =====================================================================
+
+_KMV_K = 64  # sketch size, shared with the oracle
+
+
+def q_sketch_kmv_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch per language, k=64 — the
+    mergeable distinct estimator (theta-sketch core): keep the k
+    smallest salted-md5 values of the distinct token set; the kth
+    minimum estimates density, n-hat = (k-1) * 2^48 / kth (48-bit hash
+    space).  Everything is closed-form: the kth hash is an exact
+    integer both engines derive identically, and the estimate is
+    floor-scaled to milli-units through one IEEE double division.
+    The '__union__' row is the MERGE evidence: k smallest over the
+    union of per-language sketches == k smallest over the union of the
+    sets, so the union estimate comes from the same rule with no
+    second corpus pass — the property that lets a 100 TB corpus
+    sketch per partition and merge driver-side (k longs per
+    partition).  Small-set exactness rides along: a stratum with
+    < k distinct tokens reports its exact count.  Plan: one distinct
+    shuffle, one per-stratum window, one agg; the union leg reuses the
+    distinct token set."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+
+    def kmv(grouped: DataFrame, label_col) -> DataFrame:
+        dt = grouped.select(label_col.alias("lang"), "t").distinct()
+        h = (
+            F.conv(F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("t"))), 1, 12), 16, 10)
+            .cast("long")
+        )
+        w = Window.partitionBy("lang").orderBy(F.col("h").asc(), F.col("t").asc())
+        ranked = dt.select("lang", "t", h.alias("h")).withColumn(
+            "rk", F.row_number().over(w)
+        )
+        exact = dt.groupBy("lang").agg(
+            F.count("*").alias("exact_distinct")
+        )
+        sk = (
+            ranked.filter(F.col("rk") <= _KMV_K)
+            .groupBy("lang")
+            .agg(F.count("*").alias("k_used"), F.max("h").alias("kth_hash"))
+        )
+        est = F.when(
+            F.col("k_used") < _KMV_K, F.col("exact_distinct") * F.lit(1000)
+        ).otherwise(
+            F.floor(
+                F.lit(1000.0)
+                * (F.col("k_used") - 1)
+                * F.lit(float(2**48))
+                / F.col("kth_hash")
+            )
+        ).cast("long")
+        return sk.join(exact, "lang").select(
+            "lang", "k_used", "kth_hash", "exact_distinct",
+            est.alias("est_milli"),
+        )
+
+    per_lang = kmv(toks, F.col("lang"))
+    union = kmv(toks, F.lit("__union__"))
+    return per_lang.unionByName(union).orderBy("lang")
+
+
+def _sketch_kmv_oracle() -> str:
+    """DuckDB mirror: identical salted 48-bit hash, identical window
+    keep rule, identical floor-milli estimate, identical union leg."""
+    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    k = _KMV_K
+    leg = """
+    dt_{tag} AS (
+        SELECT DISTINCT {lang} AS lang, t FROM toks
+    ),
+    ranked_{tag} AS (
+        SELECT lang, t,
+               CAST('0x' || substr(md5('kmv:' || t), 1, 12) AS BIGINT) AS h,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST('0x' || substr(md5('kmv:' || t), 1, 12)
+                                AS BIGINT) ASC, t ASC
+               ) AS rk
+        FROM dt_{tag}
+    ),
+    exact_{tag} AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
+        FROM dt_{tag} GROUP BY lang
+    ),
+    sk_{tag} AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS k_used,
+               max(h) AS kth_hash
+        FROM ranked_{tag} WHERE rk <= {k} GROUP BY lang
+    ),
+    out_{tag} AS (
+        SELECT s.lang, s.k_used, s.kth_hash, e.exact_distinct,
+               CAST(CASE WHEN s.k_used < {k} THEN e.exact_distinct * 1000
+                    ELSE floor(1000.0 * (s.k_used - 1) * 281474976710656.0
+                               / s.kth_hash)
+                    END AS BIGINT) AS est_milli
+        FROM sk_{tag} s JOIN exact_{tag} e USING (lang)
+    )"""
+    return f"""
+    WITH toks AS (
+        SELECT lang, t
+        FROM (SELECT lang, unnest({tok}) AS t FROM documents)
+        WHERE t <> ''
+    ),
+    {leg.format(tag="l", lang="lang", k=k)},
+    {leg.format(tag="u", lang="'__union__'", k=k)}
+    SELECT * FROM out_l
+    UNION ALL
+    SELECT * FROM out_u
+    ORDER BY lang
+    """
+
+
+# =====================================================================
 # the declaration queue, as data: every built-ahead impl/oracle pair
 # (single source of truth for scripts/check_oracle.py --queue and the
 # per-round registration diffs; tests import the pairs directly)
@@ -7298,6 +7688,10 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q_sketch_bloom": (q_sketch_bloom_impl, _sketch_bloom_oracle()),
     "q_stream_totals": (q_stream_totals_impl, _stream_totals_oracle()),
     "q_topk_matryoshka": (q_topk_matryoshka_impl, _topk_matryoshka_oracle()),
+    "q_sample_reservoir": (q_sample_reservoir_impl, _sample_reservoir_oracle()),
+    "q_dedup_passage": (q_dedup_passage_impl, _dedup_passage_oracle()),
+    "q_graph_hits": (q_graph_hits_impl, _graph_hits_oracle()),
+    "q_sketch_kmv": (q_sketch_kmv_impl, _sketch_kmv_oracle()),
 }
 
 # a queued key must not also be declared (the whole point is that the
