@@ -7665,6 +7665,440 @@ def _sketch_kmv_oracle() -> str:
 
 
 # =====================================================================
+# round-18 queue (1/2): A/B experiment statistics (built round 12)
+# =====================================================================
+
+def q_stats_ab_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type A/B test readout — the experimentation primitive
+    an analytics engine owes its users (assignment by user_id parity,
+    Welch's t on `value`).  Cross-engine float discipline (the
+    q_text_entropy integer rule, applied to second moments): each
+    value is fixed to EXACT milli-units BEFORE any aggregation, so the
+    per-arm sums and sums-of-squares are exact BIGINTs no aggregation
+    order can move; mean/variance/t then evaluate in ONE closed-form
+    IEEE-double expression over those exact integers — identical in
+    both engines — and round at the end.  Plan: one narrow projection
+    riding the scan (arm, milli-units) -> one map-side-combined hash
+    agg on (event_type, arm) -> a 2-row-per-type pivot join.  Linear,
+    one shuffle of |types|x2 partials."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    agg = base.groupBy("event_type", "is_a").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    a = agg.filter("is_a").select(
+        "event_type",
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("q").alias("q_a"),
+    )
+    b = agg.filter(~F.col("is_a")).select(
+        "event_type",
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("q").alias("q_b"),
+    )
+    j = a.join(b, "event_type")
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("q_a") - F.col("s_a") * mean_a) / (F.col("n_a") - 1)
+    var_b = (F.col("q_b") - F.col("s_b") * mean_b) / (F.col("n_b") - 1)
+    t = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return j.select(
+        "event_type", "n_a", "n_b",
+        F.round(mean_a, 6).alias("mean_a_milli"),
+        F.round(mean_b, 6).alias("mean_b_milli"),
+        F.round(t, 4).alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant"),
+    ).orderBy("event_type")
+
+
+def _stats_ab_oracle() -> str:
+    """DuckDB mirror: same milli-unit fixing, same exact integer
+    moments, same closed-form double expression, same rounding."""
+    return """
+    WITH base AS (
+        SELECT event_type, (user_id % 2 = 0) AS is_a,
+               CAST(round(value * 1000) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    agg AS (
+        SELECT event_type, is_a,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(v * v) AS BIGINT) AS q
+        FROM base GROUP BY event_type, is_a
+    ),
+    j AS (
+        SELECT a.event_type,
+               a.n AS n_a, a.s AS s_a, a.q AS q_a,
+               b.n AS n_b, b.s AS s_b, b.q AS q_b
+        FROM (SELECT * FROM agg WHERE is_a) a
+        JOIN (SELECT * FROM agg WHERE NOT is_a) b USING (event_type)
+    )
+    SELECT event_type, n_a, n_b,
+           round(s_a / CAST(n_a AS DOUBLE), 6) AS mean_a_milli,
+           round(s_b / CAST(n_b AS DOUBLE), 6) AS mean_b_milli,
+           round((s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
+                 / sqrt((q_a - s_a * (s_a / CAST(n_a AS DOUBLE))) / (n_a - 1) / n_a
+                        + (q_b - s_b * (s_b / CAST(n_b AS DOUBLE))) / (n_b - 1) / n_b),
+                 4) AS t_stat,
+           abs((s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
+               / sqrt((q_a - s_a * (s_a / CAST(n_a AS DOUBLE))) / (n_a - 1) / n_a
+                      + (q_b - s_b * (s_b / CAST(n_b AS DOUBLE))) / (n_b - 1) / n_b))
+               > 1.96 AS significant
+    FROM j
+    ORDER BY event_type
+    """
+
+
+# =====================================================================
+# round-18 queue (2/2): grid-bucketed spatial radius join (built
+# round 12) — the 2-D member of the bucketed-theta-join family
+# (q_join_range: 1-D point-in-window; q_join_interval: 1-D interval
+# x interval; this: 2-D point x radius).
+# =====================================================================
+
+_SPATIAL_PROBES = [  # (probe_id, px, py, radius)
+    (1, 50.0, 20.0, 20.0),
+    (2, 120.0, 50.0, 25.0),
+    (3, 300.0, 80.0, 15.0),
+    (4, 455.0, 10.0, 25.0),
+    (5, 10.0, 95.0, 10.0),
+]
+_SPATIAL_W = 25.0  # grid cell width >= max radius, shared with oracle
+
+
+def q_join_spatial_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-neighborhood count: for each probe point, how many event
+    points fall within its radius — the geo/embedding-2D shape whose
+    naive form is a cross join with a distance predicate
+    (BroadcastNestedLoopJoin, quadratic, forbidden by plans/guard).
+    Points derive deterministically from events (x = value,
+    y = (event_id % 997) / 10); each point lands in ONE grid cell of
+    width w >= max radius, each probe explodes to its 3x3 cell
+    neighborhood (a superset of any disc with r <= w), the join is a
+    plain hash equi-join on the cell, and the exact disc predicate is
+    the residual.  Left semantics: probes with zero neighbors keep a
+    0-count row (conditional count over the cell-cover join).  At
+    100 TB: points shuffle once by cell (or pre-bucket the table by
+    cell — operators/joins.py bucketed_write — for a shuffle-free
+    probe side); the probe set is broadcast scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = _SPATIAL_W
+    pts = ev.select(
+        F.col("value").alias("x"),
+        (F.col("event_id") % 997).cast("double") / 10.0,
+    ).toDF("x", "y").select(
+        "x", "y",
+        F.concat_ws(
+            ":", F.floor(F.col("x") / w), F.floor(F.col("y") / w)
+        ).alias("cell"),
+    )
+    probes = spark.createDataFrame(
+        _SPATIAL_PROBES, "probe_id INT, px DOUBLE, py DOUBLE, r DOUBLE"
+    )
+    cover = probes.select(
+        "probe_id", "px", "py", "r",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(-1), F.lit(1)),
+                    lambda dx: F.transform(
+                        F.sequence(F.lit(-1), F.lit(1)),
+                        lambda dy: F.concat_ws(
+                            ":",
+                            F.floor(F.col("px") / w) + dx,
+                            F.floor(F.col("py") / w) + dy,
+                        ),
+                    ),
+                )
+            )
+        ).alias("cell"),
+    )
+    hit = (
+        (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+        + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
+        <= F.col("r") * F.col("r")
+    )
+    counted = (
+        pts.join(F.broadcast(cover), "cell")
+        .groupBy("probe_id")
+        .agg(F.count(F.when(hit, 1)).alias("n_neighbors"))
+    )
+    return (
+        probes.join(counted, "probe_id", "left")
+        .select(
+            "probe_id", "px", "py", "r",
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _join_spatial_oracle() -> str:
+    """DuckDB mirror: the literal quadratic theta join the plan
+    replaces (probe x points cross join + disc predicate) — same
+    derived coordinates, same closed-ends comparison."""
+    probes = ", ".join(
+        f"({pid}, {px}, {py}, {r})" for pid, px, py, r in _SPATIAL_PROBES
+    )
+    return f"""
+    WITH probes(probe_id, px, py, r) AS (VALUES {probes}),
+    pts AS (
+        SELECT value AS x, CAST(event_id % 997 AS DOUBLE) / 10.0 AS y
+        FROM events
+    )
+    SELECT CAST(p.probe_id AS INTEGER) AS probe_id,
+           CAST(p.px AS DOUBLE) AS px,
+           CAST(p.py AS DOUBLE) AS py,
+           CAST(p.r AS DOUBLE) AS r,
+           CAST(count(*) FILTER (
+               (pts.x - p.px) * (pts.x - p.px)
+               + (pts.y - p.py) * (pts.y - p.py) <= p.r * p.r
+           ) AS BIGINT) AS n_neighbors
+    FROM probes p CROSS JOIN pts
+    GROUP BY p.probe_id, p.px, p.py, p.r
+    ORDER BY probe_id
+    """
+
+
+# =====================================================================
+# round-19 queue (1/2): PQ reconstruction-quality report (built round
+# 12) — the index-QUALITY signal next to q_ivf_drift_report's
+# occupancy signal: drift says rebuild when cells fill unevenly, this
+# says rebuild when the codebooks stop fitting the data.
+# =====================================================================
+
+def q_vec_pq_quality_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell PQ reconstruction error of the IVF-PQ index model
+    (FAISS's imbalance/quantization-error diagnostics): assign each
+    vector to its coarse cell, encode the residual with the literal
+    codebooks, reconstruct, and report per-cid row count plus the
+    EXACT sum of squared reconstruction errors in micro-units — a
+    frozen-model index absorbing appends retrains when a cell's MSE
+    drifts up (new data the codebooks never saw), the quality
+    companion to q_ivf_drift_report's occupancy skew.  Float
+    discipline: the squared error is one dot(d, d) per row (the
+    proven cosine-parity idiom), fixed to micro-unit BIGINT per row
+    BEFORE aggregation, so cell sums are exact whatever the
+    aggregation order; MSE appears only in the final projection.
+    Plan: assignment + encode + reconstruct are narrow expressions
+    riding the scan (zero Python), one map-side-combined hash agg on
+    cid.  At deployment this reads the codes table + raw vectors once;
+    per-cell partials merge, so it also runs incrementally per
+    append batch."""
+    from vector_db_ingestor_spark.functions.vector import dot
+    from vector_db_ingestor_spark.operators.similarity import (
+        _assign_cid,
+        pq_code,
+    )
+
+    cents, cbs, m, _ = _ivfpq_params()
+    dsub = EMBEDDING_DIM // m
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    cents_lit = F.lit([[float(x) for x in c] for c in cents])
+    assigned = emb.select(
+        vec.alias("v"), _assign_cid(vec, cents, round_dp=6).alias("cid")
+    )
+    resid = F.zip_with(
+        F.col("v"),
+        F.element_at(cents_lit, F.col("cid") + 1),
+        lambda a, b: a - b,
+    )
+    coded = assigned.select(
+        "cid",
+        resid.alias("r"),
+        *[
+            pq_code(resid, cbs[s], s * dsub, round_dp=6).alias(f"c{s}")
+            for s in range(m)
+        ],
+    )
+    recon = F.concat(
+        *[
+            F.element_at(
+                F.lit([[float(x) for x in c] for c in cbs[s]]),
+                F.col(f"c{s}") + 1,
+            )
+            for s in range(m)
+        ]
+    )
+    d = F.zip_with(F.col("r"), recon, lambda a, b: a - b)
+    err_u = F.round(dot(d, d) * 1000000.0).cast("long")
+    return (
+        coded.select("cid", err_u.alias("e"))
+        .groupBy("cid")
+        .agg(F.count("*").alias("n"), F.sum("e").alias("err_sum_micro"))
+        .select(
+            "cid", "n", "err_sum_micro",
+            F.round(F.col("err_sum_micro") / F.col("n") / 1000000.0, 6).alias(
+                "mse"
+            ),
+        )
+        .orderBy("cid")
+    )
+
+
+def _vec_pq_quality_oracle() -> str:
+    """DuckDB mirror: the q_ann_ivfpq assignment/residual/codes CTEs
+    over ALL cells (no prune), reconstruction by literal-codebook
+    indexing, same dot(d,d) error, same micro fixing, same rollup."""
+    cents, cbs, m, _ = _ivfpq_params()
+    dsub = EMBEDDING_DIM // m
+
+    def lst(v: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+    def cos_sql(c: list[float]) -> str:
+        lit = lst(c)
+        return (
+            f"round(list_dot_product(embedding::DOUBLE[], {lit})"
+            f" / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+            f" * sqrt(list_dot_product({lit}, {lit}))), 6)"
+        )
+
+    cent_rows = ", ".join(f"({i}, {lst(c)})" for i, c in enumerate(cents))
+    sims = ", ".join(cos_sql(c) for c in cents)
+    sub_cols = ", ".join(
+        f"list_slice(r, {s * dsub + 1}, {(s + 1) * dsub}) AS s{s}"
+        for s in range(m)
+    )
+    dist_cols = []
+    for s in range(m):
+        ds = ", ".join(
+            f"round(-2.0 * list_dot_product(s{s}, {lst(c)})"
+            f" + {sum(x * x for x in c)!r}, 6)"
+            for c in cbs[s]
+        )
+        dist_cols.append(f"[{ds}] AS d{s}")
+    code_cols = ", ".join(
+        f"CAST(list_position(d{s}, list_min(d{s})) - 1 AS INTEGER) AS c{s}"
+        for s in range(m)
+    )
+    cb_lits = [
+        "[" + ", ".join(lst(c) for c in cbs[s]) + "]" for s in range(m)
+    ]
+    recon = " || ".join(f"{cb_lits[s]}[c{s} + 1]" for s in range(m))
+    return f"""
+    WITH cents(cid, cvec) AS (VALUES {cent_rows}),
+    assigned AS (
+        SELECT v, CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER) AS cid
+        FROM (SELECT embedding::DOUBLE[] AS v, [{sims}] AS sims
+              FROM embeddings)
+    ),
+    res AS (
+        SELECT a.cid,
+               list_transform(range(1, {EMBEDDING_DIM} + 1),
+                              i -> a.v[i] - c.cvec[i]) AS r
+        FROM assigned a JOIN cents c ON a.cid = c.cid
+    ),
+    sub AS (SELECT cid, r, {sub_cols} FROM res),
+    dists AS (SELECT cid, r, {", ".join(dist_cols)} FROM sub),
+    codes AS (SELECT cid, r, {code_cols} FROM dists),
+    errs AS (
+        SELECT cid,
+               CAST(round(1000000.0 * list_dot_product(d, d)) AS BIGINT) AS e
+        FROM (
+            SELECT cid,
+                   list_transform(range(1, {EMBEDDING_DIM} + 1),
+                                  i -> r[i] - ({recon})[i]) AS d
+            FROM codes
+        )
+    )
+    SELECT cid, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(e) AS BIGINT) AS err_sum_micro,
+           round(sum(e) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mse
+    FROM errs
+    GROUP BY cid
+    ORDER BY cid
+    """
+
+
+# =====================================================================
+# round-19 queue (2/2): corpus token-budget accounting (built round
+# 12) — the report q_mixture_weights' target weights get compared
+# against: what each (source, lang) stratum ACTUALLY contributes.
+# =====================================================================
+
+def q_tokens_per_source_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting per (source, language): exact token
+    counts, corpus share, and cumulative share in contribution order —
+    the table every mixture decision (upsample wiki, cap crawl,
+    dedup-budget per domain) starts from, and the acceptance check
+    after q_mixture_weights' targets are applied.  Plan: one narrow
+    token-count projection riding the scan (size of the split array —
+    no explode; counting needs no token rows), one map-side-combined
+    hash agg on (source, lang), then share/cumulative windows over the
+    AGGREGATED table — strata-scale, so the unpartitioned cumulative
+    window is bounded (the q_docs_filter_report global-window rule).
+    Exactness: token counts are integers; shares are one double
+    division rounded at the end; the cumulative sum is an exact BIGINT
+    running total divided once."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
+        )
+    ).cast("long")
+    agg = (
+        docs.select("source", "lang", ntok.alias("ntok"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+        )
+    )
+    tot = agg.agg(F.sum("n_tokens").alias("tot"))
+    w = Window.orderBy(
+        F.col("n_tokens").desc(), F.col("source").asc(), F.col("lang").asc()
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "rank", "source", "lang", "n_docs", "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot"), 6).alias("share"),
+            F.round(F.col("cum_tokens") / F.col("tot"), 6).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _tokens_per_source_oracle() -> str:
+    """DuckDB mirror: same tokenization (len of the filtered split),
+    same aggregation, same exact running total, same rounding."""
+    tok = (
+        "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+        " t -> t <> ''))"
+    )
+    return f"""
+    WITH agg AS (
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({tok}) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM agg),
+    ranked AS (
+        SELECT *,
+               CAST(row_number() OVER w AS INTEGER) AS rank,
+               CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens
+        FROM agg
+        WINDOW w AS (ORDER BY n_tokens DESC, source ASC, lang ASC)
+    )
+    SELECT rank, source, lang, n_docs, n_tokens,
+           round(n_tokens / tot.tot, 6) AS share,
+           round(cum_tokens / tot.tot, 6) AS cum_share
+    FROM ranked CROSS JOIN tot
+    ORDER BY rank
+    """
+
+
+# =====================================================================
 # the declaration queue, as data: every built-ahead impl/oracle pair
 # (single source of truth for scripts/check_oracle.py --queue and the
 # per-round registration diffs; tests import the pairs directly)
@@ -7692,6 +8126,13 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q_dedup_passage": (q_dedup_passage_impl, _dedup_passage_oracle()),
     "q_graph_hits": (q_graph_hits_impl, _graph_hits_oracle()),
     "q_sketch_kmv": (q_sketch_kmv_impl, _sketch_kmv_oracle()),
+    "q_stats_ab": (q_stats_ab_impl, _stats_ab_oracle()),
+    "q_join_spatial": (q_join_spatial_impl, _join_spatial_oracle()),
+    "q_vec_pq_quality": (q_vec_pq_quality_impl, _vec_pq_quality_oracle()),
+    "q_tokens_per_source": (
+        q_tokens_per_source_impl,
+        _tokens_per_source_oracle(),
+    ),
 }
 
 # a queued key must not also be declared (the whole point is that the
