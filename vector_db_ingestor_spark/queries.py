@@ -8099,6 +8099,271 @@ def _tokens_per_source_oracle() -> str:
 
 
 # =====================================================================
+# round-20 queue (1/2): BPE merge training (built round 12) — the
+# tokenizer-training core an LLM-data engine owes its users, as a
+# bounded DAG of string ops + aggregations (no Python, no array folds).
+# =====================================================================
+
+_BPE_SEP = "\x02"  # token separator; words containing it are dropped
+
+
+def q_bpe_train_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training, THREE unrolled iterations —
+    the algorithm behind GPT/Llama tokenizers, run on word TYPES
+    weighted by corpus frequency (the standard trick: iteration cost
+    is vocabulary-scale, not corpus-scale; the corpus is touched once
+    for the word-frequency aggregation).  The parity trick: a
+    tokenized word is a STRING with a separator between tokens, so
+    applying merge (a, b) is ``replace(t, a<sep>b, a.b)`` — both
+    engines' replace() substitutes left-to-right non-overlapping,
+    which IS BPE's greedy merge semantics (``a a a`` under merge (a,a)
+    becomes ``aa a``, not ``a aa``) — and pair counting is one split +
+    adjacent-pairs explode + weighted hash agg.  Each iteration's
+    winning merge is an in-plan deterministic argmax (count desc, pair
+    asc, LIMIT 1) cross-joined back — driver never sees it.  Output:
+    the three merge rows, the exact artifact a tokenizer build ships.
+    At 100 TB: one corpus shuffle (word freq), then vocab-scale
+    work; more iterations = longer DAG or a checkpointed loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        )
+        .filter((F.col("w") != "") & ~F.col("w").contains(_BPE_SEP))
+    )
+    wf = words.groupBy("w").agg(F.count("*").cast("long").alias("f"))
+    # chars -> "c1<sep>c2<sep>..." (regexp_replace inserts a trailing
+    # separator; cut it)
+    tok = wf.select(
+        F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_SEP).alias("t0"), "f"
+    ).select(
+        F.expr("substring(t0, 1, length(t0) - 1)").alias("t"), "f"
+    )
+    merges = []
+    for it in range(1, 4):
+        parts = F.split(F.col("t"), _BPE_SEP)
+        pairs = (
+            tok.filter(F.size(parts) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(parts) - 1),
+                        lambda i: F.struct(
+                            F.element_at(parts, i).alias("l"),
+                            F.element_at(parts, i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+                "f",
+            )
+            .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "f")
+            .groupBy("l", "r")
+            .agg(F.sum("f").alias("pair_count"))
+        )
+        m = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1)
+        merges.append(
+            m.select(
+                F.lit(it).alias("iteration"), "l", "r", "pair_count"
+            )
+        )
+        mm = m.select(
+            F.col("l").alias("__ml"), F.col("r").alias("__mr")
+        )
+        tok = tok.crossJoin(F.broadcast(mm)).select(
+            F.replace(
+                F.col("t"),
+                F.concat(F.col("__ml"), F.lit(_BPE_SEP), F.col("__mr")),
+                F.concat(F.col("__ml"), F.col("__mr")),
+            ).alias("t"),
+            "f",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("iteration")
+
+
+def _bpe_train_oracle() -> str:
+    """DuckDB mirror: same word-type weighting, same separator-string
+    representation, same replace() greedy merge, same argmax rule —
+    three unrolled CTE rounds."""
+    sep = "chr(2)"
+    head = f"""
+    WITH words AS (
+        SELECT w FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            FROM documents
+        ) WHERE w <> '' AND NOT contains(w, {sep})
+    ),
+    wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM words GROUP BY w),
+    tok1 AS (
+        SELECT substring(t0, 1, length(t0) - 1) AS t, f
+        FROM (SELECT regexp_replace(w, '(.)', '\\1' || {sep}, 'g') AS t0, f
+              FROM wf)
+    )"""
+    rounds = []
+    for it in range(1, 4):
+        rounds.append(f"""
+    p{it} AS (
+        SELECT parts[i] AS l, parts[i + 1] AS r,
+               CAST(sum(f) AS BIGINT) AS pair_count
+        FROM (
+            SELECT string_split(t, {sep}) AS parts, f,
+                   unnest(range(1, len(string_split(t, {sep})))) AS i
+            FROM tok{it}
+        )
+        GROUP BY l, r
+    ),
+    m{it} AS (
+        SELECT l, r, pair_count FROM p{it}
+        ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+    ),
+    tok{it + 1} AS (
+        SELECT replace(t, m.l || {sep} || m.r, m.l || m.r) AS t, f
+        FROM tok{it} CROSS JOIN m{it} m
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT {it} AS iteration, l, r, pair_count FROM m{it}"
+        for it in range(1, 4)
+    )
+    return (
+        head + "," + ",".join(rounds)
+        + f" SELECT CAST(iteration AS INTEGER) AS iteration, l, r,"
+          f" pair_count FROM ({sel}) ORDER BY iteration"
+    )
+
+
+# =====================================================================
+# round-20 queue (2/2): end-to-end curation verdict (built round 12)
+# — the composition key that runs a document through the cascade a
+# training corpus actually applies, with the FIRST failing rule as
+# the auditable drop reason.
+# =====================================================================
+
+def q_curation_pipeline_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation verdict: exact-dup elimination (keep the
+    min-doc_id representative of each md5(text) group — the
+    q_dedup_exact rule), then minimum length, then alphabetic-ratio
+    quality, then single-token repetition — composed in ONE plan with
+    the first failing rule recorded as the drop reason (auditable
+    filtering: every dropped doc says why, the Gopher-report
+    q_docs_filter_report contract at per-doc granularity).  Plan: the
+    dup check is one hash agg on md5(text) joined back (the only
+    corpus shuffle); every other signal is a narrow projection riding
+    the scan; repetition's top-token share folds into the same
+    explode-agg the token count uses.  Output is per-doc (doc_id,
+    lang, reason, keep) + the signals, ordered by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    tstats = (
+        toks.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_tok"),
+        )
+    )
+    rep = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("h"),
+    )
+    keepers = rep.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    alpha = (
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    base = (
+        docs.join(rep, "doc_id")
+        .join(F.broadcast(keepers), "h")
+        .join(tstats, "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.round(
+                F.coalesce(F.col("top_tok"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_tokens"), F.lit(0)), F.lit(1)),
+                6,
+            ).alias("top_share"),
+            F.round(alpha, 6).alias("alpha_ratio"),
+            (F.col("doc_id") != F.col("rep_id")).alias("is_dup"),
+        )
+    )
+    reason = (
+        F.when(F.col("is_dup"), "exact_dup")
+        .when(F.col("n_tokens") < 5, "too_short")
+        .when(F.col("alpha_ratio") < 0.5, "low_alpha")
+        .when(F.col("top_share") > 0.3, "high_repetition")
+        .otherwise("keep")
+    )
+    return base.select(
+        "doc_id", "lang", "n_tokens", "top_share", "alpha_ratio",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _curation_pipeline_oracle() -> str:
+    """DuckDB mirror: same md5 representative rule, same token stats,
+    same alpha ratio, same first-failing-rule cascade."""
+    return """
+    WITH toks AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    tstats AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(max(c) AS BIGINT) AS top_tok
+        FROM (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t)
+        GROUP BY doc_id
+    ),
+    rep AS (SELECT doc_id, md5(text) AS h FROM documents),
+    keepers AS (SELECT h, min(doc_id) AS rep_id FROM rep GROUP BY h),
+    base AS (
+        SELECT d.doc_id, d.lang,
+               coalesce(t.n_tokens, 0) AS n_tokens,
+               round(coalesce(t.top_tok, 0)
+                     / CAST(greatest(coalesce(t.n_tokens, 0), 1) AS DOUBLE),
+                     6) AS top_share,
+               round(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))
+                     / CAST(greatest(length(d.text), 1) AS DOUBLE),
+                     6) AS alpha_ratio,
+               (r.doc_id <> k.rep_id) AS is_dup
+        FROM documents d
+        JOIN rep r ON d.doc_id = r.doc_id
+        JOIN keepers k ON r.h = k.h
+        LEFT JOIN tstats t ON d.doc_id = t.doc_id
+    )
+    SELECT doc_id, lang, n_tokens, top_share, alpha_ratio,
+           CASE WHEN is_dup THEN 'exact_dup'
+                WHEN n_tokens < 5 THEN 'too_short'
+                WHEN alpha_ratio < 0.5 THEN 'low_alpha'
+                WHEN top_share > 0.3 THEN 'high_repetition'
+                ELSE 'keep' END AS reason,
+           (CASE WHEN is_dup THEN 'exact_dup'
+                 WHEN n_tokens < 5 THEN 'too_short'
+                 WHEN alpha_ratio < 0.5 THEN 'low_alpha'
+                 WHEN top_share > 0.3 THEN 'high_repetition'
+                 ELSE 'keep' END) = 'keep' AS keep
+    FROM base
+    ORDER BY doc_id
+    """
+
+
+# =====================================================================
 # the declaration queue, as data: every built-ahead impl/oracle pair
 # (single source of truth for scripts/check_oracle.py --queue and the
 # per-round registration diffs; tests import the pairs directly)
@@ -8132,6 +8397,11 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q_tokens_per_source": (
         q_tokens_per_source_impl,
         _tokens_per_source_oracle(),
+    ),
+    "q_bpe_train": (q_bpe_train_impl, _bpe_train_oracle()),
+    "q_curation_pipeline": (
+        q_curation_pipeline_impl,
+        _curation_pipeline_oracle(),
     ),
 }
 
