@@ -224,6 +224,20 @@ QUEUE_AUDITS: dict[str, dict] = {
     "q_sketch_bloom": {"broadcast": True, "partial_agg": True},
     "q_stream_totals": {"partial_agg": True},
     "q_topk_matryoshka": {"top_k": True, "broadcast": True},
+    # round-12 additions (rounds 16-20 windows).  hits / bpe / tokens
+    # carry a deliberate 1-row broadcast cross join (the scalar-model
+    # pattern: global max / winning merge / grand total), so like
+    # nb_classify they pin partial_agg instead of no_nested_loop.
+    "q_sample_reservoir": {"max_exchange": 1},
+    "q_dedup_passage": {"top_k": True, "partial_agg": True},
+    "q_graph_hits": {"partial_agg": True, "broadcast": True},
+    "q_sketch_kmv": {"partial_agg": True},
+    "q_stats_ab": {"partial_agg": True, "no_nested_loop": True},
+    "q_join_spatial": {"no_nested_loop": True, "broadcast": True},
+    "q_vec_pq_quality": {"partial_agg": True, "no_nested_loop": True},
+    "q_tokens_per_source": {"partial_agg": True, "broadcast": True},
+    "q_bpe_train": {"partial_agg": True, "broadcast": True},
+    "q_curation_pipeline": {"broadcast": True, "partial_agg": True},
 }
 
 

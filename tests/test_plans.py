@@ -149,6 +149,17 @@ QUEUE_CASES = [
     ("q_warc_ingest", "no_nested_loop"),
     ("q_dedup_url", "no_nested_loop"),
     ("q_topk_matryoshka", "take_ordered"),
+    # round-12 queue (r16-r20 windows); hits/bpe/tokens_per_source/kmv
+    # are pinned in explain_audit QUEUE_AUDITS instead — their
+    # deliberate 1-row broadcast cross join (scalar-model pattern, or
+    # kmv's constant-key union-leg join that Catalyst folds to a
+    # trivial 1x1 nested loop) fails a naive no_nested_loop check
+    ("q_sample_reservoir", "no_nested_loop"),
+    ("q_dedup_passage", "take_ordered"),
+    ("q_stats_ab", "no_nested_loop"),
+    ("q_join_spatial", "no_nested_loop"),
+    ("q_vec_pq_quality", "no_nested_loop"),
+    ("q_curation_pipeline", "no_nested_loop"),
 ]
 
 

@@ -7553,27 +7553,45 @@ _KMV_K = 64  # sketch size, shared with the oracle
 
 
 def q_sketch_kmv_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-minimum-values distinct sketch per language, k=64 — the
-    mergeable distinct estimator (theta-sketch core): keep the k
-    smallest salted-md5 values of the distinct token set; the kth
-    minimum estimates density, n-hat = (k-1) * 2^48 / kth (48-bit hash
-    space).  Everything is closed-form: the kth hash is an exact
-    integer both engines derive identically, and the estimate is
-    floor-scaled to milli-units through one IEEE double division.
-    The '__union__' row is the MERGE evidence: k smallest over the
-    union of per-language sketches == k smallest over the union of the
-    sets, so the union estimate comes from the same rule with no
-    second corpus pass — the property that lets a 100 TB corpus
-    sketch per partition and merge driver-side (k longs per
-    partition).  Small-set exactness rides along: a stratum with
-    < k distinct tokens reports its exact count.  Plan: one distinct
-    shuffle, one per-stratum window, one agg; the union leg reuses the
-    distinct token set."""
+    """K-minimum-values distinct sketch per language, k=64, over the
+    corpus's distinct word BIGRAMS (the canonical distinct-ngram
+    diversity metric; the fixture's unigram vocabulary is 31 words, so
+    unigrams would never leave the small-set branch) — the mergeable
+    distinct estimator (theta-sketch core): keep the k smallest
+    salted-md5 values of the distinct element set; the kth minimum
+    estimates density, n-hat = (k-1) * 2^48 / kth (48-bit hash space).
+    Everything is closed-form: the kth hash is an exact integer both
+    engines derive identically, and the estimate is floor-scaled to
+    milli-units through one IEEE double division.  The '__union__' row
+    is the MERGE evidence: k smallest over the union of per-language
+    sketches == k smallest over the union of the sets, so the union
+    estimate comes from the same rule with no second corpus pass — the
+    property that lets a 100 TB corpus sketch per partition and merge
+    driver-side (k longs per partition).  Small-set exactness rides
+    along: a stratum with < k distinct elements reports its exact
+    count.  Plan: one distinct shuffle, one per-stratum window, one
+    agg; the union leg reuses the distinct element set."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "lang",
-        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
-    ).filter(F.col("t") != "")
+    ws = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
+    )
+    toks = (
+        docs.select("lang", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("ws"), i),
+                        F.element_at(F.col("ws"), i + 1),
+                    ),
+                )
+            ).alias("t"),
+        )
+    )
 
     def kmv(grouped: DataFrame, label_col) -> DataFrame:
         dt = grouped.select(label_col.alias("lang"), "t").distinct()
@@ -7614,9 +7632,9 @@ def q_sketch_kmv_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sketch_kmv_oracle() -> str:
-    """DuckDB mirror: identical salted 48-bit hash, identical window
-    keep rule, identical floor-milli estimate, identical union leg."""
-    tok = "string_split_regex(lower(trim(text)), '\\s+')"
+    """DuckDB mirror: identical bigram elements, identical salted
+    48-bit hash, identical window keep rule, identical floor-milli
+    estimate, identical union leg."""
     k = _KMV_K
     leg = """
     dt_{tag} AS (
@@ -7650,11 +7668,17 @@ def _sketch_kmv_oracle() -> str:
         FROM sk_{tag} s JOIN exact_{tag} e USING (lang)
     )"""
     return f"""
-    WITH toks AS (
-        SELECT lang, t
-        FROM (SELECT lang, unnest({tok}) AS t FROM documents)
-        WHERE t <> ''
+    WITH w AS (
+        SELECT lang,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS ws
+        FROM documents
     ),
+    pos AS (
+        SELECT lang, ws, unnest(range(1, greatest(len(ws), 1))) AS i
+        FROM w
+    ),
+    toks AS (SELECT lang, ws[i] || ' ' || ws[i + 1] AS t FROM pos),
     {leg.format(tag="l", lang="lang", k=k)},
     {leg.format(tag="u", lang="'__union__'", k=k)}
     SELECT * FROM out_l
