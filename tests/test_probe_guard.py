@@ -87,6 +87,27 @@ def test_guard_marks_persistent_inversion_polluted():
     assert times["a"] == {30: 2.1, 100: 1.4}
 
 
+def test_guard_retimes_superlinear_overshoot_and_keeps_rerun():
+    """retime_over: a linear family over the threshold is re-timed once
+    at the end of the run; the rerun values REPLACE the first reading
+    whatever they say (cleared here; a still-high rerun would also
+    stand — no retry-until-it-fits)."""
+    timer = _ScriptedTimer({
+        "a@30": [2.0, 2.0],
+        "a@100": [16.0, 6.2],  # 8.0 ratio first pass, 3.1 on retime
+        "b@30": [1.0],
+        "b@100": [3.2],        # under threshold: single timing
+    })
+    times, polluted = time_with_guard(
+        _builders(["a", "b"]), reps=1, linear={"a", "b"}, timer=timer,
+        retime_over=5.0,
+    )
+    assert polluted == set()
+    assert times["a"] == {30: 2.0, 100: 6.2}
+    assert times["b"] == {30: 1.0, 100: 3.2}
+    assert timer.calls.count("a@100") == 2 and timer.calls.count("b@100") == 1
+
+
 def test_guard_skips_flat_families():
     timer = _ScriptedTimer({
         "flat@30": [0.50],
