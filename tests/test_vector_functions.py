@@ -696,6 +696,33 @@ def test_ivfpq_refined_indexed_prunes_vector_fetch(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="driver-model scale"):
         fetch_vectors(spark, vecs, list(range(11)), max_ids=10)
 
+    # append maintenance: a new batch keeps per-batch disjoint footer
+    # ranges, the fetch finds appended ids, and results stay exact
+    from vector_db_ingestor_spark.operators.similarity import vectors_append
+
+    before_files = set(_glob.glob(f"{vecs}/*.parquet"))
+    new = spark.createDataFrame(
+        [(10_000_000 + i, [float(i + 1)] * 64, 0) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+    )
+    vectors_append(new, vecs, n_files=4)
+    new_files = sorted(set(_glob.glob(f"{vecs}/*.parquet")) - before_files)
+    assert len(new_files) > 1
+    nr = []
+    for f in new_files:
+        md = pq.ParquetFile(f).metadata
+        col = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).name == "vec_id"
+        )
+        st = [md.row_group(g).column(col).statistics
+              for g in range(md.num_row_groups)]
+        nr.append((min(s.min for s in st), max(s.max for s in st)))
+    nr.sort()
+    assert all(nr[i][1] < nr[i + 1][0] for i in range(len(nr) - 1))
+    fetched = fetch_vectors(spark, vecs, [10_000_005, 10_000_017]).collect()
+    assert sorted(r["vec_id"] for r in fetched) == [10_000_005, 10_000_017]
+
 
 def test_ivfpq_append_frozen_models(spark, sf_dir, tmp_path):
     """IVF-PQ maintenance cycle: append a new batch into a prebuilt

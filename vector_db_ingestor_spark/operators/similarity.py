@@ -752,6 +752,26 @@ def vectors_write(
     )
 
 
+def vectors_append(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    n_files: int = 32,
+) -> None:
+    """APPEND TIME for a :func:`vectors_write` layout: the new batch is
+    range-laid-out WITHIN ITSELF and appended — per-batch disjoint
+    footer ranges keep :func:`fetch_vectors` prunable (an id list hits
+    at most a few files per batch) without rewriting history; a
+    periodic :func:`vectors_write` rewrite restores the single global
+    order (the compaction story)."""
+    (
+        new_embeddings.repartitionByRange(n_files, id_col)
+        .sortWithinPartitions(id_col)
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
 def fetch_vectors(
     spark,
     path: str,

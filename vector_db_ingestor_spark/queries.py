@@ -6805,7 +6805,11 @@ def q_ann_ivfpq_refine_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; at 100 TB bucket the vector table by vec_id
     (operators/joins.py bucketed_write) so the fetch is file-pruned.
     The exact re-rank costs k2 cosine evaluations total — the recall
-    of nprobe x k2 over-fetch with the precision of exact search."""
+    of nprobe x k2 over-fetch with the precision of exact search.
+    The persisted-artifact twin — codes index + vec_id range layout,
+    where BOTH scans prune — is ``ivfpq_topk_refined_indexed``
+    (operators/similarity.py, round 12); this declared key is the
+    hash-gated inline composition over the fixture table."""
     from vector_db_ingestor_spark.operators.similarity import ivfpq_topk
 
     cents, cbs, _, _ = _ivfpq_params()
