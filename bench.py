@@ -135,6 +135,11 @@ HEADLINE = [
     # round-11 addition: batched IVF-PQ serving, in the headline from
     # birth (one pruned scan serves the whole probe batch)
     "q_ann_ivfpq_batch",
+    # round-12 declarations, in the headline from birth: the IVF
+    # occupancy report (codes-partition-key read) and the full WARC ->
+    # parse -> chunk -> embed front door
+    "q_ivf_drift_report",
+    "q_warc_ingest",
 ]
 
 
