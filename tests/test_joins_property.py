@@ -95,3 +95,82 @@ def test_asof_join_matches_brute_force(spark, probe_data, build_data, strict):
             assert out[eid] in tied, (eid, cands, out[eid])
         else:
             assert out[eid] == expected, (eid, cands, out[eid], strict)
+
+
+# coordinates on a small grid with fractional parts: forces cell-edge
+# hits, exact-radius boundaries, shared cells, and negative cells
+coords = st.floats(
+    min_value=-30.0, max_value=80.0, allow_nan=False, allow_infinity=False
+).map(lambda v: round(v, 2))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    points=st.lists(st.tuples(coords, coords), min_size=0, max_size=15),
+    probes=st.lists(
+        st.tuples(coords, coords, st.sampled_from([1.0, 7.5, 25.0])),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_radius_neighbor_count_matches_brute_force(spark, points, probes):
+    """The 3x3 cell cover + residual must agree with the quadratic
+    cross join on arbitrary layouts — closed boundary included."""
+    from vector_db_ingestor_spark.operators.joins import radius_neighbor_count
+
+    pts = (
+        spark.createDataFrame(points, "x DOUBLE, y DOUBLE")
+        if points
+        else spark.createDataFrame([], "x DOUBLE, y DOUBLE")
+    )
+    pr = spark.createDataFrame(
+        [(i, px, py, r) for i, (px, py, r) in enumerate(probes)],
+        "probe_id INT, px DOUBLE, py DOUBLE, r DOUBLE",
+    )
+    out = {
+        row.probe_id: row.n_neighbors
+        for row in radius_neighbor_count(
+            pts, pr, cell_width=25.0, probe_keys=["probe_id"]
+        ).collect()
+    }
+    for i, (px, py, r) in enumerate(probes):
+        want = sum(
+            1 for x, y in points if (x - px) ** 2 + (y - py) ** 2 <= r * r
+        )
+        assert out[i] == want, (i, (px, py, r), points)
+
+
+def test_radius_neighbor_count_rejects_undersized_cells(spark):
+    """cell_width < max radius would silently miss neighbors outside
+    the 3x3 cover — refused loudly."""
+    import pytest
+
+    from vector_db_ingestor_spark.operators.joins import radius_neighbor_count
+
+    pts = spark.createDataFrame([(0.0, 0.0)], "x DOUBLE, y DOUBLE")
+    pr = spark.createDataFrame(
+        [(1, 0.0, 0.0, 50.0)], "probe_id INT, px DOUBLE, py DOUBLE, r DOUBLE"
+    )
+    with pytest.raises(ValueError, match="cell_width"):
+        radius_neighbor_count(pts, pr, cell_width=25.0, probe_keys=["probe_id"])
+
+
+def test_radius_neighbor_count_null_coordinates(spark):
+    """NULL-coordinate probes surface as 0-count rows; NULL-coordinate
+    points match nothing (the interval_overlap_count NULL contract)."""
+    from vector_db_ingestor_spark.operators.joins import radius_neighbor_count
+
+    pts = spark.createDataFrame(
+        [(0.0, 0.0), (None, 1.0)], "x DOUBLE, y DOUBLE"
+    )
+    pr = spark.createDataFrame(
+        [(1, 0.0, 0.0, 5.0), (2, None, 0.0, 5.0)],
+        "probe_id INT, px DOUBLE, py DOUBLE, r DOUBLE",
+    )
+    out = {
+        r.probe_id: r.n_neighbors
+        for r in radius_neighbor_count(
+            pts, pr, cell_width=5.0, probe_keys=["probe_id"]
+        ).collect()
+    }
+    assert out == {1: 1, 2: 0}

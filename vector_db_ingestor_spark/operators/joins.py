@@ -300,3 +300,94 @@ def interval_overlap_count(
     return joined.groupBy(*probe_keys).agg(
         F.count(F.when(overlaps, 1)).alias(count_alias)
     )
+
+
+def radius_neighbor_count(
+    points: DataFrame,
+    probes: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    probe_x: str = "px",
+    probe_y: str = "py",
+    radius_col: str = "r",
+    cell_width: float | None = None,
+    probe_keys: list[str] | None = None,
+    count_alias: str = "n_neighbors",
+) -> DataFrame:
+    """For each probe point, count data points within its (closed)
+    radius — the 2-D member of the bucketed-theta-join family
+    (:func:`range_join_count`: 1-D point-in-window;
+    :func:`interval_overlap_count`: 1-D interval x interval).  The
+    naive form is a cross join with a distance predicate
+    (BroadcastNestedLoopJoin, quadratic, rejected by plans/guard).
+
+    Scale shape: each point lands in ONE grid cell of width
+    ``cell_width`` (must be >= every probe radius — asserted); each
+    probe explodes to its 3x3 cell neighborhood, a superset of any
+    disc with r <= w; the join is a plain hash equi-join on the cell
+    string and the exact disc predicate is the residual.  Left
+    semantics: probes with zero neighbors keep a 0-count row; a probe
+    or point with a NULL coordinate is handled like
+    :func:`interval_overlap_count`'s NULL intervals — NULL-coordinate
+    probes surface as 0-count rows, NULL-coordinate points match
+    nothing.  At 100 TB points shuffle once by cell (or pre-bucket the
+    table by cell via :func:`bucketed_write` for a shuffle-free probe
+    side); the probe set is broadcast scale.
+    """
+    if probe_keys is None:
+        probe_keys = ["probe_id"]
+    if cell_width is None:
+        mx = probes.agg(F.max(radius_col)).collect()[0][0]
+        cell_width = float(mx)
+    w = float(cell_width)
+    mx = probes.agg(F.max(radius_col)).collect()[0][0]
+    if mx is not None and float(mx) > w:
+        raise ValueError(
+            f"cell_width {w} < max radius {mx}: the 3x3 cover would miss "
+            "neighbors; pass cell_width >= every probe radius"
+        )
+    pts = points.select(
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+        F.concat_ws(
+            ":", F.floor(F.col(x_col) / w), F.floor(F.col(y_col) / w)
+        ).alias("__cell"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    cover = probes.select(
+        *probe_keys,
+        F.col(probe_x).alias("__px"),
+        F.col(probe_y).alias("__py"),
+        F.col(radius_col).alias("__r"),
+        F.explode_outer(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(-1), F.lit(1)),
+                    lambda dx: F.transform(
+                        F.sequence(F.lit(-1), F.lit(1)),
+                        lambda dy: F.concat_ws(
+                            ":",
+                            F.floor(F.col(probe_x) / w) + dx,
+                            F.floor(F.col(probe_y) / w) + dy,
+                        ),
+                    ),
+                )
+            )
+        ).alias("__cell"),
+    )
+    hit = (
+        (F.col("__x") - F.col("__px")) * (F.col("__x") - F.col("__px"))
+        + (F.col("__y") - F.col("__py")) * (F.col("__y") - F.col("__py"))
+        <= F.col("__r") * F.col("__r")
+    )
+    # inner hash join against the broadcast cover (the cheap, provably
+    # broadcastable shape), then a left join back to the full probe set
+    # restores zero-neighbor and NULL-coordinate probes as 0-count rows
+    counted = (
+        pts.join(F.broadcast(cover), "__cell")
+        .groupBy(*probe_keys)
+        .agg(F.count(F.when(hit, 1)).alias(count_alias))
+    )
+    return probes.select(*probe_keys).join(counted, probe_keys, "left").select(
+        *probe_keys,
+        F.coalesce(F.col(count_alias), F.lit(0)).alias(count_alias),
+    )

@@ -7813,55 +7813,28 @@ def q_join_spatial_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     0-count row (conditional count over the cell-cover join).  At
     100 TB: points shuffle once by cell (or pre-bucket the table by
     cell — operators/joins.py bucketed_write — for a shuffle-free
-    probe side); the probe set is broadcast scale."""
+    probe side); the probe set is broadcast scale.  Implementation is
+    the first-class operator (operators/joins.py
+    radius_neighbor_count, property-tested against the brute-force
+    cross join under hypothesis); this key pins it to the oracle."""
+    from vector_db_ingestor_spark.operators.joins import (
+        radius_neighbor_count,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    w = _SPATIAL_W
     pts = ev.select(
         F.col("value").alias("x"),
-        (F.col("event_id") % 997).cast("double") / 10.0,
-    ).toDF("x", "y").select(
-        "x", "y",
-        F.concat_ws(
-            ":", F.floor(F.col("x") / w), F.floor(F.col("y") / w)
-        ).alias("cell"),
+        ((F.col("event_id") % 997).cast("double") / 10.0).alias("y"),
     )
     probes = spark.createDataFrame(
         _SPATIAL_PROBES, "probe_id INT, px DOUBLE, py DOUBLE, r DOUBLE"
     )
-    cover = probes.select(
-        "probe_id", "px", "py", "r",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(-1), F.lit(1)),
-                    lambda dx: F.transform(
-                        F.sequence(F.lit(-1), F.lit(1)),
-                        lambda dy: F.concat_ws(
-                            ":",
-                            F.floor(F.col("px") / w) + dx,
-                            F.floor(F.col("py") / w) + dy,
-                        ),
-                    ),
-                )
-            )
-        ).alias("cell"),
-    )
-    hit = (
-        (F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
-        + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py"))
-        <= F.col("r") * F.col("r")
-    )
-    counted = (
-        pts.join(F.broadcast(cover), "cell")
-        .groupBy("probe_id")
-        .agg(F.count(F.when(hit, 1)).alias("n_neighbors"))
+    counted = radius_neighbor_count(
+        pts, probes, cell_width=_SPATIAL_W, probe_keys=["probe_id"]
     )
     return (
-        probes.join(counted, "probe_id", "left")
-        .select(
-            "probe_id", "px", "py", "r",
-            F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
-        )
+        probes.join(counted, "probe_id")
+        .select("probe_id", "px", "py", "r", "n_neighbors")
         .orderBy("probe_id")
     )
 
