@@ -701,9 +701,11 @@ def test_ivfpq_refined_indexed_prunes_vector_fetch(spark, sf_dir, tmp_path):
     from vector_db_ingestor_spark.operators.similarity import vectors_append
 
     before_files = set(_glob.glob(f"{vecs}/*.parquet"))
+    # match the layout's on-disk element type (fixture embeddings are
+    # float32); a double-typed append would poison later reads
     new = spark.createDataFrame(
         [(10_000_000 + i, [float(i + 1)] * 64, 0) for i in range(40)],
-        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
     )
     vectors_append(new, vecs, n_files=4)
     new_files = sorted(set(_glob.glob(f"{vecs}/*.parquet")) - before_files)
