@@ -1115,7 +1115,9 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
             "exact_topk", "pq_encode", "bm25_scores", "lsh_topk",
             "ivfpq_topk", "refine_fetch_scan",
         }
-        times, polluted = time_with_guard(builders, reps, linear)
+        times, polluted = time_with_guard(
+            builders, reps, linear, retime_over=(100 / 30) * 1.5
+        )
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)

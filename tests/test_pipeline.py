@@ -450,6 +450,16 @@ def test_collection_range_layout_prunes_hit_fetch(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(chunk_uid" in plan, plan
 
+    # the BATCH query path rides the same pruned fetch
+    qs = [q, "quick document number"]
+    want_b = plain.search_ann(qs, n_results=2, kind="ivfpq", nprobe=4)
+    got_b = coll.search_ann(qs, n_results=2, kind="ivfpq", nprobe=4)
+    assert [
+        (r.query_id, r.chunk_uid, r.rank) for r in got_b.collect()
+    ] == [(r.query_id, r.chunk_uid, r.rank) for r in want_b.collect()]
+    plan_b = got_b._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(chunk_uid" in plan_b, plan_b
+
     # disjoint per-file footer ranges (what makes the pushdown skip)
     def uid_ranges(path):
         out = []
