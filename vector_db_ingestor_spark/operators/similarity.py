@@ -786,7 +786,14 @@ def fetch_vectors(
     the fetch into file/row-group skipping instead of a second corpus
     scan.  Guarded: an unbounded id list would mean the caller is
     routing DATA through the driver, which is the anti-pattern this
-    function exists to avoid."""
+    function exists to avoid.
+
+    Pushdown note: Spark pushes the shortlist-scale In literally
+    (asserted for k2=30 in tests); past the parquet In-pushdown
+    threshold the scan filter degrades to a [min(ids), max(ids)]
+    range — which the RANGE LAYOUT still serves (files outside the id
+    envelope skip), another reason the layout and the fetch are one
+    contract."""
     ids = list(ids)
     if len(ids) > max_ids:
         raise ValueError(
