@@ -504,6 +504,43 @@ def test_collection_range_layout_prunes_hit_fetch(spark, tmp_path):
         coll.overwrite(chunks, layout="hilbert:chunk_uid")
 
 
+def test_collection_zorder_layout(spark, tmp_path):
+    """The zorder: collection layout: writes via operators/layout.py,
+    records the sidecar, keeps the row set intact, and refuses appends
+    (cell boundaries are corpus statistics — append plain, re-overwrite
+    to restore)."""
+    import pytest
+
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    files = spark.createDataFrame(
+        [
+            (
+                f"file:/fake/{i}.pdf",
+                f"{i}.pdf",
+                40,
+                bytearray(b"stream\n(word " + str(i).encode() * 20 + b") Tj\nendstream"),
+            )
+            for i in range(8)
+        ],
+        "source STRING, filename STRING, file_bytes LONG, content BINARY",
+    )
+    chunks = build_chunks(files, chunk_size=40, overlap=5)
+    n = chunks.count()
+    coll = VectorCollection(spark, str(tmp_path / "zc"))
+    coll.overwrite(
+        chunks, layout="zorder:chunk_index,total_chunks", layout_files=4
+    )
+    assert coll.layout() == "zorder:chunk_index,total_chunks"
+    assert coll.count() == n  # __z helper column dropped, rows intact
+    assert "__z" not in coll.df().columns
+    with pytest.raises(ValueError, match="overwrite-only"):
+        coll._write_with_layout(chunks, coll.layout(), None, "append")
+    # append on a zorder collection lands plain (no re-layout, no error)
+    coll.append(chunks.limit(2))
+    assert coll.count() == n + 2
+
+
 def _make_warc_records() -> list[bytes]:
     def rec(rtype: str, uri: str | None, body: bytes) -> bytes:
         h = [b"WARC/1.0", b"WARC-Type: " + rtype.encode()]
