@@ -541,6 +541,32 @@ def test_collection_zorder_layout(spark, tmp_path):
     assert coll.count() == n + 2
 
 
+def test_collection_layout_sidecar_corruption_degrades(spark, tmp_path):
+    """A corrupted _layout sidecar must read as 'no layout' (searches
+    fall back to the broadcast-join fetch) — an optimization hint must
+    never be able to fail a query."""
+    import glob as _glob
+
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    files = spark.createDataFrame(
+        [("file:/f/0.pdf", "0.pdf", 20,
+          bytearray(b"stream\n(some text here today) Tj\nendstream"))],
+        "source STRING, filename STRING, file_bytes LONG, content BINARY",
+    )
+    chunks = build_chunks(files, chunk_size=30, overlap=5)
+    coll = VectorCollection(spark, str(tmp_path / "c"))
+    coll.overwrite(chunks, layout="range:chunk_uid", layout_files=2)
+    assert coll.layout() == "range:chunk_uid"
+    for f in _glob.glob(f"{coll.path}/_layout/*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet")
+    assert coll.layout() is None
+    # and an append still works (plain path, no re-layout attempt)
+    coll.append(chunks.limit(1))
+    assert coll.count() == chunks.count() + 1
+
+
 def _make_warc_records() -> list[bytes]:
     def rec(rtype: str, uri: str | None, body: bytes) -> bytes:
         h = [b"WARC/1.0", b"WARC-Type: " + rtype.encode()]

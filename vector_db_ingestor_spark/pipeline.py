@@ -308,12 +308,15 @@ class VectorCollection:
         ).coalesce(1).write.mode("overwrite").parquet(self.path + "/_layout")
 
     def layout(self) -> str | None:
-        """The recorded write layout, or None for a plain collection."""
-        from pyspark.errors import AnalysisException
+        """The recorded write layout, or None for a plain collection.
 
+        Degrades, never breaks: a missing, truncated, or corrupted
+        sidecar reads as "no layout", so queries fall back to the
+        broadcast-join fetch (correct, just unpruned) instead of a
+        search failing over an optimization hint."""
         try:
             rows = self.spark.read.parquet(self.path + "/_layout").collect()
-        except AnalysisException:
+        except Exception:
             return None
         return rows[0]["layout"] if rows else None
 
