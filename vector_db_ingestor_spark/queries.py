@@ -7342,9 +7342,17 @@ def q_dedup_passage_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-level dedup family (minhash/simhash/ngram) can't
     localize.  Top 20 by document reach, with occurrence counts and
     the smallest carrying doc_id as the example.  Plan: one narrow
-    shingle explode (|words| rows per doc, bounded) -> one map-side-
-    combined hash agg -> TakeOrderedAndProject; linear at any corpus
-    size, no pair enumeration anywhere."""
+    shingle explode (|words| rows per doc, bounded) -> TWO-LEVEL hash
+    agg -> TakeOrderedAndProject; linear at any corpus size, no pair
+    enumeration anywhere.  Two-level deliberately: countDistinct
+    mixed with plain aggs compiles to an Expand that ships every
+    passage string TWICE through the shuffle; aggregating
+    (passage, doc_id) first ships each pair once, collapses
+    within-doc repeats before the wide shuffle, and derives n_docs as
+    a plain count — output-identical (the oracle is unchanged), and
+    the shuffle carries half the string bytes at any corpus size
+    (fixture-scale wall is equal within this box's noise; the win is
+    the byte volume, which the fixture is too small to expose)."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.filter(
         F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
@@ -7366,11 +7374,12 @@ def q_dedup_passage_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("passage"),
         )
     )
+    per_doc = sh.groupBy("passage", "doc_id").agg(F.count("*").alias("c"))
     return (
-        sh.groupBy("passage")
+        per_doc.groupBy("passage")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count("*").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+            F.sum("c").alias("n_occurrences"),
             F.min("doc_id").alias("example_doc_id"),
         )
         .filter(F.col("n_docs") > 1)
