@@ -503,6 +503,15 @@ def test_collection_range_layout_prunes_hit_fetch(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown layout"):
         coll.overwrite(chunks, layout="hilbert:chunk_uid")
 
+    # the public point lookup rides the same pruned scan
+    some_ids = [r.chunk_uid for r in coll.df().limit(3).collect()]
+    fetched = coll.fetch_rows(some_ids)
+    assert sorted(r.chunk_uid for r in fetched.collect()) == sorted(some_ids)
+    fplan = fetched._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(chunk_uid" in fplan
+    with pytest.raises(ValueError, match="driver-model scale"):
+        coll.fetch_rows(range(100_001))
+
 
 def test_collection_zorder_layout(spark, tmp_path):
     """The zorder: collection layout: writes via operators/layout.py,

@@ -430,6 +430,23 @@ class VectorCollection:
         )
 
     # ------------------------------------------------------------ query
+    def fetch_rows(self, ids: list, key: str = "chunk_uid") -> DataFrame:
+        """Point lookup by id — full rows for a driver-held id list
+        (shortlist/citation scale, capped like
+        operators/similarity.fetch_vectors).  Under a recorded
+        ``range:<key>`` layout the list becomes one ``In`` predicate
+        pushed into the scan (file-skipping on the disjoint footer
+        ranges); on a plain collection it is a pushed filter that still
+        prunes row groups where footer stats allow.  This is the
+        user-facing half of the :meth:`search_ann` hit fetch."""
+        ids = list(ids)
+        if len(ids) > 100_000:
+            raise ValueError(
+                f"fetch_rows got {len(ids)} ids: point lookups are "
+                "driver-model scale; join the tables instead"
+            )
+        return self.df().filter(F.col(key).isin(ids))
+
     def _fetch_hits(self, ranked: DataFrame, key: str = "chunk_uid") -> DataFrame:
         """Join k ranked hit rows back to the collection for the full
         text/metadata rows.  With a recorded ``range:<key>`` layout the
