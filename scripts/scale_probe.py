@@ -1521,7 +1521,7 @@ def layout_100x(sf_dir: str, reps: int = 2) -> None:
 
     lines = [
         "",
-        "## 100x write-path layout probe — round-11, median-of-%d full writes" % reps,
+        "## 100x write-path layout probe — median-of-%d full writes" % reps,
         "",
         f"zorder_write (equi-depth), bucketed_write, rollup refresh over",
         f"replicated events ({rows}) — write-time costs these features",
