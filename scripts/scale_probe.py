@@ -1317,10 +1317,16 @@ def text_100x(sf_dir: str, reps: int = 3) -> None:
 
 
 
-def queue_100x(sf_dir: str, reps: int = 3) -> None:
+def queue_100x(
+    sf_dir: str, reps: int = 3, only: set[str] | None = None
+) -> None:
     """Round-11: 30x/100x probe for the declaration-queue impls —
     derived live from queries.QUEUED_QUERIES, so every queued pair is
-    probed automatically the moment it is built.
+    probed automatically the moment it is built.  ``only`` (CLI: a
+    comma-separated 4th arg of family names, with or without the
+    ``q_`` prefix) restricts the run to a focused re-probe — e.g.
+    after restructuring one family, re-measure it without the 24-pair
+    back-to-back run polluting its own tail.
 
     Zero probe-side plan drift BY CONSTRUCTION: the replicated
     documents/embeddings/events tables are MATERIALIZED to parquet
@@ -1384,6 +1390,12 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
                 k.removeprefix("q_"): fn
                 for k, (fn, _) in QUEUED_QUERIES.items()
             }
+            if only:
+                want = {o.removeprefix("q_") for o in only}
+                unknown = want - set(fams)
+                if unknown:
+                    raise SystemExit(f"unknown queue families: {unknown}")
+                fams = {n: fn for n, fn in fams.items() if n in want}
             for name, impl in fams.items():
                 builders.setdefault(name, {})[factor] = (
                     lambda impl=impl, fdir=fdir: impl(spark, fdir)
@@ -1401,12 +1413,16 @@ def queue_100x(sf_dir: str, reps: int = 3) -> None:
         spark.stop()
         shutil.rmtree(tmp, ignore_errors=True)
 
+    focus = (
+        " — focused re-probe: %s" % ", ".join(sorted(times)) if only else ""
+    )
     lines = [
         "",
-        "## 100x declaration-queue probe — warm median-of-%d" % reps,
+        "## 100x declaration-queue probe — warm median-of-%d%s"
+        % (reps, focus),
         "",
         "The %d queued-but-undeclared impls (from queries.QUEUED_QUERIES"
-        % len(QUEUED_QUERIES),
+        % len(times),
         f"at probe time) at 30x/100x (docs rows: {rows}), timed by calling the PRODUCTION",
         "callables against a materialized replicated fixture dir — the",
         "probe and the driver run the identical code path.  Linear",
@@ -1720,6 +1736,7 @@ if __name__ == "__main__":
         queue_100x(
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
             int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+            set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None,
         )
     elif sys.argv[1:2] == ["--ngram100"]:
         ngram100_median(
