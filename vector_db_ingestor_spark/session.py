@@ -37,6 +37,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start shuffles 4x wider than the core count and let AQE
+        # coalesce back to the advisory size: small shuffles end up at
+        # the same effective parallelism, while heavy wide-row shuffles
+        # (e.g. corpus-wide shingle aggregation) stop crossing the
+        # per-partition spill threshold as input grows — measured 3x on
+        # dedup_passage's 100x leg (SCALE_PROBE round-12 A/B: 34.0s at
+        # 32 fixed partitions vs 11.1s at 128)
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(4 * shuffle_partitions),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
