@@ -7583,7 +7583,11 @@ def q_sketch_kmv_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side (k longs per partition).  Small-set exactness rides
     along: a stratum with < k distinct elements reports its exact
     count.  Plan: one distinct shuffle, one per-stratum window, one
-    agg; the union leg reuses the distinct element set."""
+    agg; the union leg reuses the distinct element set.  The
+    zero-shuffle production topology this docstring describes is a
+    first-class operator (operators/sketches.py: bounded-state
+    per-partition candidates + associative merge), pinned
+    bit-identical to this window form in tests/test_sketches.py."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.filter(
         F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
