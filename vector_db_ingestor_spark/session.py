@@ -48,6 +48,16 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(4 * shuffle_partitions),
         )
+        # without this, AQE cannot coalesce under a persist()ed subtree
+        # (cached plan output partitioning is frozen by default), so
+        # the wide initial shuffles above would stay wide wherever a
+        # plan caches an intermediate — measured 3x on the bigram-LM
+        # scorer's cached dtf (6.2s vs 2.3s at fixture scale) with no
+        # effect on any uncached plan
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
