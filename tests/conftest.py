@@ -5,6 +5,24 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Derandomize hypothesis: one full-suite run spun >30 min in a C-level
+# call on a randomly-generated adversarial input (JVM idle, SIGINT
+# ignored) and was unreproducible on the next run.  Deterministic
+# example generation makes every suite run identical and any future
+# pathological input reproducible; per-test @settings still control
+# example counts and deadlines.
+try:
+    from hypothesis import HealthCheck, settings as _hyp_settings
+
+    _hyp_settings.register_profile(
+        "ci",
+        derandomize=True,
+        suppress_health_check=[HealthCheck.differing_executors],
+    )
+    _hyp_settings.load_profile("ci")
+except ImportError:  # pragma: no cover - hypothesis always present here
+    pass
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
