@@ -1560,6 +1560,132 @@ def layout_100x(sf_dir: str, reps: int = 2) -> None:
     print(f"appended to {out}")
 
 
+def sketch_100x(sf_dir: str, reps: int = 3) -> None:
+    """Round-12: the mergeable KMV operator (operators/sketches.py) at
+    30x/100x replicated documents, against the shuffle-bearing exact
+    form it replaces.  Both legs compute the identical k=64 smallest
+    distinct bigram hashes (pinned bit-equal in tests/test_sketches.py):
+
+    - kmv_stream: hash JVM-side -> bounded-state mapInPandas candidates
+      (<=k rows per partition, ZERO corpus shuffles) -> candidate-scale
+      merge.  Expected linear in scan/explode CPU with no shuffle term.
+    - kmv_distinct: distinct() on the full element set (the corpus-wide
+      shuffle the window/query form pays) -> TakeOrdered k.  Linear
+      too, but with the shuffle constant the streamed form deletes.
+
+    Run: python scripts/scale_probe.py --sketch100 [sf_dir] [reps]
+    """
+    import shutil
+    import tempfile
+
+    from vector_db_ingestor_spark.operators.sketches import (
+        kmv_merge_candidates,
+        kmv_partition_candidates,
+    )
+
+    spark = get_spark("scale_probe_sketch100")
+    builders: dict[str, dict[int, object]] = {}
+    rows: dict[int, int] = {}
+    tmp = tempfile.mkdtemp(prefix="sketch100_")
+    k = 64
+    try:
+        for factor in (30, 100):
+            fdir = os.path.join(tmp, f"x{factor}")
+            replicate_docs(
+                load_table(spark, sf_dir, "documents"), factor
+            ).repartition(32).write.mode("overwrite").parquet(
+                os.path.join(fdir, "documents.parquet")
+            )
+            rows[factor] = spark.read.parquet(
+                os.path.join(fdir, "documents.parquet")
+            ).count()
+
+            def bigrams(fdir=fdir):
+                docs = spark.read.parquet(
+                    os.path.join(fdir, "documents.parquet")
+                )
+                ws = F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda t: t != "",
+                )
+                return (
+                    docs.select(ws.alias("ws"))
+                    .filter(F.size("ws") >= 2)
+                    .select(
+                        F.explode(
+                            F.transform(
+                                F.sequence(F.lit(1), F.size("ws") - 1),
+                                lambda i: F.concat_ws(
+                                    " ",
+                                    F.element_at(F.col("ws"), i),
+                                    F.element_at(F.col("ws"), i + 1),
+                                ),
+                            )
+                        ).alias("t")
+                    )
+                )
+
+            def h48(col):
+                return F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("kmv:"), col)), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+
+            builders.setdefault("kmv_stream", {})[factor] = (
+                lambda bigrams=bigrams: kmv_merge_candidates(
+                    kmv_partition_candidates(bigrams(), "t", k), k
+                )
+            )
+            builders.setdefault("kmv_distinct", {})[factor] = (
+                lambda bigrams=bigrams, h48=h48: bigrams()
+                .select(h48(F.col("t")).alias("h"))
+                .distinct()
+                .orderBy("h")
+                .limit(k)
+            )
+
+        times, polluted = time_with_guard(
+            builders,
+            reps,
+            set(builders),
+            retime_over=(100 / 30) * 1.5,
+        )
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    lines = [
+        "",
+        "## 100x mergeable-KMV probe — warm median-of-%d" % reps,
+        "",
+        "operators/sketches.py's streamed sketch (bounded-state",
+        "mapInPandas candidates, <=k longs per partition, zero corpus",
+        "shuffles) vs the distinct+TakeOrdered exact form whose",
+        f"corpus-wide shuffle it deletes; docs rows {rows}, identical",
+        "k=64 output pinned in tests/test_sketches.py.  Both legs pay",
+        "the same scan/explode CPU; the delta is the shuffle term.",
+        "",
+        "| leg | 30x | 100x | time 100x/30x |",
+        "|---|---|---|---|",
+    ]
+    for name, t in times.items():
+        mark = " POLLUTED" if name in polluted else ""
+        lines.append(
+            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | "
+            f"{t[100] / t[30]:.2f}{mark} |"
+        )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_PROBE.md",
+    )
+    with open(out, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended to {out}")
+
+
 def _replicate_rel(df: DataFrame, id_cols: list[str], factor: int) -> DataFrame:
     """factor copies of a relational table with EVERY listed key column
     offset into a disjoint per-copy range — cross-copy rows can never
@@ -1737,6 +1863,11 @@ if __name__ == "__main__":
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
             int(sys.argv[3]) if len(sys.argv) > 3 else 3,
             set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None,
+        )
+    elif sys.argv[1:2] == ["--sketch100"]:
+        sketch_100x(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
         )
     elif sys.argv[1:2] == ["--ngram100"]:
         ngram100_median(

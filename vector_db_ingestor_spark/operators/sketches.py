@@ -39,6 +39,14 @@ Hash contract: the 48-bit prefix of ``md5('kmv:' || element)`` —
 bit-identical to ``q_sketch_kmv``'s column expression and its DuckDB
 oracle, pinned by ``tests/test_sketches.py`` (the streamed sketch must
 reproduce the window plan's kth hash exactly).
+
+When to use which (measured, SCALE_PROBE round-12 KMV probe): the
+streamed form pays a fixed Arrow round-trip the JVM ``distinct`` form
+doesn't, so BELOW ~100x-sf0.1 corpus scale the shuffle-bearing exact
+form is cheaper; the streamed slope is scan-only (1.39 at 100x/30x vs
+2.66 with the shuffle) and the legs cross at the 100x point — above
+it, and wherever sketches must persist and merge incrementally, use
+this module.
 """
 
 from __future__ import annotations
