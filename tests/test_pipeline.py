@@ -312,6 +312,67 @@ def test_compact_collapses_small_files(spark, tmp_path):
     assert set(after_df.columns) == {"chunk_uid", "n"}
 
 
+def test_compact_restores_range_layout(spark, tmp_path):
+    """Compaction on a range-laid-out collection must RESTORE the
+    global order (append leaves per-batch disjoint ranges; compact
+    folds them back into one corpus-wide order — the contract the
+    append docstring promises) and must re-record the sidecar (the
+    rewrite's parquet read skips underscore dirs, so the record would
+    otherwise vanish with the retired directory)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    path = str(tmp_path / "ranged_frag")
+    coll = VectorCollection(spark, path)
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "format_string('uid%06d', id) AS chunk_uid", "id AS n"
+    )
+    coll.overwrite(mk(0, 400), layout="range:chunk_uid", layout_files=4)
+    # per-batch layouts: each append is range-sorted within itself,
+    # but batches overlap each other -> files are NOT globally disjoint
+    for batch in range(3):
+        coll.append(mk(batch * 100 + 400, batch * 100 + 900))
+    before_rows = coll.df().count()
+
+    def uid_ranges():
+        out = []
+        for f in sorted(_glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            col = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == "chunk_uid"
+            )
+            st = [md.row_group(g).column(col).statistics
+                  for g in range(md.num_row_groups)]
+            out.append((min(s.min for s in st), max(s.max for s in st)))
+        return sorted(out)
+
+    overlapped = uid_ranges()
+    assert any(
+        overlapped[i][1] >= overlapped[i + 1][0]
+        for i in range(len(overlapped) - 1)
+    ), "appends should have produced cross-batch overlapping files"
+
+    coll.compact(target_file_bytes=4 * 1024)
+    assert coll.layout() == "range:chunk_uid"  # sidecar re-recorded
+    assert coll.df().count() == before_rows
+    ranges = uid_ranges()
+    assert len(ranges) > 1
+    assert all(
+        ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1)
+    ), "compaction should restore globally disjoint file ranges"
+    # and the pruned point lookup works post-compaction
+    fetched = coll.fetch_rows(["uid000123", "uid000456"])
+    assert {r.chunk_uid for r in fetched.collect()} == {
+        "uid000123", "uid000456"
+    }
+    fplan = fetched._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(chunk_uid" in fplan
+
+
 def test_synthetic_pdf_extraction_is_identity(sf_dir):
     """The q_ingest_pipeline oracle chunks raw fixture text directly,
     which is valid iff extracting the synthetic single-stream wrapping

@@ -377,6 +377,16 @@ class VectorCollection:
         absent, so run compaction out-of-band (like an LSM/iceberg
         rewrite-data-files maintenance job), not concurrently with
         readers on a non-atomic filesystem.
+
+        Layout-aware: a recorded ``range:<col>`` layout is re-applied
+        as a GLOBAL range sort across the new files — compaction is
+        exactly the moment the per-batch disjoint ranges that
+        :meth:`append` leaves behind fold back into one corpus-wide
+        order (the "compact() story" the append docstring promises) —
+        and a ``zorder:`` layout is re-interleaved the same way; the
+        sidecar is re-recorded after the swap (the parquet read that
+        feeds the rewrite skips underscore dirs, so without this the
+        layout record would silently vanish with the old directory).
         """
         import uuid
 
@@ -390,9 +400,22 @@ class VectorCollection:
         ))
         token = uuid.uuid4().hex[:8]
         tmp = self.path.rstrip("/") + f"__compact_{token}"
-        self.spark.read.parquet(self.path).repartition(n_files).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        lay = self.layout()
+        live = self.spark.read.parquet(self.path)
+        kind, _, spec = (lay or "").partition(":")
+        if kind == "range" and spec:
+            (
+                live.repartitionByRange(n_files, spec)
+                .sortWithinPartitions(spec)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+        elif kind == "zorder" and spec:
+            from vector_db_ingestor_spark.operators.layout import zorder_write
+
+            zorder_write(live, tmp, spec.split(","), n_files=n_files)
+        else:
+            live.repartition(n_files).write.mode("overwrite").parquet(tmp)
         tmp_path = self.spark._jvm.org.apache.hadoop.fs.Path(tmp)
         trash = self.path.rstrip("/") + f"__retired_{token}"
         trash_path = self.spark._jvm.org.apache.hadoop.fs.Path(trash)
@@ -407,6 +430,8 @@ class VectorCollection:
                 f"live data is intact under {trash}"
             )
         fs.delete(trash_path, True)
+        if lay:
+            self._record_layout(lay)
         listed = fs.listStatus(jvm_path)
         return sum(
             1
