@@ -373,6 +373,26 @@ def test_compact_restores_range_layout(spark, tmp_path):
     assert "PushedFilters: [In(chunk_uid" in fplan
 
 
+def test_upsert_refuses_layouted_collection(spark, tmp_path):
+    """upsert_files' dynamic partition overwrite would drop
+    filename= dirs next to a range layout's flat files (static root
+    files aren't cleared) — the guard turns that mixed-directory
+    corruption into a loud error."""
+    import pytest
+
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    coll = VectorCollection(spark, str(tmp_path / "ranged_up"))
+    df = spark.range(0, 50).selectExpr(
+        "format_string('uid%04d', id) AS chunk_uid",
+        "format_string('%d.pdf', id % 5) AS filename",
+        "id AS n",
+    )
+    coll.overwrite(df, layout="range:chunk_uid", layout_files=2)
+    with pytest.raises(ValueError, match="different layout modes"):
+        coll.upsert_files(df.limit(10))
+
+
 def test_synthetic_pdf_extraction_is_identity(sf_dir):
     """The q_ingest_pipeline oracle chunks raw fixture text directly,
     which is valid iff extracting the synthetic single-stream wrapping

@@ -331,7 +331,21 @@ class VectorCollection:
         drop-and-recreate, src/PDFToChromaIngester.py:29-33).  At
         100 TB partition by (ingest_date, filename-bucket) instead of
         raw filename to bound partition count.
+
+        Refuses a collection with a recorded flat-file layout: dynamic
+        partition overwrite would drop ``filename=...`` dirs NEXT TO
+        the existing range/zorder files (static root files are not
+        cleared), leaving a mixed directory no reader handles and a
+        sidecar describing files that stop being authoritative.
         """
+        lay = self.layout()
+        if lay:
+            raise ValueError(
+                f"upsert_files needs a filename-partitioned collection; "
+                f"this one records layout {lay!r} — re-overwrite without "
+                "a layout first (file-granular refresh and a global sort "
+                "order are different layout modes)"
+            )
         spark = chunks.sparkSession
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
