@@ -1465,6 +1465,13 @@ def layout_100x(sf_dir: str, reps: int = 2) -> None:
       replicated events (a fresh state dir each rep — the probe times
       the full-history cost; production increments are one day).
 
+    Round-12: timing goes through :func:`time_with_guard` like the
+    queue/ann probes — all inputs are materialized for BOTH factors
+    first, every leg is guarded against impossible orderings, and
+    linear families that overshoot 1.5x-linear are re-timed once at
+    the end of the run (the zorder adjudication in SCALE_PROBE showed
+    this probe's 100x legs, timed last, carry accumulated box heat).
+
     Run: python scripts/scale_probe.py --layout100 [sf_dir] [reps]
     """
     import shutil
@@ -1477,7 +1484,7 @@ def layout_100x(sf_dir: str, reps: int = 2) -> None:
     from vector_db_ingestor_spark.operators.rollup import refresh_rollup
 
     spark = get_spark("scale_probe_layout100")
-    times: dict[str, dict[int, float]] = {}
+    builders: dict[str, dict[int, object]] = {}
     rows: dict[int, int] = {}
     tmp = tempfile.mkdtemp(prefix="layout100_")
     try:
@@ -1488,49 +1495,60 @@ def layout_100x(sf_dir: str, reps: int = 2) -> None:
             ).repartition(32).write.mode("overwrite").parquet(src_path)
             ev = spark.read.parquet(src_path)
             rows[factor] = ev.count()
-            by_day = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            ev.withColumn(
+                "day", F.date_format("ts", "yyyy-MM-dd")
+            ).write.partitionBy("day").mode("overwrite").parquet(
+                os.path.join(tmp, f"events_day_x{factor}")
+            )
 
-            def t_zorder():
+            def t_zorder(ev=ev):
                 zorder_write(
                     ev, os.path.join(tmp, "z"), ["user_id", "value"],
                     n_files=32, equidepth=True,
                 )
 
-            def t_bucketed():
+            def t_bucketed(ev=ev, factor=factor):
                 bucketed_write(
-                    ev, "probe_bucketed", "user_id", n_buckets=32,
-                    path=os.path.join(tmp, "b"),
+                    ev, f"probe_bucketed_x{factor}", "user_id",
+                    n_buckets=32, path=os.path.join(tmp, f"b_x{factor}"),
                 )
 
-            def t_rollup():
+            def t_rollup(factor=factor):
                 state = os.path.join(
                     tmp, f"state_{factor}_{_time.monotonic_ns()}"
                 )
-                partitioned = os.path.join(tmp, f"events_day_x{factor}")
                 refresh_rollup(
-                    spark, partitioned, state, ["event_type"]
+                    spark,
+                    os.path.join(tmp, f"events_day_x{factor}"),
+                    state,
+                    ["event_type"],
                 )
 
-            by_day.write.partitionBy("day").mode("overwrite").parquet(
-                os.path.join(tmp, f"events_day_x{factor}")
-            )
             for name, fn in (
                 ("zorder_equidepth", t_zorder),
                 ("bucketed_write", t_bucketed),
                 ("rollup_refresh", t_rollup),
             ):
-                fn()  # warm (codegen, listing)
-                ts = []
-                for _ in range(reps):
-                    t0 = _time.perf_counter()
-                    fn()
-                    ts.append(_time.perf_counter() - t0)
-                times.setdefault(name, {})[factor] = stats.median(ts)
-                print(
-                    f"x{factor:<4d} {name}: {times[name][factor]:.2f}s",
-                    flush=True,
-                )
-            spark.sql("DROP TABLE IF EXISTS probe_bucketed")
+                builders.setdefault(name, {})[factor] = lambda fn=fn: fn
+
+        def write_timer(fn, n):
+            fn()  # warm (codegen, listing)
+            ts = []
+            for _ in range(n):
+                t0 = _time.perf_counter()
+                fn()
+                ts.append(_time.perf_counter() - t0)
+            return stats.median(ts)
+
+        times, polluted = time_with_guard(
+            builders,
+            reps,
+            set(builders),
+            timer=write_timer,
+            retime_over=(100 / 30) * 1.5,
+        )
+        for factor in (30, 100):
+            spark.sql(f"DROP TABLE IF EXISTS probe_bucketed_x{factor}")
     finally:
         spark.stop()
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1549,8 +1567,10 @@ def layout_100x(sf_dir: str, reps: int = 2) -> None:
         "|---|---|---|---|",
     ]
     for name, t in times.items():
+        mark = " POLLUTED" if name in polluted else ""
         lines.append(
-            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | {t[100] / t[30]:.2f} |"
+            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | "
+            f"{t[100] / t[30]:.2f}{mark} |"
         )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
