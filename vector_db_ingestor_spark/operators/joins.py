@@ -336,11 +336,10 @@ def radius_neighbor_count(
     """
     if probe_keys is None:
         probe_keys = ["probe_id"]
+    mx = probes.agg(F.max(radius_col)).collect()[0][0]
     if cell_width is None:
-        mx = probes.agg(F.max(radius_col)).collect()[0][0]
         cell_width = float(mx)
     w = float(cell_width)
-    mx = probes.agg(F.max(radius_col)).collect()[0][0]
     if mx is not None and float(mx) > w:
         raise ValueError(
             f"cell_width {w} < max radius {mx}: the 3x3 cover would miss "
