@@ -503,6 +503,20 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     factors = (1, 3, 10)
+    # the legacy full probe REWRITES SCALE_PROBE.md; every later runner
+    # appends.  Refuse UP FRONT (before any jobs run) to clobber an
+    # accumulated record: rounds of appended evidence outrank a fresh
+    # base table.
+    _out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_PROBE.md",
+    )
+    if os.path.exists(_out) and "## " in open(_out).read():
+        raise SystemExit(
+            f"{_out} already carries appended probe sections; the base "
+            "1x/3x/10x rewrite would clobber them.  Move the file aside "
+            "first if a fresh base table is really wanted."
+        )
     spark = get_spark("scale_probe")
 
     import shutil
@@ -657,9 +671,7 @@ def main() -> None:
             f"| {s1[f]:.2f}s | {b4[f]:.2f}s |"
             for f in sorted(s1)
         ]
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
-    )
+    out = _out
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}")
@@ -680,7 +692,7 @@ def embed_100x(sf_dir: str, reps: int = 1) -> None:
 
     spark = get_spark("scale_probe_embed100")
     rows: dict[str, dict[int, int]] = {}
-    times: dict[str, dict[int, float]] = {}
+    builders: dict[str, dict[int, object]] = {}
     bits: dict[int, int] = {}
     factors = (30, 100)
     try:
@@ -700,12 +712,15 @@ def embed_100x(sf_dir: str, reps: int = 1) -> None:
             }
             for name, df in fams.items():
                 rows.setdefault(name, {})[factor] = df.count()
-                times.setdefault(name, {})[factor] = _time_median(df, reps)
-                print(
-                    f"x{factor:<4d} {name}: {times[name][factor]:.2f}s "
-                    f"rows={rows[name][factor]}",
-                    flush=True,
-                )
+                builders.setdefault(name, {})[factor] = lambda df=df: df
+        # sawtooth families are bounded <2x AROUND linear, so the
+        # overshoot threshold is 2x the linear ratio rather than 1.5x;
+        # the impossible-ordering guard applies regardless
+        times, polluted = time_with_guard(
+            builders, reps, set(builders), retime_over=(100 / 30) * 2
+        )
+        for name in polluted:
+            print(f"POLLUTED: {name}", flush=True)
     finally:
         spark.stop()
 
@@ -727,8 +742,10 @@ def embed_100x(sf_dir: str, reps: int = 1) -> None:
     ]
     for name in times:
         t, r = times[name], rows[name]
+        mark = " POLLUTED" if name in polluted else ""
         lines.append(
-            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | {t[100] / t[30]:.1f} "
+            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | "
+            f"{t[100] / t[30]:.1f}{mark} "
             f"| {r[30]} | {r[100]} | {r[100] / max(r[30], 1):.1f} |"
         )
     out = os.path.join(
@@ -757,7 +774,7 @@ def dedup_100x(sf_dir: str, reps: int = 1) -> None:
 
     spark = get_spark("scale_probe_dedup100")
     rows: dict[str, dict[int, int]] = {}
-    times: dict[str, dict[int, float]] = {}
+    builders: dict[str, dict[int, object]] = {}
     try:
         for factor in (30, 100):
             docs = replicate_docs(load_table(spark, sf_dir, "documents"), factor)
@@ -775,12 +792,10 @@ def dedup_100x(sf_dir: str, reps: int = 1) -> None:
             }
             for name, df in fams.items():
                 rows.setdefault(name, {})[factor] = df.count()
-                times.setdefault(name, {})[factor] = _time_median(df, reps)
-                print(
-                    f"x{factor:<4d} {name}: {times[name][factor]:.2f}s "
-                    f"rows={rows[name][factor]}",
-                    flush=True,
-                )
+                builders.setdefault(name, {})[factor] = lambda df=df: df
+        times, polluted = time_with_guard(
+            builders, reps, set(builders), retime_over=(100 / 30) * 1.5
+        )
     finally:
         spark.stop()
 
@@ -799,8 +814,10 @@ def dedup_100x(sf_dir: str, reps: int = 1) -> None:
     ]
     for name in times:
         t, r = times[name], rows[name]
+        mark = " POLLUTED" if name in polluted else ""
         lines.append(
-            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | {t[100] / t[30]:.1f} "
+            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | "
+            f"{t[100] / t[30]:.1f}{mark} "
             f"| {r[30]} | {r[100]} | {r[100] / max(r[30], 1):.1f} |"
         )
     out = os.path.join(
@@ -1217,7 +1234,7 @@ def text_100x(sf_dir: str, reps: int = 3) -> None:
     )
 
     spark = get_spark("scale_probe_text100")
-    times: dict[str, dict[int, float]] = {}
+    builders: dict[str, dict[int, object]] = {}
     tmp = tempfile.mkdtemp(prefix="text100_")
     try:
         for factor in (30, 100):
@@ -1276,11 +1293,10 @@ def text_100x(sf_dir: str, reps: int = 3) -> None:
                 "pack_sequences": pack_sequences_plan(docs),
             }
             for name, df in fams.items():
-                times.setdefault(name, {})[factor] = _time_median(df, reps)
-                print(
-                    f"x{factor:<4d} {name}: {times[name][factor]:.2f}s",
-                    flush=True,
-                )
+                builders.setdefault(name, {})[factor] = lambda df=df: df
+        times, polluted = time_with_guard(
+            builders, reps, set(builders), retime_over=(100 / 30) * 1.5
+        )
     finally:
         spark.stop()
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1306,7 +1322,8 @@ def text_100x(sf_dir: str, reps: int = 3) -> None:
     ]
     for name, t in times.items():
         lines.append(
-            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | {t[100] / t[30]:.2f} |"
+            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | "
+            f"{t[100] / t[30]:.2f}{' POLLUTED' if name in polluted else ''} |"
         )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
@@ -1746,7 +1763,7 @@ def rel_100x(sf_dir: str, reps: int = 3) -> None:
     from pyspark.sql import Window
 
     spark = get_spark("scale_probe_rel100")
-    times: dict[str, dict[int, float]] = {}
+    builders: dict[str, dict[int, object]] = {}
     tmp = tempfile.mkdtemp(prefix="rel100_")
     try:
         for factor in (30, 100):
@@ -1814,11 +1831,10 @@ def rel_100x(sf_dir: str, reps: int = 3) -> None:
                 "window_top3": window_top3,
             }
             for name, df in fams.items():
-                times.setdefault(name, {})[factor] = _time_median(df, reps)
-                print(
-                    f"x{factor:<4d} {name}: {times[name][factor]:.2f}s",
-                    flush=True,
-                )
+                builders.setdefault(name, {})[factor] = lambda df=df: df
+        times, polluted = time_with_guard(
+            builders, reps, set(builders), retime_over=(100 / 30) * 1.5
+        )
     finally:
         spark.stop()
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1837,7 +1853,8 @@ def rel_100x(sf_dir: str, reps: int = 3) -> None:
     ]
     for name, t in times.items():
         lines.append(
-            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | {t[100] / t[30]:.2f} |"
+            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | "
+            f"{t[100] / t[30]:.2f}{' POLLUTED' if name in polluted else ''} |"
         )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
