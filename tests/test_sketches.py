@@ -135,3 +135,13 @@ def test_estimate_rule_matches_query_pair(spark, sf_dir):
         1000.0 * (k - 1) * float(2**48) / out["kth_hash"]
     )
     assert abs(out["est_milli"] / 1000.0 - truth) / truth < 0.15
+
+
+def test_zero_kth_hash_refused_not_zerodivision(spark):
+    """ADVICE r12: a full sketch whose kth minimum hash is 0 (only
+    reachable at k=1 with an element whose salted 48-bit md5 prefix is
+    0 — constructible, the salt is public) must raise a descriptive
+    error, not ZeroDivisionError."""
+    merged = spark.createDataFrame([(0,)], "h long")
+    with pytest.raises(ValueError, match="kth minimum hash is 0"):
+        kmv_estimate(spark, merged, k=1)

@@ -47,6 +47,27 @@ form is cheaper; the streamed slope is scan-only (1.39 at 100x/30x vs
 2.66 with the shuffle) and the legs cross at the 100x point — above
 it, and wherever sketches must persist and merge incrementally, use
 this module.
+
+Sizing k (VERDICT r12 #7): KMV's relative standard error is
+``~1/sqrt(k-2)`` (Beyer et al., "On Synopses for Distinct-Value
+Estimation Under Multiset Operations", SIGMOD 2007), independent of
+stream size — pick k from the error you can tolerate, pay k longs per
+partition in state and k·P rows into the merge:
+
+    k      rse     ~95% bound   state/partition
+    64     ~13%    ±25%         512 B
+    256    ~6.3%   ±13%         2 KiB
+    1024   ~3.1%   ±6%          8 KiB
+    4096   ~1.6%   ±3%          32 KiB
+    16384  ~0.8%   ±1.6%        128 KiB
+
+Streams with fewer than k distinct hashes report exactly (per-hash —
+see :func:`kmv_estimate` on the 48-bit collision caveat), so k also
+sets the exact/estimate crossover.  At 100 TB / 10k partitions even
+k=16384 merges only ~160M longs (~1.3 GB) — still candidate-scale,
+but prefer a tree merge (per-shard ``kmv_merge_candidates``, then
+merge the merges) past ~10^4 partitions so no single task unions the
+full candidate set.
 """
 
 from __future__ import annotations
@@ -134,16 +155,33 @@ def kmv_estimate(
 ) -> DataFrame:
     """``q_sketch_kmv``'s readout over a merged candidate set: one row
     ``(k_used, kth_hash, est_milli)``.  ``k_used < k`` means the stream
-    had fewer than k distinct elements, so the candidate set is the
-    whole distinct set and the report is EXACT; otherwise the kth
-    minimum estimates density: ``floor(1000 * (k-1) * 2^48 / kth)``.
-    The candidate set is sketch-scale (≤k rows) — collecting it is
-    driver-model state, not a data-path collect."""
+    had fewer than k distinct HASHES, so the candidate set is the whole
+    distinct hash set and the report is exact *per hash* — under a
+    48-bit collision two elements share one hash and the small-set
+    readout undercounts by the collision multiplicity (the window-form
+    query ``q_sketch_kmv`` reports exact_distinct over ELEMENTS, so the
+    two diverge exactly there; bit-identity between the forms covers
+    the kth-hash estimation path, not element-exactness).  Otherwise
+    the kth minimum estimates density:
+    ``floor(1000 * (k-1) * 2^48 / kth)``.  The candidate set is
+    sketch-scale (≤k rows) — collecting it is driver-model state, not a
+    data-path collect."""
     rows = merged.orderBy("h").collect()
     k_used = len(rows)
     kth = rows[-1]["h"] if rows else None
     if k_used < k:
         est = k_used * 1000
+    elif kth == 0:
+        # kth is the LARGEST of the k smallest distinct hashes; it can
+        # only be 0 if k == 1 and the single candidate hashes to 0 (the
+        # salt is public, so such an element is constructible).  Density
+        # "everything below 0" is undefined — refuse loudly instead of
+        # ZeroDivisionError.
+        raise ValueError(
+            "kmv_estimate: kth minimum hash is 0 (k == 1 with a "
+            "zero-hash element); the density estimate is undefined — "
+            "use k >= 2"
+        )
     else:
         est = int(1000.0 * (k_used - 1) * HASH_SPACE / kth)
     return spark.createDataFrame(
