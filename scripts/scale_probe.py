@@ -702,17 +702,20 @@ def embed_100x(sf_dir: str, reps: int = 1) -> None:
             emb = replicate_embeddings(emb_base, factor, EMBEDDING_DIM)
             bits[factor] = auto_n_bits(base_n * factor, target_bucket=8)
             print(f"x{factor}: auto_n_bits -> {bits[factor]}", flush=True)
+            # builders CONSTRUCT the DataFrame per timing (the
+            # time_with_guard contract: a re-time must not reuse a
+            # cached plan object) — capture the call, not its result
             fams = {
-                "embed_cand": embedding_near_dups(
-                    emb, threshold=-1.0, dim=EMBEDDING_DIM, n_bits=bits[factor]
+                "embed_cand": lambda emb=emb, b=bits[factor]: embedding_near_dups(
+                    emb, threshold=-1.0, dim=EMBEDDING_DIM, n_bits=b
                 ),
-                "embed_full": embedding_near_dups(
-                    emb, threshold=0.3, dim=EMBEDDING_DIM, n_bits=bits[factor]
+                "embed_full": lambda emb=emb, b=bits[factor]: embedding_near_dups(
+                    emb, threshold=0.3, dim=EMBEDDING_DIM, n_bits=b
                 ),
             }
-            for name, df in fams.items():
-                rows.setdefault(name, {})[factor] = df.count()
-                builders.setdefault(name, {})[factor] = lambda df=df: df
+            for name, build in fams.items():
+                rows.setdefault(name, {})[factor] = build().count()
+                builders.setdefault(name, {})[factor] = build
         # sawtooth families are bounded <2x AROUND linear, so the
         # overshoot threshold is 2x the linear ratio rather than 1.5x;
         # the impossible-ordering guard applies regardless
@@ -778,21 +781,26 @@ def dedup_100x(sf_dir: str, reps: int = 1) -> None:
     try:
         for factor in (30, 100):
             docs = replicate_docs(load_table(spark, sf_dir, "documents"), factor)
+            # thunks, not DataFrames: re-times rebuild the plan
             fams = {
-                "minhash_cand": minhash_candidates(docs, with_estimate=False),
-                "minhash_full": minhash_verified_pairs(docs, threshold=0.5),
-                "ngram_capped": ngram_jaccard_pairs(
+                "minhash_cand": lambda docs=docs: minhash_candidates(
+                    docs, with_estimate=False
+                ),
+                "minhash_full": lambda docs=docs: minhash_verified_pairs(
+                    docs, threshold=0.5
+                ),
+                "ngram_capped": lambda docs=docs: ngram_jaccard_pairs(
                     docs, block_col="lang", n=2, threshold=0.2, max_df=5
                 ),
                 # round 8: the vectorized-kernel fingerprint family —
                 # 16-bit pigeonhole buckets, fan-out should stay flat
-                "simhash_near_dups": simhash_near_dups(
+                "simhash_near_dups": lambda docs=docs: simhash_near_dups(
                     docs, max_hamming=10, bands=4
                 ),
             }
-            for name, df in fams.items():
-                rows.setdefault(name, {})[factor] = df.count()
-                builders.setdefault(name, {})[factor] = lambda df=df: df
+            for name, build in fams.items():
+                rows.setdefault(name, {})[factor] = build().count()
+                builders.setdefault(name, {})[factor] = build
         times, polluted = time_with_guard(
             builders, reps, set(builders), retime_over=(100 / 30) * 1.5
         )
@@ -1073,56 +1081,57 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
             m, ksub = 4, 16
             dsub = EMBEDDING_DIM // m
             cbs = pq_codebooks(EMBEDDING_DIM, m, ksub)
+            # thunks (default args bind this factor's inputs): a
+            # re-time rebuilds the plan instead of reusing the object
             fams = {
-                "exact_topk": topk_cosine(emb, PROBE_64, k=10),
-                "lsh_topk": lsh_topk(
+                "exact_topk": lambda emb=emb: topk_cosine(emb, PROBE_64, k=10),
+                "lsh_topk": lambda emb=emb, probe_df=probe_df: lsh_topk(
                     emb, probe_df, dim=EMBEDDING_DIM, k=10, n_bits=4
                 ),
-                "ivf_topk_single": ivf_topk(
+                "ivf_topk_single": lambda indexed=indexed, cents=cents: ivf_topk(
                     indexed, cents, PROBE_64, k=10, nprobe=4
                 ),
-                "ivf_topk_batch4": ivf_topk_batch(
-                    indexed, cents, batch_probes, k=10, nprobe=4
+                "ivf_topk_batch4": lambda indexed=indexed, cents=cents,
+                bp=batch_probes: ivf_topk_batch(
+                    indexed, cents, bp, k=10, nprobe=4
                 ),
-                "pq_encode": emb.select(
+                "pq_encode": lambda emb=emb, cbs=cbs: emb.select(
                     "vec_id",
                     *[
                         pq_code(F.col("embedding"), cbs[s], s * dsub).alias(f"c{s}")
                         for s in range(m)
                     ],
                 ),
-                "bm25_scores": bm25_scores(docs, _BM25_TERMS),
+                "bm25_scores": lambda docs=docs: bm25_scores(docs, _BM25_TERMS),
                 # round-10 key: full end-to-end IVF-PQ (routing +
                 # residual encode + ADC) over raw vectors — one narrow
                 # scan stage, linear expectation; production amortizes
                 # the encode into a persisted codes table
-                "ivfpq_topk": _ivfpq_probe(emb),
+                "ivfpq_topk": lambda emb=emb: _ivfpq_probe(emb),
                 # round-11: the amortized serve itself — codes-only
                 # pruned read, ~m bytes/row, expected FLAT wall with
                 # probed rows linear (the 100 TB claim's plan shape)
-                "ivfpq_topk_indexed": _ivfpq_indexed_probe(pq_codes),
+                "ivfpq_topk_indexed": lambda pq=pq_codes: _ivfpq_indexed_probe(pq),
                 # round-11: batched persisted-codes serve (2 probes,
                 # one union'd pruned scan + route join + window rank)
-                "ivfpq_batch2_indexed": _ivfpq_batch_indexed_probe(pq_codes),
+                "ivfpq_batch2_indexed": lambda pq=pq_codes: (
+                    _ivfpq_batch_indexed_probe(pq)
+                ),
                 # round-12: the refine rung's exact re-rank fetch, both
                 # layouts — range layout (In pushdown + disjoint file
                 # ranges: expected FLAT, ~k2 row-groups whatever the
                 # corpus size) vs the r11 shape (broadcast id join
                 # against the unordered corpus: linear, the contrast
                 # row VERDICT r11 #2 flagged)
-                "refine_fetch_range": topk_cosine(
-                    fetch_vectors(spark, vecs_path, refine_ids),
-                    PROBE_64,
-                    k=10,
+                "refine_fetch_range": lambda vp=vecs_path, ids=refine_ids: (
+                    topk_cosine(fetch_vectors(spark, vp, ids), PROBE_64, k=10)
                 ),
-                "refine_fetch_scan": topk_cosine(
-                    emb.join(F.broadcast(short_df), "vec_id"),
-                    PROBE_64,
-                    k=10,
+                "refine_fetch_scan": lambda emb=emb, sd=short_df: topk_cosine(
+                    emb.join(F.broadcast(sd), "vec_id"), PROBE_64, k=10
                 ),
             }
-            for name, df in fams.items():
-                builders.setdefault(name, {})[factor] = lambda df=df: df
+            for name, build in fams.items():
+                builders.setdefault(name, {})[factor] = build
 
         # timing runs AFTER both factors are built so the guard can
         # re-time either leg within-session (inputs persist until the
@@ -1246,54 +1255,72 @@ def text_100x(sf_dir: str, reps: int = 3) -> None:
             ).parquet(path)
             docs = spark.read.parquet(path)
 
-            quality = docs.select(
-                "doc_id",
-                F.round(ta.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-                F.round(ta.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
-                F.round(ta.mean_token_len(F.col("text")), 6).alias("mean_tok_len"),
-                ta.quality_score(F.col("text")).alias("quality"),
-            )
-            toks = docs.select(
-                "doc_id",
-                F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-                    "term"
-                ),
-            ).filter(F.col("term") != "")
-            token_freq = (
-                toks.groupBy("term")
-                .agg(F.count("*").alias("n"))
-                .orderBy(F.col("n").desc(), F.col("term").asc())
-                .limit(50)
-            )
-            tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-            df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-            scored = tf.join(F.broadcast(df_tbl), "term").select(
-                "doc_id",
-                "term",
-                F.round(
-                    F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-                ).alias("tfidf"),
-            )
-            w = Window.partitionBy("doc_id").orderBy(
-                F.col("tfidf").desc(), F.col("term").asc()
-            )
-            tfidf_top3 = scored.withColumn("rk", F.row_number().over(w)).filter(
-                F.col("rk") <= 3
-            )
-            contamination = contamination_report(
-                docs, docs.filter(F.col("doc_id") % 97 == 0), n=2
-            )
+            # builders rebuild the plan per timing (time_with_guard
+            # contract); default args bind this iteration's docs/n_docs
+            def quality_df(docs=docs):
+                return docs.select(
+                    "doc_id",
+                    F.round(ta.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+                    F.round(ta.stopword_ratio(F.col("text")), 6).alias(
+                        "stop_ratio"
+                    ),
+                    F.round(ta.mean_token_len(F.col("text")), 6).alias(
+                        "mean_tok_len"
+                    ),
+                    ta.quality_score(F.col("text")).alias("quality"),
+                )
+
+            def toks_df(docs=docs):
+                return docs.select(
+                    "doc_id",
+                    F.explode(
+                        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                    ).alias("term"),
+                ).filter(F.col("term") != "")
+
+            def token_freq_df(docs=docs):
+                return (
+                    toks_df(docs)
+                    .groupBy("term")
+                    .agg(F.count("*").alias("n"))
+                    .orderBy(F.col("n").desc(), F.col("term").asc())
+                    .limit(50)
+                )
+
+            def tfidf_top3_df(docs=docs, n_docs=n_docs):
+                tf = (
+                    toks_df(docs)
+                    .groupBy("doc_id", "term")
+                    .agg(F.count("*").alias("tf"))
+                )
+                df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+                scored = tf.join(F.broadcast(df_tbl), "term").select(
+                    "doc_id",
+                    "term",
+                    F.round(
+                        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+                        6,
+                    ).alias("tfidf"),
+                )
+                w = Window.partitionBy("doc_id").orderBy(
+                    F.col("tfidf").desc(), F.col("term").asc()
+                )
+                return scored.withColumn("rk", F.row_number().over(w)).filter(
+                    F.col("rk") <= 3
+                )
 
             fams = {
-                "text_quality": quality,
-                "token_freq_top50": token_freq,
-                "tfidf_top3": tfidf_top3,
-                "contamination": contamination,
-                "boilerplate_top50": boilerplate_top50(docs),
-                "pack_sequences": pack_sequences_plan(docs),
+                "text_quality": quality_df,
+                "token_freq_top50": token_freq_df,
+                "tfidf_top3": tfidf_top3_df,
+                "contamination": lambda docs=docs: contamination_report(
+                    docs, docs.filter(F.col("doc_id") % 97 == 0), n=2
+                ),
+                "boilerplate_top50": lambda docs=docs: boilerplate_top50(docs),
+                "pack_sequences": lambda docs=docs: pack_sequences_plan(docs),
             }
-            for name, df in fams.items():
-                builders.setdefault(name, {})[factor] = lambda df=df: df
+            for name, build in fams.items():
+                builders.setdefault(name, {})[factor] = build
         times, polluted = time_with_guard(
             builders, reps, set(builders), retime_over=(100 / 30) * 1.5
         )
@@ -1335,7 +1362,10 @@ def text_100x(sf_dir: str, reps: int = 3) -> None:
 
 
 def queue_100x(
-    sf_dir: str, reps: int = 3, only: set[str] | None = None
+    sf_dir: str,
+    reps: int = 3,
+    only: set[str] | None = None,
+    factors: tuple[int, int] = (30, 100),
 ) -> None:
     """Round-11: 30x/100x probe for the declaration-queue impls —
     derived live from queries.QUEUED_QUERIES, so every queued pair is
@@ -1343,7 +1373,14 @@ def queue_100x(
     comma-separated 4th arg of family names, with or without the
     ``q_`` prefix) restricts the run to a focused re-probe — e.g.
     after restructuring one family, re-measure it without the 24-pair
-    back-to-back run polluting its own tail.
+    back-to-back run polluting its own tail; ``only`` names that have
+    since been DECLARED fall back to the declared registry (the
+    test_plans pin rule), so a family keeps its probe harness after
+    its rotation window lands.  ``factors`` (CLI: comma-separated 5th
+    arg, e.g. ``30,300``) widens the decade for sub-second families
+    whose linear term median-of-N cannot resolve at 100x (VERDICT r12
+    #3: a leg under ~0.5s is timer jitter at this box's noise line —
+    stretch the big leg instead of guessing).
 
     Zero probe-side plan drift BY CONSTRUCTION: the replicated
     documents/embeddings/events tables are MATERIALIZED to parquet
@@ -1372,14 +1409,15 @@ def queue_100x(
     import shutil
     import tempfile
 
-    from vector_db_ingestor_spark.queries import QUEUED_QUERIES
+    from vector_db_ingestor_spark.queries import QUERIES, QUEUED_QUERIES
 
+    lo, hi = factors
     spark = get_spark("scale_probe_queue100")
     builders: dict[str, dict[int, object]] = {}
     rows: dict[int, int] = {}
     tmp = tempfile.mkdtemp(prefix="queue100_")
     try:
-        for factor in (30, 100):
+        for factor in factors:
             fdir = os.path.join(tmp, f"x{factor}")
             docs = replicate_docs(
                 load_table(spark, sf_dir, "documents"), factor
@@ -1409,10 +1447,15 @@ def queue_100x(
             }
             if only:
                 want = {o.removeprefix("q_") for o in only}
-                unknown = want - set(fams)
+                declared = {
+                    k.removeprefix("q_"): fn for k, fn in QUERIES.items()
+                }
+                unknown = want - set(fams) - set(declared)
                 if unknown:
                     raise SystemExit(f"unknown queue families: {unknown}")
-                fams = {n: fn for n, fn in fams.items() if n in want}
+                fams = {
+                    n: (fams.get(n) or declared[n]) for n in sorted(want)
+                }
             for name, impl in fams.items():
                 builders.setdefault(name, {})[factor] = (
                     lambda impl=impl, fdir=fdir: impl(spark, fdir)
@@ -1424,7 +1467,7 @@ def queue_100x(
         # long back-to-back run pollutes its own later families)
         times, polluted = time_with_guard(
             builders, reps, set(builders),
-            retime_over=(100 / 30) * 1.5,
+            retime_over=(hi / lo) * 1.5,
         )
     finally:
         spark.stop()
@@ -1435,27 +1478,29 @@ def queue_100x(
     )
     lines = [
         "",
-        "## 100x declaration-queue probe — warm median-of-%d%s"
-        % (reps, focus),
+        "## %dx declaration-queue probe — warm median-of-%d%s"
+        % (hi, reps, focus),
         "",
-        "The %d queued-but-undeclared impls (from queries.QUEUED_QUERIES"
+        "The %d impls (queries.QUEUED_QUERIES at probe time, declared"
         % len(times),
-        f"at probe time) at 30x/100x (docs rows: {rows}), timed by calling the PRODUCTION",
-        "callables against a materialized replicated fixture dir — the",
-        "probe and the driver run the identical code path.  Linear",
-        "expectation 3.33; nb_classify's model table grows with the",
-        "replicator-inflated vocabulary (real corpora saturate instead).",
+        f"fallbacks for focused re-probes) at {lo}x/{hi}x (docs rows: {rows}),",
+        "timed by calling the PRODUCTION callables against a",
+        "materialized replicated fixture dir — the probe and the",
+        "driver run the identical code path.  Linear expectation"
+        f" {hi / lo:.2f};",
+        "nb_classify's model table grows with the replicator-inflated",
+        "vocabulary (real corpora saturate instead).",
         "Impossible orderings are re-timed in-session by",
         "time_with_guard; rows it could not clear are marked POLLUTED.",
         "",
-        "| impl | 30x | 100x | time 100x/30x |",
+        f"| impl | {lo}x | {hi}x | time {hi}x/{lo}x |",
         "|---|---|---|---|",
     ]
     for name, t in times.items():
         mark = " POLLUTED" if name in polluted else ""
         lines.append(
-            f"| {name} | {t[30]:.2f}s | {t[100]:.2f}s | "
-            f"{t[100] / t[30]:.2f}{mark} |"
+            f"| {name} | {t[lo]:.2f}s | {t[hi]:.2f}s | "
+            f"{t[hi] / t[lo]:.2f}{mark} |"
         )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md"
@@ -1782,56 +1827,70 @@ def rel_100x(sf_dir: str, reps: int = 3) -> None:
             orders = spark.read.parquet(paths["orders"])
             cust = spark.read.parquet(paths["customer"])
 
-            q1 = (
-                li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-                .groupBy("l_returnflag", "l_linestatus")
-                .agg(
-                    F.sum("l_quantity").alias("sum_qty"),
-                    F.sum("l_extendedprice").alias("sum_price"),
-                    F.avg("l_discount").alias("avg_disc"),
-                    F.count("*").alias("n"),
+            # builders rebuild per timing (time_with_guard contract)
+            def q1_agg(li=li):
+                return (
+                    li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+                    .groupBy("l_returnflag", "l_linestatus")
+                    .agg(
+                        F.sum("l_quantity").alias("sum_qty"),
+                        F.sum("l_extendedprice").alias("sum_price"),
+                        F.avg("l_discount").alias("avg_disc"),
+                        F.count("*").alias("n"),
+                    )
                 )
-            )
-            q6 = li.filter(
-                (F.col("l_shipdate") >= F.lit("1996-01-01"))
-                & (F.col("l_shipdate") < F.lit("1997-01-01"))
-                & (F.col("l_discount").between(0.02, 0.06))
-                & (F.col("l_quantity") < 24)
-            ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("rev"))
-            q3 = (
-                cust.filter(F.col("c_mktsegment") == "BUILDING")
-                .join(orders, F.col("c_custkey") == F.col("o_custkey"))
-                .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-                .groupBy("o_orderkey")
-                .agg(
-                    F.sum(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    ).alias("revenue")
+
+            def q6_scan_agg(li=li):
+                return li.filter(
+                    (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                    & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                    & (F.col("l_discount").between(0.02, 0.06))
+                    & (F.col("l_quantity") < 24)
+                ).agg(
+                    F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                        "rev"
+                    )
                 )
-                .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-                .limit(10)
-            )
-            distinct_agg = li.groupBy("l_returnflag").agg(
-                F.countDistinct("l_partkey").alias("n_parts")
-            )
-            w = Window.partitionBy("o_custkey").orderBy(
-                F.col("o_totalprice").desc(), F.col("o_orderkey")
-            )
-            window_top3 = (
-                orders.withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") <= 3)
-                .select("o_custkey", "o_orderkey", "rk")
-            )
+
+            def q3_join(li=li, orders=orders, cust=cust):
+                return (
+                    cust.filter(F.col("c_mktsegment") == "BUILDING")
+                    .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+                    .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+                    .groupBy("o_orderkey")
+                    .agg(
+                        F.sum(
+                            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        ).alias("revenue")
+                    )
+                    .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+                    .limit(10)
+                )
+
+            def distinct_agg(li=li):
+                return li.groupBy("l_returnflag").agg(
+                    F.countDistinct("l_partkey").alias("n_parts")
+                )
+
+            def window_top3(orders=orders):
+                w = Window.partitionBy("o_custkey").orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey")
+                )
+                return (
+                    orders.withColumn("rk", F.row_number().over(w))
+                    .filter(F.col("rk") <= 3)
+                    .select("o_custkey", "o_orderkey", "rk")
+                )
 
             fams = {
-                "q1_agg": q1,
-                "q6_scan_agg": q6,
-                "q3_join": q3,
+                "q1_agg": q1_agg,
+                "q6_scan_agg": q6_scan_agg,
+                "q3_join": q3_join,
                 "distinct_agg": distinct_agg,
                 "window_top3": window_top3,
             }
-            for name, df in fams.items():
-                builders.setdefault(name, {})[factor] = lambda df=df: df
+            for name, build in fams.items():
+                builders.setdefault(name, {})[factor] = build
         times, polluted = time_with_guard(
             builders, reps, set(builders), retime_over=(100 / 30) * 1.5
         )
@@ -1900,6 +1959,9 @@ if __name__ == "__main__":
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
             int(sys.argv[3]) if len(sys.argv) > 3 else 3,
             set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None,
+            tuple(int(x) for x in sys.argv[5].split(","))
+            if len(sys.argv) > 5
+            else (30, 100),
         )
     elif sys.argv[1:2] == ["--sketch100"]:
         sketch_100x(
