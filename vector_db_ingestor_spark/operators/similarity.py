@@ -840,6 +840,69 @@ def ivfpq_topk_refined_indexed(
     )
 
 
+def ivfpq_topk_refined_batch_indexed(
+    spark,
+    index_path: str,
+    vectors_path: str,
+    probes: list[tuple[int, list[float]]],
+    k: int = 10,
+    k2: int = 30,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """QUERY TIME, batched refine ladder: the
+    :func:`ivfpq_topk_refined_indexed` contract for Q probes at once —
+    ONE pruned codes scan serves every probe's k2 shortlist
+    (:func:`ivfpq_topk_batch_indexed`), the UNION of shortlist ids is
+    fetched from the range-laid-out vector table in ONE file-skipping
+    ``In``-pushdown pass (:func:`fetch_vectors`), and a broadcast
+    (query_id, id) route table restricts the exact cosine re-rank to
+    exactly each probe's own shortlist — per-probe results are
+    IDENTICAL to running the single-probe refine per query, at the
+    cost of one pruned scan + one ~Q·k2-row fetch instead of Q of
+    each.  The Q·k2 route pairs are shortlist-scale driver state (the
+    centroid rule)."""
+    codes, cents, cbs = ivfpq_read(spark, index_path)
+    short = ivfpq_topk_batch_indexed(
+        codes, cents, cbs, probes, k=k2, nprobe=nprobe,
+        id_col=id_col, round_dp=round_dp,
+    )
+    pairs = short.select("query_id", id_col).collect()
+    ids = sorted({r[id_col] for r in pairs})
+    cand = fetch_vectors(spark, vectors_path, ids, id_col=id_col)
+    id_type = dict(cand.dtypes)[id_col]
+    route = spark.createDataFrame(
+        [(int(r["query_id"]), r[id_col]) for r in pairs],
+        schema=f"query_id INT, {id_col} {id_type}",
+    )
+    probes_df = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in probes],
+        schema="query_id INT, query_vec ARRAY<DOUBLE>",
+    )
+    scored = (
+        cand.join(F.broadcast(route), id_col)
+        .join(F.broadcast(probes_df), "query_id")
+        .withColumn(
+            "score",
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("query_vec")),
+                round_dp,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.drop(vec_col, "query_vec")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
 def ivfpq_append(
     new_embeddings: DataFrame,
     path: str,
