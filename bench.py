@@ -140,6 +140,11 @@ HEADLINE = [
     # parse -> chunk -> embed front door
     "q_ivf_drift_report",
     "q_warc_ingest",
+    # round-13 declarations, in the headline from birth: URL curation
+    # (pure projection riding the scan) and canonical-URL dedup (one
+    # shuffle on the canonical key, shared by both windows)
+    "q_url_curation",
+    "q_dedup_url",
 ]
 
 

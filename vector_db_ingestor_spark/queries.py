@@ -5930,9 +5930,11 @@ ORACLE_SQL["q_warc_ingest"] = _warc_ingest_oracle()
 
 
 # =====================================================================
-# round-13 queue: URL curation (built + differentially tested round
-# 11; declared r13 per SURVEY §7 — the r12 window was consumed by
-# q_ivf_drift_report + q_warc_ingest).  Certifies functions/url.py's
+# q_url_curation (DECLARED round 13 with q_dedup_url, per the SURVEY
+# §7 window arithmetic: 2 new + 4 rows-only + 44 r10-stale = 50).
+# Built + differentially tested round 11
+# (tests/test_round11_queries.py runs the Spark plan and the oracle
+# SQL side by side on DuckDB).  Certifies functions/url.py's
 # normalization contract cross-engine.
 # =====================================================================
 
@@ -5993,6 +5995,10 @@ def _url_curation_oracle() -> str:
                || CAST(n_chars AS VARCHAR) AS url_canon
     FROM documents
     """
+
+
+QUERIES["q_url_curation"] = q_url_curation_impl
+ORACLE_SQL["q_url_curation"] = _url_curation_oracle()
 
 
 # =====================================================================
@@ -6271,9 +6277,10 @@ def q_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# round 11: queue items for rounds 13-14 (built + differentially
-# tested now, declared when the rotation window has room — the
-# q_ivf_drift_report / q_warc_ingest / q_url_curation discipline)
+# q_dedup_url (DECLARED round 13 with q_url_curation) + the round-14
+# queue items (built + differentially tested round 11, declared when
+# the rotation window has room — the q_ivf_drift_report /
+# q_warc_ingest discipline)
 # =====================================================================
 
 def q_dedup_url_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6332,6 +6339,10 @@ def _dedup_url_oracle() -> str:
            doc_id = min(doc_id) OVER (PARTITION BY url_canon) AS keep
     FROM u
     """
+
+
+QUERIES["q_dedup_url"] = q_dedup_url_impl
+ORACLE_SQL["q_dedup_url"] = _dedup_url_oracle()
 
 
 def q_text_boilerplate_strip_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8384,8 +8395,6 @@ def _curation_pipeline_oracle() -> str:
 # =====================================================================
 
 QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
-    "q_url_curation": (q_url_curation_impl, _url_curation_oracle()),
-    "q_dedup_url": (q_dedup_url_impl, _dedup_url_oracle()),
     "q_text_boilerplate_strip": (
         q_text_boilerplate_strip_impl,
         _boilerplate_strip_oracle(),
