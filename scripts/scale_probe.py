@@ -77,22 +77,33 @@ def replicate_docs(df: DataFrame, factor: int) -> DataFrame:
         return df
     out = _replicated(df, "doc_id", factor)
     # translate() takes static alphabets, so pick the copy's rotation
-    # with a when-chain of `factor` static translates
+    # with a when-chain of static translates.  The chain branches on
+    # __k % 26 (rotations repeat mod 26), NOT on __k: a per-k chain is
+    # factor-1 deep and the nested Column tree overflowed the JVM
+    # conversion stack at 300x — bounding depth at 25 makes the
+    # replicator factor-independent.  Values are unchanged.
     rotated = F.col("text")
-    for k in range(factor - 1, 0, -1):
-        rot = ALPHABET[k % 26:] + ALPHABET[: k % 26]
-        t = F.translate(F.col("text"), ALPHABET, rot)
-        if k >= 26:
-            # rotations repeat mod 26: without this, copy k is an EXACT
-            # clone of copy k-26 and cross-copy near-dup pairs reappear
-            # (the clone-pair quadratic the bijections exist to prevent
-            # — first seen as minhash candidates growing 11.6x for 3x
-            # data in the 30x deep probe).  Tagging every token with a
-            # copy-unique marker (U+00A7 appears in no fixture and in
-            # no rotation's image) keeps intra-copy gram equality exact
-            # while making cross-copy grams disjoint again.
-            t = F.regexp_replace(t, r"(\S+)", f"§{k}§$1")
-        rotated = F.when(F.col("__k") == k, t).otherwise(rotated)
+    for r in range(min(factor - 1, 25), 0, -1):
+        rot = ALPHABET[r:] + ALPHABET[:r]
+        rotated = F.when(
+            F.col("__k") % 26 == r,
+            F.translate(F.col("text"), ALPHABET, rot),
+        ).otherwise(rotated)
+    if factor > 26:
+        # rotations repeat mod 26: without this, copy k is an EXACT
+        # clone of copy k-26 and cross-copy near-dup pairs reappear
+        # (the clone-pair quadratic the bijections exist to prevent
+        # — first seen as minhash candidates growing 11.6x for 3x
+        # data in the 30x deep probe).  Tagging every token with a
+        # copy-unique marker (U+00A7 appears in no fixture and in
+        # no rotation's image) keeps intra-copy gram equality exact
+        # while making cross-copy grams disjoint again.
+        marked = F.regexp_replace(
+            rotated,
+            F.lit(r"(\S+)"),
+            F.concat(F.lit("§"), F.col("__k").cast("string"), F.lit("§$1")),
+        )
+        rotated = F.when(F.col("__k") >= 26, marked).otherwise(rotated)
     return out.withColumn("text", rotated).drop("__k")
 
 
