@@ -201,6 +201,12 @@ AUDITS: dict[str, dict] = {
     # candidate pairs are orders of magnitude smaller than the corpus:
     # AQE must broadcast the pair side into the doc->source lookups
     "q_dedup_crosssource": {"broadcast": True, "partial_agg": True},
+    # declared round 12 (pins kept from their queue days)
+    "q_ivf_drift_report": {"partial_agg": True},
+    "q_warc_ingest": {"max_arrow": 2, "no_nested_loop": True},
+    # declared round 13
+    "q_url_curation": {"max_exchange": 0},
+    "q_dedup_url": {"max_exchange": 1},
 }
 
 # declaration-queue keys (queries.QUEUED_QUERIES): audited with the same
@@ -208,10 +214,6 @@ AUDITS: dict[str, dict] = {
 # q_nb_classify's bounded 5-row class fan-out is a deliberate broadcast
 # cross join, so it pins partial_agg rather than no_nested_loop.
 QUEUE_AUDITS: dict[str, dict] = {
-    "q_ivf_drift_report": {"partial_agg": True},
-    "q_warc_ingest": {"max_arrow": 2, "no_nested_loop": True},
-    "q_url_curation": {"max_exchange": 0},
-    "q_dedup_url": {"max_exchange": 1},
     "q_text_boilerplate_strip": {"broadcast": True, "partial_agg": True},
     "q_nb_classify": {"partial_agg": True},
     "q_stream_dedup": {"partial_agg": True},
