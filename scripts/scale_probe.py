@@ -67,8 +67,11 @@ def _replicated(df: DataFrame, id_col: str, factor: int) -> DataFrame:
     the explode keeps a single scan).  Caller transforms payload per
     __k before dropping it."""
     k = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__k")
+    # long multiply: int __k * int stride overflows ANSI int32 at
+    # k >= 215 (first hit probing 300x); fixture ids are long, so the
+    # resulting id type is unchanged
     return df.select("*", k).withColumn(
-        id_col, F.col(id_col) + F.col("__k") * F.lit(ID_STRIDE)
+        id_col, F.col(id_col) + F.col("__k").cast("long") * F.lit(ID_STRIDE)
     )
 
 
@@ -127,7 +130,7 @@ def replicate_events(df: DataFrame, factor: int) -> DataFrame:
         return df
     out = _replicated(df, "event_id", factor)
     return out.withColumn(
-        "user_id", F.col("user_id") + F.col("__k") * F.lit(ID_STRIDE)
+        "user_id", F.col("user_id") + F.col("__k").cast("long") * F.lit(ID_STRIDE)
     ).drop("__k")
 
 
@@ -933,6 +936,22 @@ def _ivfpq_batch_indexed_probe(codes: DataFrame) -> DataFrame:
     return ivfpq_topk_batch_indexed(codes, cents, cbs, probes, k=10, nprobe=4)
 
 
+def _refined_batch_probe(
+    spark, index_path: str, vectors_path: str, probes
+) -> DataFrame:
+    """ivfpq_topk_refined_batch_indexed's exact plan over persisted
+    artifacts (round 13): one pruned codes scan shortlists all probes,
+    one In-pushdown fetch covers the union, broadcast route restricts
+    each probe's exact re-rank to its own shortlist."""
+    from vector_db_ingestor_spark.operators.similarity import (
+        ivfpq_topk_refined_batch_indexed,
+    )
+
+    return ivfpq_topk_refined_batch_indexed(
+        spark, index_path, vectors_path, probes, k=10, k2=30, nprobe=4
+    )
+
+
 def _ivfpq_indexed_probe(codes: DataFrame) -> DataFrame:
     """ivfpq_topk_indexed's exact plan over a prebuilt codes table:
     shortlist partition pruning + literal-table ADC, no raw vectors
@@ -1140,6 +1159,15 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
                 "refine_fetch_scan": lambda emb=emb, sd=short_df: topk_cosine(
                     emb.join(F.broadcast(sd), "vec_id"), PROBE_64, k=10
                 ),
+                # round-13: the full batched refine ladder end-to-end
+                # (ivfpq_topk_refined_batch_indexed — one pruned codes
+                # scan shortlists all 4 probes, one In-pushdown fetch
+                # covers the union, broadcast route restricts each
+                # probe's exact re-rank to its own shortlist): both
+                # scans prune, expected FLAT like its two rungs
+                "refine_batch4_range": lambda pi=pq_idx, vp=vecs_path, bp=(
+                    batch_probes
+                ): _refined_batch_probe(spark, pi, vp, bp),
             }
             for name, build in fams.items():
                 builders.setdefault(name, {})[factor] = build
@@ -1788,7 +1816,9 @@ def _replicate_rel(df: DataFrame, id_cols: list[str], factor: int) -> DataFrame:
         return df
     out = _replicated(df, id_cols[0], factor)
     for c in id_cols[1:]:
-        out = out.withColumn(c, F.col(c) + F.col("__k") * F.lit(ID_STRIDE))
+        out = out.withColumn(
+            c, F.col(c) + F.col("__k").cast("long") * F.lit(ID_STRIDE)
+        )
     return out.drop("__k")
 
 
