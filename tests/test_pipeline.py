@@ -1104,3 +1104,73 @@ def test_build_ann_index_default_refine_companion(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="rebuild with build_ann_index"):
         stale.search_ann(q, kind="ivfpq", refine=True)
+
+
+def test_ann_absorb_keeps_index_and_refine_current(spark, tmp_path):
+    """Collection-level index maintenance (round 13): after
+    coll.append(batch) + coll.ann_absorb(batch, kind), search_ann
+    finds the NEW rows — frozen model, assign-only absorb — and the
+    refined path's companion fetch still covers every hit (Chroma's
+    add -> HNSW update, src/PDFToChromaIngester.py:189-193, as an
+    explicit two-call flow)."""
+    import pytest
+
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    def corpus(tag, n):
+        texts = [
+            (f"{tag} document {i} about spark absorb topics "
+             f"{'alpha beta gamma delta '[: 8 + i % 12]} ").encode() * 3
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            [
+                (
+                    f"file:/fake/{tag}{i}.pdf",
+                    f"{tag}{i}.pdf",
+                    len(b),
+                    bytearray(b"stream\n(" + b + b") Tj\nendstream"),
+                )
+                for i, b in enumerate(texts)
+            ],
+            "source STRING, filename STRING, file_bytes LONG, content BINARY",
+        )
+
+    coll = VectorCollection(spark, str(tmp_path / "absorb_coll"))
+    coll.overwrite(build_chunks(corpus("base", 10), chunk_size=60, overlap=10))
+    for kind in ("ivf", "ivfpq"):
+        coll.build_ann_index(kind=kind, n_centroids=4, m=4, ksub=8)
+
+    total_before = {
+        kind: coll.ann_drift_report(kind).agg(F.sum("n")).first()[0]
+        for kind in ("ivf", "ivfpq")
+    }
+    batch = build_chunks(corpus("new", 4), chunk_size=60, overlap=10)
+    n_new = batch.count()
+    coll.append(batch)
+    for kind in ("ivf", "ivfpq"):
+        coll.ann_absorb(batch, kind=kind)
+        total = coll.ann_drift_report(kind).agg(F.sum("n")).first()[0]
+        assert total == total_before[kind] + n_new, kind
+
+    # a query keyed to the NEW docs surfaces an absorbed chunk on
+    # every serving rung (exact recall not promised — membership is)
+    q = "new document absorb"
+    k = coll.count()
+    for kwargs in (
+        {"kind": "ivf"},
+        {"kind": "ivfpq"},
+        {"kind": "ivfpq", "refine": True},
+    ):
+        hits = coll.search_ann(q, n_results=k, nprobe=4, **kwargs)
+        got = {r.filename for r in hits.collect()}
+        assert any(f.startswith("new") for f in got), (kwargs, got)
+    # refined fetch covers absorbed ids exactly (companion appended)
+    refined = coll.search_ann(q, n_results=k, kind="ivfpq", refine=True)
+    assert refined.filter(F.col("text").isNull()).count() == 0
+
+    # absorb without an index is loud
+    empty = VectorCollection(spark, str(tmp_path / "no_index"))
+    empty.overwrite(build_chunks(corpus("x", 3), chunk_size=60, overlap=10))
+    with pytest.raises(ValueError, match="no complete"):
+        empty.ann_absorb(batch, kind="ivfpq")

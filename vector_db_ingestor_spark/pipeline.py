@@ -684,6 +684,62 @@ class VectorCollection:
         else:
             raise ValueError(f"unknown ANN index kind: {kind!r}")
 
+    def ann_absorb(self, new_chunks: DataFrame, kind: str = "ivf") -> None:
+        """Absorb an appended batch into a prebuilt index WITHOUT
+        retraining — the collection-level twin of Chroma's implicit
+        ``collection.add`` → HNSW update
+        (``src/PDFToChromaIngester.py:189-193``); until now only the
+        operator layer (``ivf_append``/``ivfpq_append``) had it, so a
+        collection append silently left ``search_ann`` blind to the
+        new rows until a full rebuild.
+
+        Flow: ``coll.append(batch)`` writes the collection, then
+        ``coll.ann_absorb(batch, kind)`` updates the index artifacts —
+        assign-only against the FROZEN model into existing ``cid=``
+        partitions, and (ivfpq) a range-laid-out ``vectors_append``
+        into the refine companion so ``search_ann(refine=True)`` keeps
+        fetching every hit.  A companion-less index (predating the
+        refine contract) absorbs codes only — the refine path already
+        fails loudly on it.  The model standing still while data moves
+        is the no-retrain trade: watch :meth:`ann_drift_report` and
+        rebuild via :meth:`build_ann_index` when skew crosses ~4."""
+        from vector_db_ingestor_spark.operators.similarity import (
+            ivf_append,
+            ivf_index_complete,
+            ivfpq_append,
+            vectors_append,
+        )
+
+        path = self._ann_path(kind)
+        if not ivf_index_complete(self.spark, path):
+            raise ValueError(
+                f"no complete {kind!r} index at {path}; run "
+                f"build_ann_index(kind={kind!r}) first"
+            )
+        if kind == "ivf":
+            ivf_append(new_chunks, path, vec_col="embedding")
+        elif kind == "ivfpq":
+            ivfpq_append(
+                new_chunks.select("chunk_uid", "embedding"), path,
+                id_col="chunk_uid", vec_col="embedding",
+            )
+            if self._ann_vectors_complete(kind):
+                # align to the companion's exact on-disk types: a
+                # wider-typed append (array<double> into array<float>)
+                # writes fine but breaks every later read (the
+                # ivf_append footgun, same rule here)
+                comp = self.spark.read.parquet(
+                    self._ann_vectors_path(kind)
+                ).schema
+                vectors_append(
+                    new_chunks.select(
+                        *[F.col(f.name).cast(f.dataType) for f in comp.fields]
+                    ),
+                    self._ann_vectors_path(kind), id_col="chunk_uid",
+                )
+        else:
+            raise ValueError(f"unknown ANN index kind: {kind!r}")
+
     def ann_drift_report(self, kind: str = "ivf") -> DataFrame:
         """Occupancy report for a prebuilt index (per-cell n / share /
         skew, operators/similarity.py ivf_drift_report): the retrain
