@@ -214,18 +214,67 @@ def main() -> None:
         timings[key] = new
 
     total = round(sum(timings.values()), 3)
+    _write_detail(timings, total, reps, sf)
     print(format_summary_line(timings, total, reps, sf))
     spark.stop()
 
 
+def _write_detail(
+    timings: dict[str, float], total: float, reps: int, sf: str
+) -> None:
+    """Full-precision sidecar next to the stdout line.
+
+    The driver's 2000-byte stdout tail forces the summary line's
+    per-query precision down as the suite grows (84 keys already
+    degrade to 1dp, which quantizes a 0.28s key to 0.3 — a phantom 7%
+    move); the sidecar keeps the 3dp medians the round-over-round
+    ratios actually need, and the end-of-round snapshot commits it, so
+    every round's full-precision record lives in git history even
+    when the stdout map is coarse.  Write failures are non-fatal
+    (read-only checkout)."""
+    sf_str = str(sf)
+    payload = {
+        "metric": "headline_query_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n": reps,
+        "sf": float(sf_str) if sf_str.replace(".", "").isdigit() else sf,
+    }
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:  # pragma: no cover
+        pass
+
+
 def _prior_round_timings() -> dict[str, float]:
-    """Per-query medians from the newest BENCH_r*.json the driver
-    recorded (its 'tail' field holds our summary line).  Missing or
-    unparseable records mean no retime baseline — empty dict."""
+    """Per-query medians of the newest completed bench run, as the
+    retime baseline.  Prefers BENCH_DETAIL.json (the full-precision
+    sidecar the previous run wrote — at this point in the run it still
+    holds the PREVIOUS round's record) over the newest BENCH_r*.json
+    stdout tail, whose per-query map may be precision-degraded (a 1dp
+    0.2 for a 0.25s key would make a healthy 0.26s read as a 1.3x
+    "regression" and waste a retime).  Missing or unparseable records
+    mean no baseline — empty dict."""
     import glob
     import re
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo, "BENCH_DETAIL.json")) as fh:
+            queries = json.load(fh).get("queries", {})
+        if isinstance(queries, dict) and queries:
+            return {
+                k: float(v) for k, v in queries.items()
+                if isinstance(v, (int, float))
+            }
+    except (OSError, json.JSONDecodeError, ValueError):
+        pass
     best_round, best = -1, {}
     for path in glob.glob(os.path.join(repo, "BENCH_r*.json")):
         m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(path))

@@ -1209,6 +1209,10 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
         "vec_id range layout — In pushdown + disjoint file ranges,",
         "expected FLAT) vs refine_fetch_scan (the r11 broadcast-id-join",
         "shape it replaces — linear, kept as the contrast row).",
+        "New round 13: refine_batch4_range — the full batched refine",
+        "ladder (one pruned codes scan shortlists 4 probes, one",
+        "In-pushdown union fetch, broadcast route-restricted exact",
+        "re-rank), expected near-FLAT like its two rungs.",
         "Impossible orderings (linear leg faster at 100x) are re-timed",
         "in-session by time_with_guard; rows it could not clear are",
         "marked POLLUTED.",

@@ -64,6 +64,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
+        # the console progress bar shares bench.py's stdout tail window
+        # (the driver parses the LAST 2000 bytes): a \r-fragment before
+        # the summary line eats budget the line needs — observed ~67B
+        # in the r12 record.  Purely cosmetic locally; off everywhere.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()
