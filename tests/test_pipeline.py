@@ -1174,3 +1174,65 @@ def test_ann_absorb_keeps_index_and_refine_current(spark, tmp_path):
     empty.overwrite(build_chunks(corpus("x", 3), chunk_size=60, overlap=10))
     with pytest.raises(ValueError, match="no complete"):
         empty.ann_absorb(batch, kind="ivfpq")
+
+
+def test_search_ann_filtered_ivf(spark, tmp_path):
+    """Filtered ANN (round 13, reference R11 at the index rung): the
+    ivf index keeps full rows, so filter_metadata applies INSIDE the
+    probed cells before ranking.  With nprobe == n_centroids the
+    filtered ANN must equal the exact filtered search row-for-row;
+    every hit carries the filter value; ivfpq refuses the knob."""
+    import pytest
+
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    def corpus(tag, n):
+        texts = [
+            (f"{tag} filtered document {i} about spark metadata topics "
+             f"{'alpha beta gamma delta '[: 8 + i % 12]} ").encode() * 3
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            [
+                (
+                    f"file:/fake/{tag}{i}.pdf",
+                    f"{tag}{i}.pdf",
+                    len(b),
+                    bytearray(b"stream\n(" + b + b") Tj\nendstream"),
+                )
+                for i, b in enumerate(texts)
+            ],
+            "source STRING, filename STRING, file_bytes LONG, content BINARY",
+        )
+
+    a = build_chunks(corpus("policy", 6), metadata={"category": "policy"},
+                     chunk_size=60, overlap=10)
+    b = build_chunks(corpus("faq", 6), metadata={"category": "faq"},
+                     chunk_size=60, overlap=10)
+    coll = VectorCollection(spark, str(tmp_path / "filt_coll"))
+    coll.overwrite(a.unionByName(b))
+    coll.build_ann_index(kind="ivf", n_centroids=4)
+    coll.build_ann_index(kind="ivfpq", n_centroids=4, m=4, ksub=8)
+
+    q = "spark metadata topics"
+    flt = {"category": "faq"}
+    # nprobe == n_centroids -> no cell is unprobed -> exact-equivalent
+    got = coll.search_ann(q, n_results=5, kind="ivf", nprobe=4,
+                          filter_metadata=flt)
+    rows = got.collect()
+    assert rows and all(r.metadata["category"] == "faq" for r in rows)
+    want = coll.search(q, n_results=5, filter_metadata=flt)
+    assert [(r.chunk_uid, r.score) for r in rows] == [
+        (r.chunk_uid, r.score) for r in want.collect()
+    ]
+    # batch path carries the same filter
+    got_b = coll.search_ann([q, "faq filtered document"], n_results=3,
+                            kind="ivf", nprobe=4, filter_metadata=flt)
+    brows = got_b.collect()
+    assert brows and all(r.metadata["category"] == "faq" for r in brows)
+    assert {r.query_id for r in brows} == {0, 1}
+    # codes index carries no metadata: loud refusal
+    with pytest.raises(ValueError, match="needs kind='ivf'"):
+        coll.search_ann(q, kind="ivfpq", filter_metadata=flt)
+    with pytest.raises(ValueError, match="needs kind='ivf'"):
+        coll.search_ann(q, kind="ivfpq", refine=True, filter_metadata=flt)

@@ -434,6 +434,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    predicate: Column | None = None,
 ) -> DataFrame:
     """QUERY TIME: approximate top-k for one probe over a prebuilt
     index — NO training, NO full-table pass.
@@ -445,12 +446,25 @@ def ivf_topk(
     ``partitionBy("cid")`` (:func:`ivf_write`) the ``isin`` lands in
     ``PartitionFilters`` — (1 - nprobe/n_centroids) of a 100 TB
     collection is never read at all.
+
+    ``predicate`` (round 13): filtered ANN, reference R11 at the index
+    rung — the IVF index keeps FULL rows, so a metadata predicate
+    applies inside the probed cells before ranking (Chroma's filtered
+    HNSW shape: candidates outside the filter never enter the top-k).
+    The filter sits directly over the pruned scan, so pushable
+    predicates reach the parquet reader.  Recall caveat: cells are
+    probed by the query vector alone; a filter whose matches
+    concentrate in unprobed cells returns fewer/approximate hits —
+    raise ``nprobe`` for highly-selective filters.
     """
     shortlist = ivf_shortlist(centroids, probe, nprobe)
     probe_col = F.lit([float(x) for x in probe])
     vec = F.col(vec_col).cast("array<double>")
+    scored = indexed.filter(F.col("cid").isin(shortlist))
+    if predicate is not None:
+        scored = scored.filter(predicate)
     return (
-        indexed.filter(F.col("cid").isin(shortlist))
+        scored
         .withColumn("score", F.round(cosine_similarity(vec, probe_col), round_dp))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
@@ -467,6 +481,7 @@ def ivf_topk_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    predicate: Column | None = None,
 ) -> DataFrame:
     """QUERY TIME, batched: N probes against one prebuilt IVF index in
     ONE pruned scan.
@@ -479,6 +494,10 @@ def ivf_topk_batch(
     once per (row, interested probe), then a per-query window keeps k —
     the IVF analogue of ``topk_cosine_batch``: B queries cost ~1 scan
     of the union'd partitions, not B scans.
+
+    ``predicate`` (round 13): same filtered-ANN contract as
+    :func:`ivf_topk` — applied over the pruned scan BEFORE the route
+    join, so excluded rows never fan out to probes at all.
     """
     spark = indexed.sparkSession
     routes = [
@@ -491,8 +510,11 @@ def ivf_topk_batch(
     )
     union_cids = sorted({cid for cid, _, _ in routes})
     vec = F.col(vec_col).cast("array<double>")
+    pruned = indexed.filter(F.col("cid").isin(union_cids))
+    if predicate is not None:
+        pruned = pruned.filter(predicate)
     scored = (
-        indexed.filter(F.col("cid").isin(union_cids))
+        pruned
         .join(F.broadcast(route_df), "cid")
         .withColumn(
             "score",

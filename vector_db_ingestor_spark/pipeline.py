@@ -776,6 +776,7 @@ class VectorCollection:
         nprobe: int = 4,
         refine: bool = False,
         k2: int | None = None,
+        filter_metadata: dict[str, str] | None = None,
     ) -> DataFrame:
         """Approximate search against a prebuilt index
         (:meth:`build_ann_index`): embeds the query, prunes to the
@@ -790,10 +791,17 @@ class VectorCollection:
         the whole batch — and the result carries a ``query_id`` column
         (position in the list) with per-query ranks.
 
-        Metadata filters are NOT supported here: the indexes don't
-        carry metadata, and silently post-filtering an approximate hit
-        list returns fewer-than-k rows with recall no one chose — use
-        the exact :meth:`search` for filtered queries.
+        ``filter_metadata`` (round 13, reference R11 at the index
+        rung): supported for ``kind="ivf"`` ONLY — that index keeps
+        full rows, so the predicate applies INSIDE the probed cells
+        before ranking (Chroma's filtered-HNSW shape: non-matching
+        rows never enter the top-k, unlike post-filtering which
+        silently returns fewer-than-k with recall no one chose).
+        Recall caveat: cells are probed by the query vector alone, so
+        a filter whose matches concentrate in unprobed cells needs a
+        higher ``nprobe``.  Refused for ``kind="ivfpq"`` — the codes
+        index carries no metadata; use the exact :meth:`search` or the
+        ivf index for filtered queries.
 
         ``refine=True`` (ivfpq only — ivf already re-scores raw
         vectors inside probed cells) runs the FAISS
@@ -819,6 +827,13 @@ class VectorCollection:
         queries = query if isinstance(query, list) else [query]
         if not queries or any(not q or not q.strip() for q in queries):
             raise ValueError("query must be (a list of) non-empty string(s)")
+        if filter_metadata and kind != "ivf":
+            raise ValueError(
+                "filter_metadata needs kind='ivf' (that index keeps full "
+                f"rows; the {kind!r} index carries no metadata) — or use "
+                "the exact search()"
+            )
+        meta_pred = self._metadata_predicate(filter_metadata)
         path = self._ann_path(kind)
         if not ivf_index_complete(self.spark, path):
             raise ValueError(
@@ -865,6 +880,7 @@ class VectorCollection:
                 hits = ivf_topk_batch(
                     indexed, cents, probes, k=n_results, nprobe=nprobe,
                     id_col="chunk_uid", vec_col="embedding",
+                    predicate=meta_pred,
                 )
             elif kind == "ivfpq":
                 codes, cents, cbs = ivfpq_read(self.spark, path)
@@ -882,6 +898,7 @@ class VectorCollection:
             hits = ivf_topk(
                 indexed, cents, probe, k=n_results, nprobe=nprobe,
                 id_col="chunk_uid", vec_col="embedding",
+                predicate=meta_pred,
             )
         elif kind == "ivfpq":
             codes, cents, cbs = ivfpq_read(self.spark, path)
