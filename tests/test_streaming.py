@@ -672,3 +672,105 @@ def test_stream_ingest_warc_exactly_once_per_segment(spark, tmp_path):
     }
     n_one = sum(r.filename.endswith("/one") for r in rows)
     assert n_one == len(first)  # exactly-once per segment
+
+
+def test_stream_ingest_absorb_keeps_index_current(spark, tmp_path):
+    """Round 13: the streaming add -> index-update loop.  Seed ingest +
+    build_ann_index once; then files landing in the directory stream
+    through append + ann_absorb, and search_ann (including the refined
+    rung) serves them without a rebuild.  A fresh-checkpoint re-drain
+    of the same files absorbs nothing (content anti-join idempotence),
+    and starting the stream without an index is loud."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+    from vector_db_ingestor_spark.streaming.ingest import stream_ingest_absorb
+
+    def pdf(i, tag):
+        return (
+            f"stream\n({tag} file number {i} about streaming absorb. "
+            "More sentences follow here! Another one arrives? "
+            "The final words land.) Tj\nendstream"
+        ).encode()
+
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    for i in range(4):
+        (src / f"seed_{i}.pdf").write_bytes(pdf(i, "seed"))
+    out, ck = str(tmp_path / "coll"), str(tmp_path / "ck")
+
+    coll = VectorCollection(spark, out)
+    # no index yet: refuse to start
+    with pytest.raises(ValueError, match="before\\s+streaming absorbs"):
+        stream_ingest_absorb(spark, str(src), out, ck, kind="ivfpq")
+
+    # seed via the foreachBatch variant: the raw streaming parquet
+    # sink writes a _spark_metadata log that makes later BATCH appends
+    # invisible to reads — append() refuses such a directory (guard
+    # tested below)
+    from vector_db_ingestor_spark.streaming.ingest import (
+        stream_ingest_dedup,
+        stream_ingest_directory,
+    )
+
+    q0 = stream_ingest_dedup(
+        spark, str(src), out, ck, chunk_size=40, overlap=8
+    )
+    q0.awaitTermination(120)
+    coll.build_ann_index(kind="ivfpq", n_centroids=4, m=4, ksub=8)
+    base_total = coll.ann_drift_report("ivfpq").agg(F.sum("n")).first()[0]
+
+    for i in range(2):
+        (src / f"late_{i}.pdf").write_bytes(pdf(i, "late"))
+    q1 = stream_ingest_absorb(
+        spark, str(src), out, ck, kind="ivfpq", chunk_size=40, overlap=8
+    )
+    q1.awaitTermination(120)
+    grown = coll.ann_drift_report("ivfpq").agg(F.sum("n")).first()[0]
+    late_chunks = coll.df().filter(
+        F.col("filename").startswith("late_")
+    ).count()
+    assert late_chunks > 0
+    assert grown == base_total + late_chunks
+
+    hits = coll.search_ann(
+        "late file streaming absorb", n_results=coll.count(),
+        kind="ivfpq", refine=True,
+    )
+    got = {r.filename for r in hits.collect()}
+    assert any(f.startswith("late_") for f in got)
+    assert hits.filter(F.col("text").isNull()).count() == 0
+
+    # fresh checkpoint re-drain: file source replays everything, the
+    # content anti-join absorbs nothing
+    q2 = stream_ingest_absorb(
+        spark, str(src), out, str(tmp_path / "ck2"), kind="ivfpq",
+        chunk_size=40, overlap=8,
+    )
+    q2.awaitTermination(120)
+    assert coll.ann_drift_report("ivfpq").agg(F.sum("n")).first()[0] == grown
+    assert coll.df().count() == coll.df().dropDuplicates(["chunk_uid"]).count()
+
+    # the _spark_metadata guard: a collection written by the raw
+    # streaming parquet sink refuses batch appends (they'd be
+    # invisible to reads — the log is the source of truth)
+    sink_out = str(tmp_path / "sink_coll")
+    q3 = stream_ingest_directory(
+        spark, str(src), sink_out, str(tmp_path / "ck3"),
+        chunk_size=40, overlap=8,
+    )
+    q3.awaitTermination(120)
+    sink_coll = VectorCollection(spark, sink_out)
+    assert sink_coll._has_stream_log()
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        sink_coll.append(sink_coll.df().limit(1))
+    # compact() is the sanctioned migration: rewrites through the log
+    # into a plain dir, after which appends work
+    before = sink_coll.count()
+    sink_coll.compact(target_file_bytes=16 * 1024 * 1024)
+    assert not sink_coll._has_stream_log()
+    assert sink_coll.count() == before
+    one = sink_coll.df().limit(1)
+    sink_coll.append(one.withColumn("chunk_uid", F.lit("migrated-row")))
+    assert sink_coll.count() == before + 1

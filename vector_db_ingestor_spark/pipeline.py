@@ -262,7 +262,25 @@ class VectorCollection:
         reason :meth:`upsert_files` does: hive ``col=...`` dirs would
         land NEXT TO the flat layout files, a mixed directory no reader
         handles and a sidecar describing files that stop being
-        authoritative."""
+        authoritative.
+
+        Also refuses a collection written by the STREAMING PARQUET SINK
+        (``_spark_metadata`` transaction log present): Spark reads such
+        a directory through the log, so batch-appended files would be
+        silently INVISIBLE to every subsequent read — data loss without
+        an error.  :meth:`compact` is the sanctioned migration (it
+        rewrites through the log into a plain directory); the
+        foreachBatch ingest variants (``stream_ingest_dedup`` /
+        ``stream_ingest_absorb``) write batch-mode and don't create a
+        log in the first place."""
+        if self._has_stream_log():
+            raise ValueError(
+                f"{self.path} carries a streaming-sink _spark_metadata "
+                "log: batch appends would be invisible to reads (the log "
+                "is the source of truth) — compact() first to migrate to "
+                "a plain directory, or ingest via the foreachBatch "
+                "streaming variants"
+            )
         lay = self.layout()
         if lay and partition_by:
             raise ValueError(
@@ -311,6 +329,16 @@ class VectorCollection:
                 f"unknown layout {layout!r}: expected 'range:<col>' or "
                 "'zorder:<c1>,<c2>'"
             )
+
+    def _has_stream_log(self) -> bool:
+        """True iff the collection directory was written by the
+        streaming parquet sink (its ``_spark_metadata`` commit log is
+        present) — reads then go through the log and ignore any file
+        it doesn't list."""
+        p = self.path.rstrip("/") + "/_spark_metadata"
+        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path(p)
+        fs = jvm_path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jvm_path))
 
     def _record_layout(self, layout: str, path: str | None = None) -> None:
         # sidecar inside the collection dir; the leading underscore
@@ -702,7 +730,13 @@ class VectorCollection:
         refine contract) absorbs codes only — the refine path already
         fails loudly on it.  The model standing still while data moves
         is the no-retrain trade: watch :meth:`ann_drift_report` and
-        rebuild via :meth:`build_ann_index` when skew crosses ~4."""
+        rebuild via :meth:`build_ann_index` when skew crosses ~4.
+
+        ``new_chunks`` must not be a lazy plan derived from this
+        collection's own files: :meth:`append` mutates the collection,
+        so such a plan re-evaluated here would see its own appended
+        rows (snapshot first — ``localCheckpoint(eager=True)`` — as
+        ``stream_ingest_absorb`` does)."""
         from vector_db_ingestor_spark.operators.similarity import (
             ivf_append,
             ivf_index_complete,

@@ -142,6 +142,89 @@ def stream_ingest_dedup(
     )
 
 
+def stream_ingest_absorb(
+    spark: SparkSession,
+    directory: str,
+    collection_path: str,
+    checkpoint_path: str,
+    kind: str = "ivfpq",
+    metadata: dict[str, str] | None = None,
+    chunk_size: int = 600,
+    overlap: int = 50,
+    embedder: HashingEmbedder | None = None,
+    glob: str = "*.pdf",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming ingest that keeps a prebuilt ANN index CURRENT — the
+    full streaming twin of Chroma's ``add`` → HNSW-update loop
+    (``src/PDFToChromaIngester.py:189-193``): each micro-batch appends
+    to the collection AND absorbs into the frozen-model index
+    (:meth:`VectorCollection.ann_absorb` — assign-only into existing
+    ``cid=`` partitions, plus the refine companion for ivfpq), so
+    ``search_ann`` serves files seconds after they land, no rebuild in
+    the loop.
+
+    Idempotent under retries: ``ann_absorb`` is an append (NOT
+    idempotent by itself), so the batch first anti-joins the
+    collection on the deterministic ``chunk_uid`` (the
+    :func:`stream_ingest_dedup` merge) — a replayed micro-batch finds
+    its chunks already present and absorbs nothing.  Refuses to start
+    without a complete index (build once after a seed ingest): an
+    absorb-into-nothing would silently skip maintenance.  The frozen
+    model still drifts with the data — watch
+    :meth:`VectorCollection.ann_drift_report` and rebuild out-of-band
+    when skew crosses tolerance.
+    """
+    from vector_db_ingestor_spark.operators.similarity import (
+        ivf_index_complete,
+    )
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    coll = VectorCollection(spark, collection_path)
+    if not ivf_index_complete(spark, coll._ann_path(kind)):
+        raise ValueError(
+            f"no complete {kind!r} index under {collection_path}; seed the "
+            f"collection and build_ann_index(kind={kind!r}) before "
+            "streaming absorbs into it"
+        )
+    files = stream_pdf_files(spark, directory, glob, max_files_per_trigger)
+    chunks = build_chunks(files, metadata, chunk_size, overlap, embedder)
+
+    def merge_and_absorb(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            existing = sess.read.parquet(collection_path).select("chunk_uid")
+        except AnalysisException as e:
+            cls = getattr(e, "getCondition", lambda: None)() or ""
+            if "PATH_NOT_FOUND" not in cls and "PATH_NOT_FOUND" not in str(e):
+                raise
+            existing = None
+        fresh = batch_df.dropDuplicates(["chunk_uid"])
+        if existing is not None:
+            fresh = fresh.join(existing, "chunk_uid", "left_anti")
+        # SNAPSHOT before the two writes: the anti-join plan is lazy
+        # against the collection, and coll.append MUTATES the
+        # collection — a recomputation between append and absorb
+        # (persist substitution is not guaranteed under the
+        # micro-batch session) would re-run the anti-join against the
+        # already-appended rows and absorb an EMPTY batch (observed:
+        # 6 empty code files, index stuck at the seed count).
+        # localCheckpoint breaks the lineage eagerly, so both writes
+        # read the same frozen rows.
+        fresh = fresh.localCheckpoint(eager=True)
+        if fresh.count() == 0:
+            return
+        coll.append(fresh)
+        coll.ann_absorb(fresh, kind=kind)
+
+    return (
+        chunks.writeStream.foreachBatch(merge_and_absorb)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_warc_segments(
     spark: SparkSession,
     directory: str,
