@@ -214,6 +214,7 @@ AUDITS: dict[str, dict] = {
 # q_nb_classify's bounded 5-row class fan-out is a deliberate broadcast
 # cross join, so it pins partial_agg rather than no_nested_loop.
 QUEUE_AUDITS: dict[str, dict] = {
+    "q_ann_ivf_filtered": {"top_k": True, "max_exchange": 0},
     "q_text_boilerplate_strip": {"broadcast": True, "partial_agg": True},
     "q_nb_classify": {"partial_agg": True},
     "q_stream_dedup": {"partial_agg": True},

@@ -140,6 +140,7 @@ def test_bucketed_join_and_agg_are_shuffle_free(spark, tmp_path):
 # QUEUE_AUDITS, enforced in CI at sf0.001 so a rewrite cannot degrade a
 # queued plan between build time and declaration time
 QUEUE_CASES = [
+    ("q_ann_ivf_filtered", "take_ordered"),
     ("q_url_curation", "no_shuffle"),
     ("q_html_extract", "fused_python"),
     ("q_join_interval", "no_nested_loop"),

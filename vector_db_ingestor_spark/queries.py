@@ -1591,6 +1591,78 @@ QUERIES["q_ann_ivf_assign"] = q_ann_ivf_assign_impl
 ORACLE_SQL["q_ann_ivf_assign"] = _ivf_assign_oracle()
 
 
+def q_ann_ivf_filtered_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 queue item: FILTERED ANN under the hash gate — the
+    ``search_ann(filter_metadata=...)`` semantics (reference R11 at
+    the index rung) on the literal-centroid IVF model.  The
+    q_ann_ivf_assign assignment expression builds ``cid`` in-plan,
+    then the PRODUCTION ``ivf_topk`` prunes to the probe's nprobe=4
+    shortlist and applies the label predicate INSIDE the probed cells
+    before exact cosine ranking — non-matching rows never enter the
+    top-k (Chroma's filtered-HNSW shape, not post-filtering).  The
+    oracle re-derives assignment argmax, shortlist ranking, filter,
+    and the rounded-cosine top-10 from the same literals, so every
+    piece of the filtered serving path is cross-engine checked.
+    Scale: one narrow scan + TakeOrderedAndProject, zero shuffles."""
+    from vector_db_ingestor_spark.operators.similarity import (
+        _assign_cid,
+        ivf_topk,
+    )
+
+    cents = _ivf_assign_centroids()
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    indexed = emb.withColumn("cid", _assign_cid(vec, cents, round_dp=6))
+    return ivf_topk(
+        indexed, cents, PROBE_64, k=10, nprobe=4,
+        predicate=F.col("label").isin(1, 3, 5, 7),
+    )
+
+
+def _ivf_filtered_oracle(nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB mirror: the q_ann_ivf_assign CTEs (same centroid
+    literals, same rounded-cosine argmax and shortlist re-rank) with
+    the label filter applied inside shortlisted cells and the
+    q_topk_cosine scorer ranking the survivors."""
+    cents = _ivf_assign_centroids()
+
+    def cvec(c: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]"
+
+    def cos_sql(c: list[float]) -> str:
+        lit = cvec(c)
+        return (
+            f"round(list_dot_product(embedding::DOUBLE[], {lit})"
+            f" / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+            f" * sqrt(list_dot_product({lit}, {lit}))), 6)"
+        )
+
+    cent_rows = ", ".join(f"({i}, {cvec(c)})" for i, c in enumerate(cents))
+    sims = ", ".join(cos_sql(c) for c in cents)
+    return f"""
+    WITH cents(cid, cvec) AS (VALUES {cent_rows}),
+    short AS (
+        SELECT cid FROM cents
+        ORDER BY (list_dot_product(cvec, {_PROBE_SQL})
+                  / (sqrt(list_dot_product(cvec, cvec))
+                     * sqrt(list_dot_product({_PROBE_SQL}, {_PROBE_SQL})))) DESC,
+                 cid ASC
+        LIMIT {nprobe}
+    ),
+    assigned AS (
+        SELECT vec_id, label, embedding,
+               CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER) AS cid
+        FROM (SELECT vec_id, label, embedding, [{sims}] AS sims
+              FROM embeddings)
+    )
+    SELECT vec_id, cid, {_SCORE_SQL} AS score
+    FROM assigned
+    WHERE cid IN (SELECT cid FROM short) AND label IN (1, 3, 5, 7)
+    ORDER BY score DESC, vec_id ASC
+    LIMIT {k}
+    """
+
+
 # =====================================================================
 # P0 ingestion pipeline + multimodal plumbing (rows-only: UDF-backed)
 # =====================================================================
@@ -8395,6 +8467,7 @@ def _curation_pipeline_oracle() -> str:
 # =====================================================================
 
 QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
+    "q_ann_ivf_filtered": (q_ann_ivf_filtered_impl, _ivf_filtered_oracle()),
     "q_text_boilerplate_strip": (
         q_text_boilerplate_strip_impl,
         _boilerplate_strip_oracle(),
