@@ -1189,7 +1189,7 @@ def ann_100x(sf_dir: str, reps: int = 3) -> None:
 
     lines = [
         "",
-        "## 100x ANN-serving probe — round-12 full set, MATERIALIZED "
+        "## 100x ANN-serving probe — full set, MATERIALIZED "
         "inputs, warm median-of-%d" % reps,
         "",
         "The standing ANN probe set (materialized-parquet methodology,",
@@ -1373,7 +1373,7 @@ def text_100x(sf_dir: str, reps: int = 3) -> None:
 
     lines = [
         "",
-        "## 100x text-pipeline probe — round-9, warm median-of-%d" % reps,
+        "## 100x text-pipeline probe — warm median-of-%d" % reps,
         "",
         "Quality scoring, token frequency, TF-IDF top-3, benchmark",
         "decontamination, boilerplate top-50, and sequence packing at",
@@ -1945,7 +1945,7 @@ def rel_100x(sf_dir: str, reps: int = 3) -> None:
 
     lines = [
         "",
-        "## 100x relational-core probe — round-9, warm median-of-%d" % reps,
+        "## 100x relational-core probe — warm median-of-%d" % reps,
         "",
         "TPC-H-shaped families at 30x/100x lineitem (18M/60M rows),",
         "materialized replicated tables, every key column copy-offset so",
