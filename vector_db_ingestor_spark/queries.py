@@ -8461,6 +8461,29 @@ def _curation_pipeline_oracle() -> str:
 
 
 # =====================================================================
+# Round-14 declarations (SURVEY §7's largest window: the seven pairs
+# built round 11, differentially tested in tests/test_round11_queries.py,
+# plan-pinned in tests/test_plans.py QUEUE_CASES, and 100x-probed —
+# promoted from QUEUED_QUERIES into the declared inventory here)
+# =====================================================================
+
+QUERIES["q_text_boilerplate_strip"] = q_text_boilerplate_strip_impl
+ORACLE_SQL["q_text_boilerplate_strip"] = _boilerplate_strip_oracle()
+QUERIES["q_nb_classify"] = q_nb_classify_impl
+ORACLE_SQL["q_nb_classify"] = _nb_classify_oracle()
+QUERIES["q_stream_dedup"] = q_stream_dedup_impl
+ORACLE_SQL["q_stream_dedup"] = _stream_dedup_oracle()
+QUERIES["q_html_extract"] = q_html_extract_impl
+ORACLE_SQL["q_html_extract"] = _html_extract_oracle()
+QUERIES["q_sketch_cms"] = q_sketch_cms_impl
+ORACLE_SQL["q_sketch_cms"] = _sketch_cms_oracle()
+QUERIES["q_ann_ivfpq_refine"] = q_ann_ivfpq_refine_impl
+ORACLE_SQL["q_ann_ivfpq_refine"] = _ivfpq_refine_oracle()
+QUERIES["q_join_interval"] = q_join_interval_impl
+ORACLE_SQL["q_join_interval"] = _join_interval_oracle()
+
+
+# =====================================================================
 # the declaration queue, as data: every built-ahead impl/oracle pair
 # (single source of truth for scripts/check_oracle.py --queue and the
 # per-round registration diffs; tests import the pairs directly)
@@ -8468,16 +8491,6 @@ def _curation_pipeline_oracle() -> str:
 
 QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q_ann_ivf_filtered": (q_ann_ivf_filtered_impl, _ivf_filtered_oracle()),
-    "q_text_boilerplate_strip": (
-        q_text_boilerplate_strip_impl,
-        _boilerplate_strip_oracle(),
-    ),
-    "q_nb_classify": (q_nb_classify_impl, _nb_classify_oracle()),
-    "q_stream_dedup": (q_stream_dedup_impl, _stream_dedup_oracle()),
-    "q_html_extract": (q_html_extract_impl, _html_extract_oracle()),
-    "q_sketch_cms": (q_sketch_cms_impl, _sketch_cms_oracle()),
-    "q_ann_ivfpq_refine": (q_ann_ivfpq_refine_impl, _ivfpq_refine_oracle()),
-    "q_join_interval": (q_join_interval_impl, _join_interval_oracle()),
     "q_graph_pagerank": (q_graph_pagerank_impl, _graph_pagerank_oracle()),
     "q_sketch_linear": (q_sketch_linear_impl, _sketch_linear_oracle()),
     "q_sketch_bloom": (q_sketch_bloom_impl, _sketch_bloom_oracle()),
