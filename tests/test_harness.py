@@ -185,7 +185,19 @@ def test_bench_summary_line_fits_driver_tail_window():
         {k: 99.999 for k in bench.HEADLINE}, 8399.9, 5, "0.1"
     )
     assert len(absurd) <= bench.TAIL_BUDGET
-    assert set(json.loads(absurd)["queries"]) == set(bench.HEADLINE)
+    absurd_queries = json.loads(absurd)["queries"]
+    # at 91 keys a worst-case-width (100s/key, 3 digits at 0dp) map no
+    # longer fits the tail window: the formatter must either keep every
+    # key or take the LOUD count-drop path — never silently truncate.
+    # (The full-precision per-key record rides BENCH_DETAIL_r{N}.json,
+    # committed per round, so the stdout map is no longer the only
+    # carrier.)
+    assert set(absurd_queries) in (
+        set(bench.HEADLINE),
+        {"_dropped_keys"},
+    )
+    if set(absurd_queries) == {"_dropped_keys"}:
+        assert absurd_queries["_dropped_keys"] == len(bench.HEADLINE)
 
 
 def test_bench_summary_overflow_is_loud_not_truncated(capsys):

@@ -1176,6 +1176,100 @@ def test_ann_absorb_keeps_index_and_refine_current(spark, tmp_path):
         empty.ann_absorb(batch, kind="ivfpq")
 
 
+def test_ann_absorb_idempotent_per_artifact(spark, tmp_path):
+    """ADVICE r13: absorb keys idempotence on each index artifact's
+    OWN ids, so any crash-point replay converges.  (1) absorbing the
+    same batch twice duplicates nothing in codes, companion, or the
+    ivf partitions; (2) a batch appended to the collection but never
+    indexed (crash between the two writes) is still absorbed by a
+    replay — collection membership must NOT mask it; (3) a partial
+    absorb (companion written, codes not — the crash the
+    companion-first ordering makes harmless) is completed, not
+    duplicated, by the replay."""
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    def corpus(tag, n):
+        texts = [
+            (f"{tag} replay document {i} about absorb idempotence "
+             f"{'alpha beta gamma delta '[: 8 + i % 12]} ").encode() * 3
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            [
+                (
+                    f"file:/fake/{tag}{i}.pdf",
+                    f"{tag}{i}.pdf",
+                    len(b),
+                    bytearray(b"stream\n(" + b + b") Tj\nendstream"),
+                )
+                for i, b in enumerate(texts)
+            ],
+            "source STRING, filename STRING, file_bytes LONG, content BINARY",
+        )
+
+    coll = VectorCollection(spark, str(tmp_path / "replay_coll"))
+    coll.overwrite(build_chunks(corpus("base", 8), chunk_size=60, overlap=10))
+    for kind in ("ivf", "ivfpq"):
+        coll.build_ann_index(kind=kind, n_centroids=4, m=4, ksub=8)
+
+    def artifact_ids(path):
+        return [
+            r[0]
+            for r in spark.read.parquet(path).select("chunk_uid").collect()
+        ]
+
+    codes_path = coll._ann_path("ivfpq")
+    comp_path = coll._ann_vectors_path("ivfpq")
+    ivf_path = coll._ann_path("ivf")
+
+    # (2) crash between append and absorb: rows live in the collection
+    # but not the index; the replayed absorb must still index them
+    batch = build_chunks(
+        corpus("crash", 3), chunk_size=60, overlap=10
+    ).localCheckpoint(eager=True)
+    n_new = batch.count()
+    coll.append(batch)  # ... crash here: no absorb
+    for kind, path in (("ivf", ivf_path), ("ivfpq", codes_path)):
+        before = len(artifact_ids(path))
+        coll.ann_absorb(batch, kind=kind)  # the replay
+        assert len(artifact_ids(path)) == before + n_new, kind
+        # (1) second replay: nothing duplicated anywhere
+        coll.ann_absorb(batch, kind=kind)
+        ids = artifact_ids(path)
+        assert len(ids) == len(set(ids)) == before + n_new, kind
+    comp_ids = artifact_ids(comp_path)
+    assert len(comp_ids) == len(set(comp_ids))
+    assert set(comp_ids) == set(artifact_ids(codes_path))
+
+    # (3) partial absorb: companion holds the batch, codes do not
+    # (the crash ordering ann_absorb's companion-first write allows);
+    # the replay completes the codes without re-appending vectors
+    from vector_db_ingestor_spark.operators.similarity import vectors_append
+
+    batch2 = build_chunks(
+        corpus("half", 2), chunk_size=60, overlap=10
+    ).localCheckpoint(eager=True)
+    coll.append(batch2)
+    comp_schema = spark.read.parquet(comp_path).schema
+    vectors_append(
+        batch2.select(
+            *[F.col(f.name).cast(f.dataType) for f in comp_schema.fields]
+        ),
+        comp_path, id_col="chunk_uid",
+    )  # ... crash here: codes never written
+    coll.ann_absorb(batch2, kind="ivfpq")  # the replay
+    comp_ids = artifact_ids(comp_path)
+    assert len(comp_ids) == len(set(comp_ids))
+    assert set(comp_ids) == set(artifact_ids(codes_path))
+    # and every absorbed row actually serves through the refine ladder
+    hits = coll.search_ann(
+        "half replay absorb", n_results=coll.count(), kind="ivfpq",
+        refine=True,
+    )
+    got = {r.filename for r in hits.collect()}
+    assert any(f.startswith("half") for f in got)
+
+
 def test_search_ann_filtered_ivf(spark, tmp_path):
     """Filtered ANN (round 13, reference R11 at the index rung): the
     ivf index keeps full rows, so filter_metadata applies INSIDE the
@@ -1231,8 +1325,128 @@ def test_search_ann_filtered_ivf(spark, tmp_path):
     brows = got_b.collect()
     assert brows and all(r.metadata["category"] == "faq" for r in brows)
     assert {r.query_id for r in brows} == {0, 1}
-    # codes index carries no metadata: loud refusal
+    # codes index carries no metadata: loud refusal WITHOUT refine
+    # (refine=True extends filtering to ivfpq — round 14, tested in
+    # test_search_ann_filtered_escalation below)
     with pytest.raises(ValueError, match="needs kind='ivf'"):
         coll.search_ann(q, kind="ivfpq", filter_metadata=flt)
-    with pytest.raises(ValueError, match="needs kind='ivf'"):
-        coll.search_ann(q, kind="ivfpq", refine=True, filter_metadata=flt)
+
+
+def test_search_ann_filtered_escalation(spark, tmp_path):
+    """Round 14, the filtered-ANN recall contract (VERDICT r13 #2/#3):
+    a filtered search that underfills escalates nprobe (and k2 on the
+    refine ladder) until it returns the EXACT filtered top-k — never
+    silently fewer rows; escalate=False restores the single-pass
+    underfill signal.  Also certifies filtered IVF-PQ serving via
+    refine=True (the predicate applies at the full-row candidate
+    fetch), single and batched."""
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    def corpus(tag, n, vocab):
+        texts = [
+            (f"{tag} document {i} about {vocab} "
+             f"{vocab.split()[i % len(vocab.split())]} topic {i} ").encode()
+            * 3
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            [
+                (
+                    f"file:/fake/{tag}{i}.pdf",
+                    f"{tag}{i}.pdf",
+                    len(b),
+                    bytearray(b"stream\n(" + b + b") Tj\nendstream"),
+                )
+                for i, b in enumerate(texts)
+            ],
+            "source STRING, filename STRING, file_bytes LONG, content BINARY",
+        )
+
+    a = build_chunks(
+        corpus("policy", 10, "aviation safety rules and cabin procedures"),
+        metadata={"category": "policy"}, chunk_size=60, overlap=10,
+    )
+    b = build_chunks(
+        corpus("faq", 10, "billing refunds loyalty points and upgrades"),
+        metadata={"category": "faq"}, chunk_size=60, overlap=10,
+    )
+    coll = VectorCollection(spark, str(tmp_path / "esc_coll"))
+    coll.overwrite(a.unionByName(b))
+    coll.build_ann_index(kind="ivf", n_centroids=4)
+    coll.build_ann_index(kind="ivfpq", n_centroids=4, m=4, ksub=8)
+
+    # query keyed to the OTHER category's vocabulary, so nprobe=1
+    # probes a cell the faq rows likely don't own
+    q = "aviation safety cabin procedures"
+    flt = {"category": "faq"}
+    n_faq = coll.df().filter(F.col("metadata")["category"] == "faq").count()
+    exact = [
+        (r.chunk_uid, r.score)
+        for r in coll.search(q, n_results=n_faq, filter_metadata=flt).collect()
+    ]
+    assert len(exact) == n_faq
+
+    # do the faq rows span more than one ivf cell? (fixture sanity —
+    # if they do, any single-cell probe MUST underfill at k=n_faq)
+    idx = spark.read.parquet(coll._ann_path("ivf"))
+    faq_cells = (
+        idx.filter(F.col("metadata")["category"] == "faq")
+        .select("cid").distinct().count()
+    )
+
+    naive = coll.search_ann(
+        q, n_results=n_faq, kind="ivf", nprobe=1, filter_metadata=flt,
+        escalate=False,
+    )
+    if faq_cells > 1:
+        # the documented underfill signal, now opt-in
+        assert naive.count() < n_faq
+    # escalation fills to the exact filtered top-k
+    esc = coll.search_ann(
+        q, n_results=n_faq, kind="ivf", nprobe=1, filter_metadata=flt
+    )
+    assert [(r.chunk_uid, r.score) for r in esc.collect()] == exact
+
+    # batched ivf: per-query escalation reaches the same exact result
+    esc_b = coll.search_ann(
+        [q, "billing refunds"], n_results=n_faq, kind="ivf", nprobe=1,
+        filter_metadata=flt,
+    )
+    got0 = [
+        (r.chunk_uid, r.score) for r in esc_b.collect() if r.query_id == 0
+    ]
+    assert got0 == exact
+
+    # filtered refine (ivfpq): tiny k2 + nprobe=1 must escalate to the
+    # exact filtered top-k; every hit satisfies the filter
+    esc_r = coll.search_ann(
+        q, n_results=n_faq, kind="ivfpq", refine=True, nprobe=1, k2=2,
+        filter_metadata=flt,
+    )
+    rrows = esc_r.collect()
+    assert all(r.metadata["category"] == "faq" for r in rrows)
+    assert [(r.chunk_uid, r.score) for r in rrows] == exact
+    # escalate=False: at most k2 candidates survive — the underfill
+    # signal, not a silent recall choice someone else made
+    naive_r = coll.search_ann(
+        q, n_results=n_faq, kind="ivfpq", refine=True, nprobe=1, k2=2,
+        filter_metadata=flt, escalate=False,
+    )
+    assert naive_r.count() <= 2 < n_faq
+
+    # batched filtered refine: per-query equal to the single-probe path
+    esc_rb = coll.search_ann(
+        [q, "billing refunds"], n_results=3, kind="ivfpq", refine=True,
+        nprobe=1, k2=2, filter_metadata=flt,
+    )
+    single0 = [
+        (r.chunk_uid, r.score)
+        for r in coll.search_ann(
+            q, n_results=3, kind="ivfpq", refine=True, nprobe=1, k2=2,
+            filter_metadata=flt,
+        ).collect()
+    ]
+    got_rb0 = [
+        (r.chunk_uid, r.score) for r in esc_rb.collect() if r.query_id == 0
+    ]
+    assert got_rb0 == single0

@@ -774,3 +774,85 @@ def test_stream_ingest_absorb_keeps_index_current(spark, tmp_path):
     one = sink_coll.df().limit(1)
     sink_coll.append(one.withColumn("chunk_uid", F.lit("migrated-row")))
     assert sink_coll.count() == before + 1
+
+
+def test_stream_absorb_replay_heals_unindexed_rows(spark, tmp_path):
+    """ADVICE r13 (medium): the absorb's idempotence key is the INDEX,
+    not the collection.  Simulate a crash between the two foreachBatch
+    writes — chunks appended to the collection but never absorbed —
+    then replay the same files through stream_ingest_absorb with a
+    fresh checkpoint: the replay must re-absorb exactly those rows
+    (collection-keyed idempotence would anti-join them away and leave
+    the index silently stale forever)."""
+    import pyspark.sql.functions as F
+
+    from vector_db_ingestor_spark.pipeline import VectorCollection, build_chunks
+    from vector_db_ingestor_spark.streaming.ingest import (
+        stream_ingest_absorb,
+        stream_ingest_dedup,
+    )
+
+    def pdf(i, tag):
+        return (
+            f"stream\n({tag} file number {i} about replay healing. "
+            "More sentences follow here! Another one arrives? "
+            "The final words land.) Tj\nendstream"
+        ).encode()
+
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    for i in range(3):
+        (src / f"seed_{i}.pdf").write_bytes(pdf(i, "seed"))
+    out, ck = str(tmp_path / "coll"), str(tmp_path / "ck")
+
+    q0 = stream_ingest_dedup(spark, str(src), out, ck, chunk_size=40, overlap=8)
+    q0.awaitTermination(120)
+    coll = VectorCollection(spark, out)
+    coll.build_ann_index(kind="ivfpq", n_centroids=4, m=4, ksub=8)
+    base_total = coll.ann_drift_report("ivfpq").agg(F.sum("n")).first()[0]
+
+    # the "crash": new files land AND get appended to the collection,
+    # but the absorb never runs (exactly the torn state a foreachBatch
+    # failure between coll.append and coll.ann_absorb leaves behind)
+    for i in range(2):
+        (src / f"torn_{i}.pdf").write_bytes(pdf(i, "torn"))
+    torn = spark.createDataFrame(
+        [
+            (
+                f"file:{src}/torn_{i}.pdf",
+                f"torn_{i}.pdf",
+                len(pdf(i, "torn")),
+                bytearray(pdf(i, "torn")),
+            )
+            for i in range(2)
+        ],
+        "source STRING, filename STRING, file_bytes LONG, content BINARY",
+    )
+    torn_chunks = build_chunks(torn, chunk_size=40, overlap=8).localCheckpoint(
+        eager=True
+    )
+    coll.append(torn_chunks)
+    n_torn = torn_chunks.count()
+    assert (
+        coll.ann_drift_report("ivfpq").agg(F.sum("n")).first()[0] == base_total
+    )  # torn state: in the collection, not in the index
+
+    # the replay: a fresh-checkpoint drain sees every file again; the
+    # collection anti-join appends nothing, the index-keyed absorb
+    # heals the torn rows exactly once
+    q1 = stream_ingest_absorb(
+        spark, str(src), out, str(tmp_path / "ck2"), kind="ivfpq",
+        chunk_size=40, overlap=8,
+    )
+    q1.awaitTermination(120)
+    assert (
+        coll.ann_drift_report("ivfpq").agg(F.sum("n")).first()[0]
+        == base_total + n_torn
+    )
+    assert coll.df().count() == coll.df().dropDuplicates(["chunk_uid"]).count()
+    hits = coll.search_ann(
+        "torn file replay healing", n_results=coll.count(), kind="ivfpq",
+        refine=True,
+    )
+    assert any(r.filename.startswith("torn_") for r in hits.collect())
+    assert hits.filter(F.col("text").isNull()).count() == 0

@@ -553,12 +553,16 @@ class VectorCollection:
         routing a non-shortlist DataFrame through here gets a loud
         error, not a driver OOM."""
         if self.layout() == f"range:{key}":
-            rows = ranked.collect()
+            # cap INSIDE the collect (limit pushes into the shortlist
+            # plan), so an oversized input raises without the driver
+            # ever materializing more than max_ids+1 rows (ADVICE r13:
+            # a post-collect check still OOMs during the collect)
+            rows = ranked.limit(max_ids + 1).collect()
             if len(rows) > max_ids:
                 raise ValueError(
-                    f"_fetch_hits got {len(rows)} ranked rows: hit "
-                    "fetches are shortlist (driver-model) scale; join "
-                    "the tables instead"
+                    f"_fetch_hits got more than {max_ids} ranked rows: "
+                    "hit fetches are shortlist (driver-model) scale; "
+                    "join the tables instead"
                 )
             local = self.spark.createDataFrame(rows, ranked.schema)
             ids = [r[key] for r in rows]
@@ -712,6 +716,46 @@ class VectorCollection:
         else:
             raise ValueError(f"unknown ANN index kind: {kind!r}")
 
+    def _novel_rows(
+        self,
+        batch: DataFrame,
+        artifact_path: str,
+        id_col: str = "chunk_uid",
+        max_ids: int = 100_000,
+    ) -> DataFrame | None:
+        """Rows of ``batch`` whose ``id_col`` is NOT yet in the parquet
+        artifact at ``artifact_path`` — the per-artifact idempotence
+        filter for :meth:`ann_absorb`.  Membership is resolved on the
+        driver at shortlist scale (the fetch_rows/_fetch_hits 100k
+        cap): ONE ``In``-pushed scan of the artifact's id column (no
+        shuffle, no join — the batch side never broadcasts against the
+        full artifact), then a plain list difference.  Returns ``None``
+        when nothing is novel so callers skip the append entirely
+        (an empty append still writes empty files)."""
+        rows = batch.select(id_col).distinct().limit(max_ids + 1).collect()
+        if len(rows) > max_ids:
+            raise ValueError(
+                f"ann_absorb got more than {max_ids} distinct ids: "
+                "absorbs are micro-batch scale; rebuild the index for "
+                "bulk loads (build_ann_index)"
+            )
+        ids = [r[0] for r in rows]
+        if not ids:
+            return None
+        present = {
+            r[0]
+            for r in self.spark.read.parquet(artifact_path)
+            .filter(F.col(id_col).isin(ids))
+            .select(id_col)
+            .collect()
+        }
+        novel = [i for i in ids if i not in present]
+        if not novel:
+            return None
+        if len(novel) == len(ids):
+            return batch
+        return batch.filter(F.col(id_col).isin(novel))
+
     def ann_absorb(self, new_chunks: DataFrame, kind: str = "ivf") -> None:
         """Absorb an appended batch into a prebuilt index WITHOUT
         retraining — the collection-level twin of Chroma's implicit
@@ -732,6 +776,17 @@ class VectorCollection:
         is the no-retrain trade: watch :meth:`ann_drift_report` and
         rebuild via :meth:`build_ann_index` when skew crosses ~4.
 
+        IDEMPOTENT per artifact (ADVICE r13): each artifact append
+        first drops ids that artifact already holds
+        (:meth:`_novel_rows` — one In-pushed id-column scan, driver
+        list difference at the 100k shortlist cap), so replaying a
+        batch after ANY crash point converges instead of duplicating
+        rows or silently skipping them.  For ivfpq the refine
+        companion is appended BEFORE the codes: companion rows
+        without codes are never shortlisted (harmless), while codes
+        without companion rows would silently vanish from the exact
+        re-rank.
+
         ``new_chunks`` must not be a lazy plan derived from this
         collection's own files: :meth:`append` mutates the collection,
         so such a plan re-evaluated here would see its own appended
@@ -751,25 +806,33 @@ class VectorCollection:
                 f"build_ann_index(kind={kind!r}) first"
             )
         if kind == "ivf":
-            ivf_append(new_chunks, path, vec_col="embedding")
+            novel = self._novel_rows(new_chunks, path)
+            if novel is not None:
+                ivf_append(novel, path, vec_col="embedding")
         elif kind == "ivfpq":
-            ivfpq_append(
-                new_chunks.select("chunk_uid", "embedding"), path,
-                id_col="chunk_uid", vec_col="embedding",
-            )
             if self._ann_vectors_complete(kind):
-                # align to the companion's exact on-disk types: a
-                # wider-typed append (array<double> into array<float>)
-                # writes fine but breaks every later read (the
-                # ivf_append footgun, same rule here)
-                comp = self.spark.read.parquet(
-                    self._ann_vectors_path(kind)
-                ).schema
-                vectors_append(
-                    new_chunks.select(
-                        *[F.col(f.name).cast(f.dataType) for f in comp.fields]
-                    ),
-                    self._ann_vectors_path(kind), id_col="chunk_uid",
+                # companion FIRST (see docstring) — and align to its
+                # exact on-disk types: a wider-typed append
+                # (array<double> into array<float>) writes fine but
+                # breaks every later read (the ivf_append footgun)
+                vpath = self._ann_vectors_path(kind)
+                novel_v = self._novel_rows(new_chunks, vpath)
+                if novel_v is not None:
+                    comp = self.spark.read.parquet(vpath).schema
+                    vectors_append(
+                        novel_v.select(
+                            *[
+                                F.col(f.name).cast(f.dataType)
+                                for f in comp.fields
+                            ]
+                        ),
+                        vpath, id_col="chunk_uid",
+                    )
+            novel_c = self._novel_rows(new_chunks, path)
+            if novel_c is not None:
+                ivfpq_append(
+                    novel_c.select("chunk_uid", "embedding"), path,
+                    id_col="chunk_uid", vec_col="embedding",
                 )
         else:
             raise ValueError(f"unknown ANN index kind: {kind!r}")
@@ -802,6 +865,56 @@ class VectorCollection:
             raise ValueError(f"unknown ANN index kind: {kind!r}")
         return ivf_drift_report(indexed, n_centroids=len(cents))
 
+    def _refined_filtered_topk(
+        self,
+        path: str,
+        vecs: str,
+        probe: list[float],
+        n_results: int,
+        k2: int,
+        nprobe: int,
+        n_cells: int,
+        meta_pred,
+        escalate: bool,
+    ) -> DataFrame:
+        """Filtered IVF-PQ serving through the refine ladder (round
+        14): ADC shortlists ``k2`` candidates (codes carry no
+        metadata, so the shortlist is unfiltered), the exact re-rank
+        pool is fetched as FULL collection rows (:meth:`_fetch_hits` —
+        In-pushdown under a range layout), the metadata predicate
+        applies there, and the top ``n_results`` survivors by exact
+        cosine win.  Underfill escalation doubles BOTH ``nprobe`` and
+        ``k2`` (a selective filter needs a deeper candidate pool, not
+        just wider probing) until filled, the pool is exhausted with
+        every cell probed (the result is then the exact filtered
+        top-k), or ``k2`` hits the 100k fetch cap (the documented
+        driver-state ceiling — at that point use the ivf index or the
+        exact :meth:`search`)."""
+        from vector_db_ingestor_spark.operators.similarity import (
+            ivfpq_topk_refined_indexed,
+        )
+
+        cur_np, cur_k2 = nprobe, k2
+        while True:
+            ranked = ivfpq_topk_refined_indexed(
+                self.spark, path, vecs, probe,
+                k=cur_k2, k2=cur_k2, nprobe=cur_np, id_col="chunk_uid",
+            )
+            surv = self._fetch_hits(ranked.drop("rank")).filter(meta_pred)
+            if not escalate or surv.count() >= n_results:
+                break
+            exhausted = (
+                cur_np >= n_cells and ranked.count() < cur_k2
+            )
+            if exhausted or cur_k2 >= 100_000:
+                break
+            cur_np = min(n_cells, cur_np * 2)
+            cur_k2 = min(100_000, cur_k2 * 2)
+        w = Window.orderBy(F.col("score").desc(), F.col("chunk_uid").asc())
+        return surv.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= n_results
+        )
+
     def search_ann(
         self,
         query: str | list[str],
@@ -811,6 +924,7 @@ class VectorCollection:
         refine: bool = False,
         k2: int | None = None,
         filter_metadata: dict[str, str] | None = None,
+        escalate: bool = True,
     ) -> DataFrame:
         """Approximate search against a prebuilt index
         (:meth:`build_ann_index`): embeds the query, prunes to the
@@ -826,16 +940,34 @@ class VectorCollection:
         (position in the list) with per-query ranks.
 
         ``filter_metadata`` (round 13, reference R11 at the index
-        rung): supported for ``kind="ivf"`` ONLY — that index keeps
-        full rows, so the predicate applies INSIDE the probed cells
-        before ranking (Chroma's filtered-HNSW shape: non-matching
-        rows never enter the top-k, unlike post-filtering which
-        silently returns fewer-than-k with recall no one chose).
-        Recall caveat: cells are probed by the query vector alone, so
-        a filter whose matches concentrate in unprobed cells needs a
-        higher ``nprobe``.  Refused for ``kind="ivfpq"`` — the codes
-        index carries no metadata; use the exact :meth:`search` or the
-        ivf index for filtered queries.
+        rung): for ``kind="ivf"`` the index keeps full rows, so the
+        predicate applies INSIDE the probed cells before ranking
+        (Chroma's filtered-HNSW shape: non-matching rows never enter
+        the top-k, unlike post-filtering which silently returns
+        fewer-than-k with recall no one chose).  For ``kind="ivfpq"``
+        the codes index carries no metadata, so filtering needs
+        ``refine=True``: the refine ladder's candidate fetch joins the
+        collection's full rows, where the predicate applies before the
+        exact re-rank picks the top-k (round 14 — filtered IVF-PQ
+        serving without a second index).  Plain ``kind="ivfpq"``
+        without refine still refuses the knob.
+
+        ``escalate`` (round 14, the filtered-ANN recall contract —
+        Chroma widens its HNSW search under filters, and silent
+        under-k was the one behavioral gap vs reference R11 at the
+        index rung): when a filtered search underfills (< ``n_results``
+        survivors inside the probed cells / candidate shortlist), the
+        search automatically doubles ``nprobe`` (and, on the refine
+        ladder, ``k2``) and retries until filled, every cell is probed,
+        or the candidate pool is exhausted — at which point the result
+        IS the exact filtered top-k (the all-cells-probed ==
+        exact-filtered property).  ``escalate=False`` restores the
+        single-pass behavior: fewer-than-k rows is then the documented
+        underfill signal.  Escalation rounds are log2-bounded and each
+        retry is itself a pruned scan, so the scale story survives: a
+        non-selective filter never escalates, a pathological one
+        degrades gracefully toward the exact filtered scan it would
+        otherwise silently approximate.
 
         ``refine=True`` (ivfpq only — ivf already re-scores raw
         vectors inside probed cells) runs the FAISS
@@ -861,11 +993,14 @@ class VectorCollection:
         queries = query if isinstance(query, list) else [query]
         if not queries or any(not q or not q.strip() for q in queries):
             raise ValueError("query must be (a list of) non-empty string(s)")
-        if filter_metadata and kind != "ivf":
+        if filter_metadata and kind != "ivf" and not (
+            kind == "ivfpq" and refine
+        ):
             raise ValueError(
-                "filter_metadata needs kind='ivf' (that index keeps full "
-                f"rows; the {kind!r} index carries no metadata) — or use "
-                "the exact search()"
+                "filter_metadata needs kind='ivf' (full-row index) or "
+                "kind='ivfpq' with refine=True (the refine fetch joins "
+                f"full rows); the plain {kind!r} codes index carries no "
+                "metadata — or use the exact search()"
             )
         meta_pred = self._metadata_predicate(filter_metadata)
         path = self._ann_path(kind)
@@ -888,6 +1023,29 @@ class VectorCollection:
                 )
             k2 = k2 or max(4 * n_results, 30)
             vecs = self._ann_vectors_path(kind)
+            if meta_pred is not None:
+                # filtered refine (round 14): per-probe candidate
+                # over-fetch + predicate at the collection fetch +
+                # exact re-rank, with underfill escalation.  A list is
+                # served query-by-query because escalation depth is
+                # per-query state.
+                _, cents, _ = ivfpq_read(self.spark, path)
+                outs = []
+                for i, q in enumerate(queries):
+                    probe = self.embedder.embed_one(q, prefix="query")
+                    one = self._refined_filtered_topk(
+                        path, vecs, probe, n_results, k2, nprobe,
+                        len(cents), meta_pred, escalate,
+                    )
+                    if isinstance(query, list):
+                        one = one.withColumn("query_id", F.lit(i))
+                    outs.append(one)
+                if not isinstance(query, list):
+                    return outs[0].orderBy("rank")
+                res = outs[0]
+                for one in outs[1:]:
+                    res = res.unionByName(one)
+                return res.orderBy("query_id", "rank")
             if isinstance(query, list):
                 probes = [
                     (i, self.embedder.embed_one(q, prefix="query"))
@@ -916,6 +1074,37 @@ class VectorCollection:
                     id_col="chunk_uid", vec_col="embedding",
                     predicate=meta_pred,
                 )
+                if meta_pred is not None and escalate:
+                    # per-query underfill escalation: only queries
+                    # with < n_results survivors re-probe at doubled
+                    # nprobe (each retry is one pruned scan for the
+                    # whole underfilled subset, log2(|cells|) rounds
+                    # worst case)
+                    cur = nprobe
+                    while cur < len(cents):
+                        counts = {
+                            r[0]: r[1]
+                            for r in hits.groupBy("query_id")
+                            .count()
+                            .collect()
+                        }
+                        under = [
+                            (qid, vec)
+                            for qid, vec in probes
+                            if counts.get(qid, 0) < n_results
+                        ]
+                        if not under:
+                            break
+                        cur = min(len(cents), cur * 2)
+                        redo = ivf_topk_batch(
+                            indexed, cents, under, k=n_results,
+                            nprobe=cur, id_col="chunk_uid",
+                            vec_col="embedding", predicate=meta_pred,
+                        )
+                        under_ids = [qid for qid, _ in under]
+                        hits = hits.filter(
+                            ~F.col("query_id").isin(under_ids)
+                        ).unionByName(redo)
             elif kind == "ivfpq":
                 codes, cents, cbs = ivfpq_read(self.spark, path)
                 hits = ivfpq_topk_batch_indexed(
@@ -929,11 +1118,25 @@ class VectorCollection:
         probe = self.embedder.embed_one(query, prefix="query")
         if kind == "ivf":
             indexed, cents = ivf_read(self.spark, path)
-            hits = ivf_topk(
-                indexed, cents, probe, k=n_results, nprobe=nprobe,
-                id_col="chunk_uid", vec_col="embedding",
-                predicate=meta_pred,
-            )
+            cur = nprobe
+            while True:
+                hits = ivf_topk(
+                    indexed, cents, probe, k=n_results, nprobe=cur,
+                    id_col="chunk_uid", vec_col="embedding",
+                    predicate=meta_pred,
+                )
+                # underfill escalation (filtered searches only): a
+                # count of a k-row TakeOrdered plan per round,
+                # log2(|cells|) rounds worst case; at all-cells-probed
+                # the result IS the exact filtered top-k
+                if (
+                    meta_pred is None
+                    or not escalate
+                    or cur >= len(cents)
+                    or hits.count() >= n_results
+                ):
+                    break
+                cur = min(len(cents), cur * 2)
         elif kind == "ivfpq":
             codes, cents, cbs = ivfpq_read(self.spark, path)
             hits = ivfpq_topk_indexed(

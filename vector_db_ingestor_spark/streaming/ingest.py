@@ -164,14 +164,18 @@ def stream_ingest_absorb(
     ``search_ann`` serves files seconds after they land, no rebuild in
     the loop.
 
-    Idempotent under retries: ``ann_absorb`` is an append (NOT
-    idempotent by itself), so the batch first anti-joins the
-    collection on the deterministic ``chunk_uid`` (the
-    :func:`stream_ingest_dedup` merge) — a replayed micro-batch finds
-    its chunks already present and absorbs nothing.  Refuses to start
-    without a complete index (build once after a seed ingest): an
-    absorb-into-nothing would silently skip maintenance.  The frozen
-    model still drifts with the data — watch
+    Idempotent under retries, with the INDEX as the absorb's
+    idempotence key (ADVICE r13): the collection append anti-joins on
+    ``chunk_uid`` against the collection (the
+    :func:`stream_ingest_dedup` merge), while ``ann_absorb`` is passed
+    the WHOLE deduped batch and drops already-indexed ids per artifact
+    itself.  A replay after a crash between the two writes therefore
+    re-absorbs exactly the chunks that were appended but never indexed
+    — keying both writes to collection membership would anti-join
+    those chunks away and leave the index silently, permanently
+    stale.  Refuses to start without a complete index (build once
+    after a seed ingest): an absorb-into-nothing would silently skip
+    maintenance.  The frozen model still drifts with the data — watch
     :meth:`VectorCollection.ann_drift_report` and rebuild out-of-band
     when skew crosses tolerance.
     """
@@ -199,23 +203,28 @@ def stream_ingest_absorb(
             if "PATH_NOT_FOUND" not in cls and "PATH_NOT_FOUND" not in str(e):
                 raise
             existing = None
-        fresh = batch_df.dropDuplicates(["chunk_uid"])
-        if existing is not None:
-            fresh = fresh.join(existing, "chunk_uid", "left_anti")
-        # SNAPSHOT before the two writes: the anti-join plan is lazy
-        # against the collection, and coll.append MUTATES the
-        # collection — a recomputation between append and absorb
-        # (persist substitution is not guaranteed under the
-        # micro-batch session) would re-run the anti-join against the
-        # already-appended rows and absorb an EMPTY batch (observed:
+        # SNAPSHOT before the writes: coll.append MUTATES the
+        # collection, so any lazy plan over it recomputed between the
+        # two writes would see the just-appended rows (observed: the
+        # anti-join re-ran post-append and absorbed an EMPTY batch —
         # 6 empty code files, index stuck at the seed count).
         # localCheckpoint breaks the lineage eagerly, so both writes
         # read the same frozen rows.
-        fresh = fresh.localCheckpoint(eager=True)
-        if fresh.count() == 0:
+        batch = batch_df.dropDuplicates(["chunk_uid"]).localCheckpoint(
+            eager=True
+        )
+        if batch.count() == 0:
             return
-        coll.append(fresh)
-        coll.ann_absorb(fresh, kind=kind)
+        fresh = batch
+        if existing is not None:
+            fresh = fresh.join(existing, "chunk_uid", "left_anti")
+        if fresh.count() > 0:
+            coll.append(fresh)
+        # the WHOLE batch, not `fresh`: ann_absorb keys idempotence on
+        # each index artifact's own ids, so a replayed batch whose
+        # chunks were appended but never indexed (crash between the
+        # two writes) still reaches the index exactly once
+        coll.ann_absorb(batch, kind=kind)
 
     return (
         chunks.writeStream.foreachBatch(merge_and_absorb)
