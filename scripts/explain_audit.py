@@ -215,6 +215,9 @@ AUDITS: dict[str, dict] = {
 # cross join, so it pins partial_agg rather than no_nested_loop.
 QUEUE_AUDITS: dict[str, dict] = {
     "q_ann_ivf_filtered": {"top_k": True, "max_exchange": 0},
+    # the 1-row escalation-depth decision rides a broadcast cross join
+    # (scalar-model pattern); the serve pass stays TakeOrdered
+    "q_ann_ivf_escalate": {"top_k": True, "broadcast": True},
     "q_text_boilerplate_strip": {"broadcast": True, "partial_agg": True},
     "q_nb_classify": {"partial_agg": True},
     "q_stream_dedup": {"partial_agg": True},

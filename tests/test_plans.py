@@ -141,6 +141,9 @@ def test_bucketed_join_and_agg_are_shuffle_free(spark, tmp_path):
 # queued plan between build time and declaration time
 QUEUE_CASES = [
     ("q_ann_ivf_filtered", "take_ordered"),
+    # escalation's 1-row depth decision is a deliberate broadcast
+    # cross join (the scalar-model pattern), so pin the top-k fusion
+    ("q_ann_ivf_escalate", "take_ordered"),
     ("q_url_curation", "no_shuffle"),
     ("q_html_extract", "fused_python"),
     ("q_join_interval", "no_nested_loop"),

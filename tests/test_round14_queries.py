@@ -1,0 +1,114 @@
+"""Round-14 queue item: q_ann_ivf_escalate — the filtered-ANN recall
+contract under the hash gate (the search_ann escalation decision rule
+as one closed-form plan).  The uniform DuckDB gate runs via
+scripts/check_oracle.py --queue and the registry-wide parametrized
+test; this file pins the SEMANTIC properties the oracle can't state:
+the chosen depth is the minimal sufficient one, and at the all-cells
+depth the result equals exact filtered retrieval."""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vector_db_ingestor_spark.operators.topk import topk_cosine
+from vector_db_ingestor_spark.queries import (
+    PROBE_64,
+    QUEUED_QUERIES,
+    _ivf_assign_centroids,
+)
+from vector_db_ingestor_spark.operators.similarity import (
+    _assign_cid,
+    ivf_shortlist,
+)
+from vector_db_ingestor_spark.tables import load_table
+
+
+def test_escalate_differential_vs_duckdb(spark, sf_dir):
+    """The uniform hash comparison, run early (declaration-window
+    insurance): Spark impl vs DuckDB oracle, value-for-value."""
+    fn, sql = QUEUED_QUERIES["q_ann_ivf_escalate"]
+    got = fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = con.execute(sql).df()
+    got = got.reindex(sorted(got.columns), axis=1).sort_values(
+        list(sorted(got.columns)), ignore_index=True
+    )
+    want = want.reindex(sorted(want.columns), axis=1).sort_values(
+        list(sorted(want.columns)), ignore_index=True
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            assert (g.astype(float) - w.astype(float)).abs().max() < 1e-9, c
+        else:
+            assert (g.astype("int64") == w.astype("int64")).all(), c
+
+
+def test_escalate_depth_is_minimal_sufficient(spark, sf_dir):
+    """The emitted nprobe_used must be exactly the smallest depth in
+    (1, 2, 4, 8) whose probed-cell prefix holds >= k filtered
+    survivors (or 8 when none does) — recomputed here independently
+    from the candidate set."""
+    fn, _ = QUEUED_QUERIES["q_ann_ivf_escalate"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows, "fixture must yield candidates"
+    used = {r.nprobe_used for r in rows}
+    assert len(used) == 1
+    used = used.pop()
+
+    k = 25
+    cents = _ivf_assign_centroids()
+    order = ivf_shortlist(cents, PROBE_64, nprobe=len(cents))
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    cand = (
+        emb.withColumn("cid", _assign_cid(vec, cents, round_dp=6))
+        .filter(F.col("label") == 9)
+        .groupBy("cid")
+        .count()
+        .collect()
+    )
+    per_cell = {r.cid: r["count"] for r in cand}
+    want = len(cents)
+    for p in (1, 2, 4):
+        if sum(per_cell.get(c, 0) for c in order[:p]) >= k:
+            want = p
+            break
+    assert used == want
+    # and the result is exactly min(k, survivors-at-depth) rows
+    n_at_depth = sum(per_cell.get(c, 0) for c in order[:used])
+    assert len(rows) == min(k, n_at_depth)
+
+
+def test_escalate_all_cells_equals_exact_filtered(spark, sf_dir):
+    """When escalation reaches every cell (or the fixture's chosen
+    depth already covers all matches' cells), the contract is
+    exactness: compare against brute-force filtered top-k whenever
+    nprobe_used == n_cells; at shallower depths the hits must still
+    all satisfy the filter and be ordered by (score desc, vec_id)."""
+    fn, _ = QUEUED_QUERIES["q_ann_ivf_escalate"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    scores = [(r.score, r.vec_id) for r in rows]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    emb = load_table(spark, sf_dir, "embeddings")
+    hit_labels = {
+        r.label
+        for r in emb.filter(
+            F.col("vec_id").isin([x.vec_id for x in rows])
+        ).collect()
+    }
+    assert hit_labels == {9}
+    if rows[0].nprobe_used == len(_ivf_assign_centroids()):
+        want = topk_cosine(
+            emb, PROBE_64, k=25, predicate=F.col("label") == 9
+        ).collect()
+        assert [(r.vec_id, r.score) for r in rows] == [
+            (r.vec_id, r.score) for r in want
+        ]

@@ -1663,6 +1663,141 @@ def _ivf_filtered_oracle(nprobe: int = 4, k: int = 10) -> str:
     """
 
 
+def q_ann_ivf_escalate_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 queue item: the filtered-ANN RECALL CONTRACT under the
+    hash gate — ``search_ann(filter_metadata=..., escalate=True)``'s
+    decision rule (double nprobe on underfill until filled or all
+    cells probed; at all-cells-probed the result is the exact filtered
+    top-k) expressed as ONE closed-form plan so DuckDB can replay it.
+
+    On the literal-centroid model: cells are ranked by probe cosine
+    (driver-side, the `ivf_shortlist` ordering), each filtered
+    candidate carries its cell's probe rank ``rr``, one conditional
+    aggregation counts survivors at every escalation depth (1, 2, 4),
+    and a CASE picks the smallest depth with >= k survivors (else all
+    8 cells).  The top-k within the chosen prefix wins, and
+    ``nprobe_used`` is emitted as evidence of the escalation decision.
+    The production loop (pipeline.py search_ann) probes incrementally
+    instead of counting all cells up front — this closed form is the
+    cross-engine-checkable statement of its SEMANTICS, e2e-tested at
+    tests/test_pipeline.py::test_search_ann_filtered_escalation.
+    Scale: two narrow scans (count pass reads cid+label only via
+    column pruning; serve pass is TakeOrdered within the prefix) and
+    one 1-row broadcast — no shuffle of data rows."""
+    from vector_db_ingestor_spark.functions.vector import cosine_similarity
+    from vector_db_ingestor_spark.operators.similarity import (
+        _assign_cid,
+        ivf_shortlist,
+    )
+
+    k = 25
+    cents = _ivf_assign_centroids()
+    order = ivf_shortlist(cents, PROBE_64, nprobe=len(cents))
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    pred = F.col("label") == 9
+    cand = (
+        emb.withColumn("cid", _assign_cid(vec, cents, round_dp=6))
+        .filter(pred)
+    )
+    rr = F.lit(None).cast("int")
+    for pos, cid in enumerate(order):
+        rr = F.when(F.col("cid") == cid, pos + 1).otherwise(rr)
+    cand = cand.withColumn("rr", rr)
+    counts = cand.agg(
+        F.count(F.when(F.col("rr") <= 1, 1)).alias("c1"),
+        F.count(F.when(F.col("rr") <= 2, 1)).alias("c2"),
+        F.count(F.when(F.col("rr") <= 4, 1)).alias("c4"),
+    ).select(
+        F.when(F.col("c1") >= k, 1)
+        .when(F.col("c2") >= k, 2)
+        .when(F.col("c4") >= k, 4)
+        .otherwise(len(cents))
+        .cast("int")
+        .alias("nprobe_used")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(counts))
+        .filter(F.col("rr") <= F.col("nprobe_used"))
+        .withColumn(
+            "score",
+            F.round(cosine_similarity(vec, F.lit(PROBE_64)), 6),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "cid", "score", "rank", "nprobe_used")
+    )
+
+
+def _ivf_escalate_oracle(k: int = 25) -> str:
+    """DuckDB mirror: same centroid literals; cells ranked by probe
+    cosine (the ivf_shortlist ordering re-derived in SQL), candidates
+    filtered and tagged with their cell's rank, FILTER counts at each
+    escalation depth, the same CASE picks nprobe_used, and the
+    rounded-cosine top-k within the chosen prefix wins."""
+    cents = _ivf_assign_centroids()
+
+    def cvec(c: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]"
+
+    def cos_sql(c: list[float]) -> str:
+        lit = cvec(c)
+        return (
+            f"round(list_dot_product(embedding::DOUBLE[], {lit})"
+            f" / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+            f" * sqrt(list_dot_product({lit}, {lit}))), 6)"
+        )
+
+    cent_rows = ", ".join(f"({i}, {cvec(c)})" for i, c in enumerate(cents))
+    sims = ", ".join(cos_sql(c) for c in cents)
+    n_cells = len(cents)
+    return f"""
+    WITH cents(cid, cvec) AS (VALUES {cent_rows}),
+    ranked_cells AS (
+        SELECT cid,
+               CAST(row_number() OVER (
+                   ORDER BY (list_dot_product(cvec, {_PROBE_SQL})
+                             / (sqrt(list_dot_product(cvec, cvec))
+                                * sqrt(list_dot_product({_PROBE_SQL},
+                                                        {_PROBE_SQL})))) DESC,
+                            cid ASC) AS INTEGER) AS rr
+        FROM cents
+    ),
+    assigned AS (
+        SELECT vec_id, label, embedding,
+               CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER) AS cid
+        FROM (SELECT vec_id, label, embedding, [{sims}] AS sims
+              FROM embeddings)
+    ),
+    cand AS (
+        SELECT a.vec_id, a.cid, a.embedding, rc.rr
+        FROM assigned a JOIN ranked_cells rc USING (cid)
+        WHERE a.label = 9
+    ),
+    chosen AS (
+        SELECT CAST(CASE WHEN count(*) FILTER (rr <= 1) >= {k} THEN 1
+                         WHEN count(*) FILTER (rr <= 2) >= {k} THEN 2
+                         WHEN count(*) FILTER (rr <= 4) >= {k} THEN 4
+                         ELSE {n_cells} END AS INTEGER) AS nprobe_used
+        FROM cand
+    )
+    SELECT vec_id, cid, score,
+           CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC)
+                AS INTEGER) AS rank,
+           nprobe_used
+    FROM (
+        SELECT c.vec_id, c.cid, {_SCORE_SQL} AS score, ch.nprobe_used
+        FROM cand c CROSS JOIN chosen ch
+        WHERE c.rr <= ch.nprobe_used
+    )
+    ORDER BY score DESC, vec_id ASC
+    LIMIT {k}
+    """
+
+
 # =====================================================================
 # P0 ingestion pipeline + multimodal plumbing (rows-only: UDF-backed)
 # =====================================================================
@@ -8491,6 +8626,7 @@ ORACLE_SQL["q_join_interval"] = _join_interval_oracle()
 
 QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q_ann_ivf_filtered": (q_ann_ivf_filtered_impl, _ivf_filtered_oracle()),
+    "q_ann_ivf_escalate": (q_ann_ivf_escalate_impl, _ivf_escalate_oracle()),
     "q_graph_pagerank": (q_graph_pagerank_impl, _graph_pagerank_oracle()),
     "q_sketch_linear": (q_sketch_linear_impl, _sketch_linear_oracle()),
     "q_sketch_bloom": (q_sketch_bloom_impl, _sketch_bloom_oracle()),
