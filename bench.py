@@ -212,6 +212,12 @@ def main() -> None:
         base = prior.get(key)
         if not base or base <= 0:
             continue
+        if timings[key] < 0.5 and base < 0.5:
+            # timer floor (the SCALE_PROBE rule: a leg under ~0.5s is
+            # jitter at this box's noise line) — r14 measured 28 of 56
+            # retimes burning reruns on sub-0.5s pairs whose ratios the
+            # round-over-round discipline ignores anyway
+            continue
         ratio = timings[key] / base
         if 1 / 1.15 <= ratio <= 1.15:
             continue
