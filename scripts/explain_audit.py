@@ -218,6 +218,11 @@ QUEUE_AUDITS: dict[str, dict] = {
     # the 1-row escalation-depth decision rides a broadcast cross join
     # (scalar-model pattern); the serve pass stays TakeOrdered
     "q_ann_ivf_escalate": {"top_k": True, "broadcast": True},
+    # both multimodal pairs: ONE hash exchange (dedup's windows share
+    # the content-sha partitioning; manifest's rollup reuses the
+    # modality window partitioning)
+    "q_multimodal_dedup": {"max_exchange": 1},
+    "q_multimodal_manifest": {"max_exchange": 1, "partial_agg": True},
     "q_text_boilerplate_strip": {"broadcast": True, "partial_agg": True},
     "q_nb_classify": {"partial_agg": True},
     "q_stream_dedup": {"partial_agg": True},

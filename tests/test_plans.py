@@ -144,6 +144,8 @@ QUEUE_CASES = [
     # escalation's 1-row depth decision is a deliberate broadcast
     # cross join (the scalar-model pattern), so pin the top-k fusion
     ("q_ann_ivf_escalate", "take_ordered"),
+    ("q_multimodal_dedup", "no_nested_loop"),
+    ("q_multimodal_manifest", "no_nested_loop"),
     ("q_url_curation", "no_shuffle"),
     ("q_html_extract", "fused_python"),
     ("q_join_interval", "no_nested_loop"),

@@ -50,6 +50,72 @@ def test_escalate_differential_vs_duckdb(spark, sf_dir):
             assert (g.astype("int64") == w.astype("int64")).all(), c
 
 
+def test_multimodal_dedup_accounting(spark, sf_dir):
+    """q_multimodal_dedup semantics the oracle can't state: keeper is
+    the min doc_id of its content group, reclaimed bytes equal the
+    total minus one payload per distinct content, and copy counts
+    partition the corpus."""
+    fn, _ = QUEUED_QUERIES["q_multimodal_dedup"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    by_sha = {}
+    for r in rows:
+        by_sha.setdefault(r.content_sha, []).append(r)
+    for sha, grp in by_sha.items():
+        keep = min(x.doc_id for x in grp)
+        assert all(x.keeper_id == keep for x in grp)
+        assert all(x.is_dup == (x.doc_id != keep) for x in grp)
+        assert all(x.n_copies == len(grp) for x in grp)
+        assert len({x.payload_bytes for x in grp}) == 1
+    total = sum(r.payload_bytes for r in rows)
+    distinct = sum(grp[0].payload_bytes for grp in by_sha.values())
+    assert sum(r.bytes_reclaimed for r in rows) == total - distinct
+
+
+def test_multimodal_manifest_matches_sequential_writer(spark, sf_dir):
+    """q_multimodal_manifest must equal a literal sequential shard
+    writer: replay the media stream per modality in doc_id order in
+    plain Python, cut shards at the running-byte boundary, and compare
+    the manifest row-for-row; shards must partition the stream
+    contiguously."""
+    fn, _ = QUEUED_QUERIES["q_multimodal_manifest"]
+    got = {
+        (r.modality, r.shard_id): (
+            r.n_items, r.shard_bytes, r.first_doc, r.last_doc
+        )
+        for r in fn(spark, sf_dir).collect()
+    }
+    assert got
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    target = 50_000
+    want = {}
+    streams = {}
+    for r in sorted(docs, key=lambda x: x.doc_id):
+        modality = ("image", "audio", "video")[r.doc_id % 3]
+        pay = len(f"MEDIA:{r.doc_id % 200}:" + "x" * 100)
+        streams.setdefault(modality, []).append((r.doc_id, pay + r.n_chars))
+    for modality, items in streams.items():
+        run = 0
+        for doc_id, b in items:
+            run += b
+            shard = (run - 1) // target
+            key = (modality, shard)
+            n, tot, first, last = want.get(key, (0, 0, doc_id, doc_id))
+            want[key] = (n + 1, tot + b, min(first, doc_id), max(doc_id, last))
+    assert got == want
+    # contiguity: within a modality, shard ranges are ordered + disjoint
+    for modality in streams:
+        shards = sorted(
+            (sid, v) for (m, sid), v in got.items() if m == modality
+        )
+        for (s1, v1), (s2, v2) in zip(shards, shards[1:]):
+            assert s2 == s1 + 1
+            assert v1[3] < v2[2]
+
+
 def test_escalate_depth_is_minimal_sufficient(spark, sf_dir):
     """The emitted nprobe_used must be exactly the smallest depth in
     (1, 2, 4, 8) whose probed-cell prefix holds >= k filtered

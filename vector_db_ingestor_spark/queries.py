@@ -8596,6 +8596,181 @@ def _curation_pipeline_oracle() -> str:
 
 
 # =====================================================================
+# q_multimodal_dedup + q_multimodal_manifest (QUEUED round 14): the
+# dedup and packing legs of a media training-data pipeline — binary
+# columns as first-class dedup/pack subjects, not just decode targets
+# =====================================================================
+
+def _media_payload_cols():
+    """In-plan synthesized media rows over ``documents``: an opaque
+    binary payload with ENGINEERED cross-document collisions (doc_id %
+    200 keys the content, so ~2-3 docs share each payload at sf0.01 —
+    the re-hosted-image shape), a modality tag, and the payload's byte
+    size.  Deterministic, no UDF — the binary column is built by
+    ``to_binary`` over string expressions both engines can replay."""
+    key = F.pmod(F.col("doc_id"), F.lit(200))
+    pay_txt = F.concat(
+        F.lit("MEDIA:"),
+        key.cast("string"),
+        F.lit(":"),
+        F.substring(F.lit("x" * 160), 1, 100),
+    )
+    modality = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, "image")
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, "audio")
+        .otherwise("video")
+    )
+    return F.to_binary(pay_txt, F.lit("utf-8")).alias("payload"), modality.alias(
+        "modality"
+    )
+
+
+def q_multimodal_dedup_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-content exact dedup — the image/audio dedup pass of a
+    media pipeline (the multimodal twin of ``q_dedup_exact``/
+    ``q_dedup_url``): content-address each opaque payload with
+    sha2-256 OVER THE BYTES (never decode — reference R2's extractors
+    are for text; media dedup keys on content identity), collapse
+    copies to the min-doc_id keeper, and report per-row verdict plus
+    copy count and reclaimable bytes.  One shuffle on the content
+    hash; BOTH window functions share that single partitioning (the
+    q_dedup_url plan shape) — at 100 TB of media this is the exact
+    plan: hash rides the scan, no candidate generation, dedup state
+    is one row per distinct payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload, modality = _media_payload_cols()
+    media = docs.select("doc_id", "source", payload, modality)
+    h = F.sha2(F.col("payload"), 256)
+    w = Window.partitionBy("content_sha")
+    return (
+        media.withColumn("content_sha", h)
+        .withColumn("payload_bytes", F.octet_length("payload").cast("long"))
+        .withColumn("n_copies", F.count("*").over(w).cast("long"))
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("keeper_id"))
+        .withColumn(
+            "bytes_reclaimed",
+            F.when(F.col("is_dup"), F.col("payload_bytes")).otherwise(
+                F.lit(0)
+            ).cast("long"),
+        )
+        .select(
+            "doc_id", "source", "modality", "content_sha", "payload_bytes",
+            "n_copies", "keeper_id", "is_dup", "bytes_reclaimed",
+        )
+    )
+
+
+def _multimodal_dedup_oracle() -> str:
+    """DuckDB mirror: the same payload synthesis as plain string
+    concat (sha256 of the utf-8 bytes equals Spark's sha2 over
+    to_binary — pinned by the shared hex), min/count windows over the
+    content hash."""
+    return """
+    WITH media AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               'MEDIA:' || CAST(doc_id % 200 AS VARCHAR) || ':'
+                   || repeat('x', 100) AS pay
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, source, modality,
+               sha256(pay) AS content_sha,
+               CAST(length(pay) AS BIGINT) AS payload_bytes
+        FROM media
+    )
+    SELECT doc_id, source, modality, content_sha, payload_bytes,
+           CAST(count(*) OVER (PARTITION BY content_sha) AS BIGINT)
+               AS n_copies,
+           min(doc_id) OVER (PARTITION BY content_sha) AS keeper_id,
+           doc_id <> min(doc_id) OVER (PARTITION BY content_sha) AS is_dup,
+           CAST(CASE WHEN doc_id <> min(doc_id)
+                          OVER (PARTITION BY content_sha)
+                     THEN payload_bytes ELSE 0 END AS BIGINT)
+               AS bytes_reclaimed
+    FROM hashed
+    """
+
+
+def q_multimodal_manifest_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-manifest packing — the WebDataset/tar-shard builder of a
+    media pipeline: per modality, stream rows in deterministic order
+    (doc_id) and cut a new shard every time the running byte total
+    crosses the target (50 KB here; GBs in production) — the
+    sequential-writer semantics an actual shard writer has, distinct
+    from ``q_pack_sequences``'s per-bin greedy fill.  One window
+    shuffle partitioned by modality computes the running sum; the
+    per-shard rollup reuses that partitioning (partial-agg on top).
+    At 100 TB: modality count is tiny, so the window parallelism is
+    per-modality — production would sub-bucket the stream (e.g. by
+    source) exactly like the oracle can, but the MANIFEST contract
+    (every shard under target + remainder, items contiguous in order)
+    is what this key pins."""
+    target = 50_000
+    docs = load_table(spark, sf_dir, "documents")
+    payload, modality = _media_payload_cols()
+    # media byte sizes: payload plus the doc text riding along (the
+    # caption/transcript), so sizes vary per row like real media
+    media = docs.select(
+        "doc_id", modality,
+        (F.octet_length(payload) + F.col("n_chars")).cast("long").alias(
+            "bytes"
+        ),
+    )
+    w = Window.partitionBy("modality").orderBy("doc_id")
+    sharded = media.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("bytes").over(w) - F.lit(1)) / F.lit(target)
+        ).cast("long"),
+    )
+    return (
+        sharded.groupBy("modality", "shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("bytes").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+def _multimodal_manifest_oracle(target: int = 50_000) -> str:
+    """DuckDB mirror: same payload/byte synthesis, same running-sum
+    shard cut (cumulative sum ordered by doc_id within modality),
+    same rollup."""
+    return f"""
+    WITH media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               CAST(length('MEDIA:' || CAST(doc_id % 200 AS VARCHAR)
+                           || ':' || repeat('x', 100)) + n_chars
+                    AS BIGINT) AS bytes
+        FROM documents
+    ),
+    sharded AS (
+        SELECT modality, doc_id, bytes,
+               CAST(floor((sum(bytes) OVER (PARTITION BY modality
+                                            ORDER BY doc_id) - 1)
+                          / {target}) AS BIGINT) AS shard_id
+        FROM media
+    )
+    SELECT modality, shard_id,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM sharded
+    GROUP BY modality, shard_id
+    """
+
+
+# =====================================================================
 # Round-14 declarations (SURVEY §7's largest window: the seven pairs
 # built round 11, differentially tested in tests/test_round11_queries.py,
 # plan-pinned in tests/test_plans.py QUEUE_CASES, and 100x-probed —
@@ -8627,6 +8802,14 @@ ORACLE_SQL["q_join_interval"] = _join_interval_oracle()
 QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q_ann_ivf_filtered": (q_ann_ivf_filtered_impl, _ivf_filtered_oracle()),
     "q_ann_ivf_escalate": (q_ann_ivf_escalate_impl, _ivf_escalate_oracle()),
+    "q_multimodal_dedup": (
+        q_multimodal_dedup_impl,
+        _multimodal_dedup_oracle(),
+    ),
+    "q_multimodal_manifest": (
+        q_multimodal_manifest_impl,
+        _multimodal_manifest_oracle(),
+    ),
     "q_graph_pagerank": (q_graph_pagerank_impl, _graph_pagerank_oracle()),
     "q_sketch_linear": (q_sketch_linear_impl, _sketch_linear_oracle()),
     "q_sketch_bloom": (q_sketch_bloom_impl, _sketch_bloom_oracle()),
