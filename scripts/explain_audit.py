@@ -223,6 +223,10 @@ QUEUE_AUDITS: dict[str, dict] = {
     # modality window partitioning)
     "q_multimodal_dedup": {"max_exchange": 1},
     "q_multimodal_manifest": {"max_exchange": 1, "partial_agg": True},
+    "q_join_asof_tolerance": {"no_nested_loop": True},
+    # temperature's 1-row grand total is the scalar-model broadcast
+    # cross join, so it pins partial_agg + broadcast
+    "q_sample_temperature": {"partial_agg": True, "broadcast": True},
     "q_text_boilerplate_strip": {"broadcast": True, "partial_agg": True},
     "q_nb_classify": {"partial_agg": True},
     "q_stream_dedup": {"partial_agg": True},

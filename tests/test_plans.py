@@ -146,6 +146,9 @@ QUEUE_CASES = [
     ("q_ann_ivf_escalate", "take_ordered"),
     ("q_multimodal_dedup", "no_nested_loop"),
     ("q_multimodal_manifest", "no_nested_loop"),
+    ("q_join_asof_tolerance", "no_nested_loop"),
+    # temperature's 1-row total is a deliberate broadcast cross join
+    # (scalar-model pattern), so pin the map-side partial agg instead
     ("q_url_curation", "no_shuffle"),
     ("q_html_extract", "fused_python"),
     ("q_join_interval", "no_nested_loop"),

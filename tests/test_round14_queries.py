@@ -116,6 +116,80 @@ def test_multimodal_manifest_matches_sequential_writer(spark, sf_dir):
             assert v1[3] < v2[2]
 
 
+def test_asof_tolerance_three_way_split(spark, sf_dir):
+    """q_join_asof_tolerance semantics: the fixture splits three ways
+    (matched-within / matched-stale / never-matched, all nonempty);
+    within-tolerance matches agree with the unbounded as-of join;
+    never-matched rows agree with its nulls; and a huge tolerance
+    degrades to exactly the unbounded join."""
+    from pyspark.sql import functions as F
+
+    from vector_db_ingestor_spark.operators.joins import asof_join
+    from vector_db_ingestor_spark.queries import QUERIES
+
+    fn, _ = QUEUED_QUERIES["q_join_asof_tolerance"]
+    got = {r.event_id: r for r in fn(spark, sf_dir).collect()}
+    base = {
+        r.event_id: r.asof_click_id
+        for r in QUERIES["q_join_asof"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(base)
+    within = [e for e, r in got.items() if r.within_tolerance]
+    stale = [
+        e for e, r in got.items()
+        if not r.within_tolerance and base[e] is not None
+    ]
+    unmatched = [e for e, r in got.items() if base[e] is None]
+    assert within and stale and unmatched
+    for e in within:
+        assert got[e].asof_click_id == base[e]
+    for e in stale + unmatched:
+        assert got[e].asof_click_id is None
+    for e in unmatched:
+        assert not got[e].within_tolerance
+
+    # tolerance wide enough to cover everything == the unbounded join
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    wide = {
+        r.event_id: r.asof_click_id
+        for r in asof_join(
+            purchases, clicks, by="user_id", probe_ts="ts", build_ts="ts",
+            value_cols=["click_id"],
+            tolerance=F.expr("INTERVAL 3650 DAYS"),
+        ).collect()
+    }
+    assert wide == base
+
+
+def test_sample_temperature_flattens(spark, sf_dir):
+    """q_sample_temperature semantics: weights form a distribution,
+    alpha < 1 FLATTENS it (the largest-share source is undersampled,
+    the smallest oversampled), and expected counts spend the budget up
+    to per-source rounding."""
+    fn, _ = QUEUED_QUERIES["q_sample_temperature"]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.temp_weight for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    hi = max(rows, key=lambda r: r.share)
+    lo = min(rows, key=lambda r: r.share)
+    assert hi.oversample < 1.0 < lo.oversample
+    # flattened ordering is preserved (alpha-sampling reweights, it
+    # does not reorder)
+    by_share = sorted(rows, key=lambda r: r.share)
+    weights = [r.temp_weight for r in by_share]
+    assert weights == sorted(weights)
+    assert abs(sum(r.expected_docs for r in rows) - 100_000) <= len(rows)
+
+
 def test_escalate_depth_is_minimal_sufficient(spark, sf_dir):
     """The emitted nprobe_used must be exactly the smallest depth in
     (1, 2, 4, 8) whose probed-cell prefix holds >= k filtered

@@ -76,22 +76,38 @@ def asof_join(
     build_ts: str,
     value_cols: list[str],
     strict: bool = False,
+    tolerance: Column | None = None,
 ) -> DataFrame:
     """Left as-of join: for each probe row, the build row with the
     greatest ``build_ts <= probe_ts`` (``<`` if strict) within the same
     ``by`` key.  Build must be unique per (by, build_ts) for
     deterministic output — pre-aggregate it if not.
 
+    ``tolerance`` (round 14, pandas ``merge_asof(tolerance=...)``
+    parity): an interval Column (e.g. ``F.expr("INTERVAL 12 HOURS")``).
+    A match older than ``probe_ts - tolerance`` is nulled out — the
+    probe row survives with null values (left-join semantics), exactly
+    like a no-match, because a stale quote/click is not a match.  The
+    matched build timestamp rides the same carried window, so the
+    tolerance check adds NO extra shuffle or join.
+
     Union-sort trick: one shuffle on ``by``, a running
     ``last(..., ignorenulls=True)`` window, then keep probe rows.
     """
     pcols = probe.columns
+    extra_p, extra_b, carry_extra = [], [], []
+    if tolerance is not None:
+        bts_type = build.schema[build_ts].dataType
+        extra_p = [F.lit(None).cast(bts_type).alias("__v___bts")]
+        extra_b = [F.col(build_ts).alias("__v___bts")]
+        carry_extra = ["__bts"]
     p = probe.select(
         F.col(by).alias("__by"),
         F.col(probe_ts).alias("__ts"),
         F.lit(1).alias("__is_probe"),
         F.struct(*pcols).alias("__probe"),
         *[F.lit(None).cast(build.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        *extra_p,
     )
     b = build.select(
         F.col(by).alias("__by"),
@@ -101,6 +117,7 @@ def asof_join(
             p.schema["__probe"].dataType
         ).alias("__probe"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *extra_b,
     )
     # ties: build rows sort before probe rows (order by __is_probe) so a
     # build row at exactly probe_ts is visible unless strict.
@@ -112,18 +129,28 @@ def asof_join(
     )
     carried = p.unionByName(b).select(
         "__by",
+        "__ts",
         "__is_probe",
         "__probe",
         *[
             F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__last_{c}")
-            for c in value_cols
+            for c in (*value_cols, *carry_extra)
         ],
     )
-    out = carried.filter(F.col("__is_probe") == 1).select(
-        *[F.col(f"__probe.{c}").alias(c) for c in pcols],
-        *[F.col(f"__last_{c}").alias(f"asof_{c}") for c in value_cols],
+    probe_rows = carried.filter(F.col("__is_probe") == 1)
+    if tolerance is not None:
+        ok = F.col("__last___bts") >= (F.col("__ts") - tolerance)
+        vals = [
+            F.when(ok, F.col(f"__last_{c}")).alias(f"asof_{c}")
+            for c in value_cols
+        ]
+    else:
+        vals = [
+            F.col(f"__last_{c}").alias(f"asof_{c}") for c in value_cols
+        ]
+    return probe_rows.select(
+        *[F.col(f"__probe.{c}").alias(c) for c in pcols], *vals
     )
-    return out
 
 
 def salted_join(

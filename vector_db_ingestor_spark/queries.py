@@ -8771,6 +8771,138 @@ def _multimodal_manifest_oracle(target: int = 50_000) -> str:
 
 
 # =====================================================================
+# q_join_asof_tolerance + q_sample_temperature (QUEUED round 14)
+# =====================================================================
+
+def q_join_asof_tolerance_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound — pandas
+    ``merge_asof(tolerance=...)`` parity on the union-sort operator
+    (``operators/joins.py asof_join``): for each purchase, the latest
+    click at or before it per user, but a click older than 12 hours is
+    NOT a match (nulled, left-join semantics) — the quote-staleness /
+    attribution-window rule every event pipeline needs.  The matched
+    build timestamp rides the same carried window, so the tolerance
+    check adds zero shuffles: the plan is exactly q_join_asof's (one
+    exchange on user_id) plus a null-out projection.  The 12 h bound
+    yields a three-way split on the fixture (matched-within /
+    matched-stale / never-matched), so a broken tolerance shows up as
+    wrong rows, not fewer rows."""
+    from vector_db_ingestor_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(
+        purchases, clicks, by="user_id", probe_ts="ts", build_ts="ts",
+        value_cols=["click_id"], tolerance=F.expr("INTERVAL 12 HOURS"),
+    )
+    return out.select(
+        "event_id", "user_id", "asof_click_id",
+        F.col("asof_click_id").isNotNull().alias("within_tolerance"),
+    )
+
+
+def _join_asof_tolerance_oracle() -> str:
+    """DuckDB mirror: ASOF LEFT JOIN picks the same latest click; the
+    tolerance is the identical null-out CASE on the matched ts."""
+    return """
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 12 HOUR
+                THEN c.click_id END AS asof_click_id,
+           coalesce(c.ts >= p.ts - INTERVAL 12 HOUR, FALSE)
+               AS within_tolerance
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts) c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """
+
+
+def q_sample_temperature_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling — THE standard multi-source
+    data-mixing recipe (the mT5 alpha-sampling recipe): per-source shares are
+    raised to alpha = 0.7 (< 1) and renormalized, flattening the source distribution
+    so low-resource sources are oversampled; the report pairs each
+    source's natural share with its temperature weight, the implied
+    oversample factor, and the expected document count under a fixed
+    budget.  Plan: one map-side-combined aggregation per source (tiny
+    output) + a 1-row broadcast total — the scalar-model pattern;
+    floats are rounded to 6dp like every cosine (pow is the same libm
+    double on both engines).  At 100 TB the per-source agg IS the whole
+    job; the sampling itself is then a per-row bernoulli/repeat using
+    these driver-scale weights (q_split_train's hash trick)."""
+    budget = 100_000
+    alpha = 0.7  # share^alpha, alpha < 1 flattens (mT5-style)
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = per_src.agg(
+        F.sum("n_chars").alias("tot_chars"),
+        F.sum(F.pow(F.col("n_chars").cast("double"), F.lit(alpha))).alias(
+            "tot_pow"
+        ),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_chars",
+            F.round(F.col("n_chars") / F.col("tot_chars"), 6).alias("share"),
+            F.round(
+                F.pow(F.col("n_chars").cast("double"), F.lit(alpha))
+                / F.col("tot_pow"),
+                6,
+            ).alias("temp_weight"),
+        )
+        .withColumn(
+            "oversample",
+            F.round(F.col("temp_weight") / F.col("share"), 6),
+        )
+        .withColumn(
+            "expected_docs",
+            F.round(F.col("temp_weight") * F.lit(budget), 0).cast("long"),
+        )
+    )
+
+
+def _sample_temperature_oracle(budget: int = 100_000) -> str:
+    """DuckDB mirror: same per-source agg, same pow(x, 1/0.7) over
+    doubles, same 6dp rounding."""
+    return f"""
+    WITH per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+               sum(pow(CAST(n_chars AS DOUBLE), 0.7)) AS tot_pow
+        FROM per_src
+    )
+    SELECT source, n_docs, n_chars, share, temp_weight,
+           round(temp_weight / share, 6) AS oversample,
+           CAST(round(temp_weight * {budget}, 0) AS BIGINT)
+               AS expected_docs
+    FROM (
+        SELECT source, n_docs, n_chars,
+               round(CAST(n_chars AS DOUBLE) / tot_chars, 6) AS share,
+               round(pow(CAST(n_chars AS DOUBLE), 0.7) / tot_pow, 6)
+                   AS temp_weight
+        FROM per_src CROSS JOIN tot
+    )
+    """
+
+
+# =====================================================================
 # Round-14 declarations (SURVEY §7's largest window: the seven pairs
 # built round 11, differentially tested in tests/test_round11_queries.py,
 # plan-pinned in tests/test_plans.py QUEUE_CASES, and 100x-probed —
@@ -8809,6 +8941,14 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q_multimodal_manifest": (
         q_multimodal_manifest_impl,
         _multimodal_manifest_oracle(),
+    ),
+    "q_join_asof_tolerance": (
+        q_join_asof_tolerance_impl,
+        _join_asof_tolerance_oracle(),
+    ),
+    "q_sample_temperature": (
+        q_sample_temperature_impl,
+        _sample_temperature_oracle(),
     ),
     "q_graph_pagerank": (q_graph_pagerank_impl, _graph_pagerank_oracle()),
     "q_sketch_linear": (q_sketch_linear_impl, _sketch_linear_oracle()),
