@@ -1270,6 +1270,104 @@ def test_ann_absorb_idempotent_per_artifact(spark, tmp_path):
     assert any(f.startswith("half") for f in got)
 
 
+def test_ann_compact_preserves_serving(spark, tmp_path):
+    """Round 14: ann_compact folds absorb-accumulated small files back
+    into ~target-sized ones WITHOUT changing a single serving result —
+    search_ann (ivf, ivfpq, refined), drift totals, and the index
+    contract (complete marker, sidecars, refine companion) all survive
+    the rewrite; the data-file count drops."""
+    from vector_db_ingestor_spark.operators.similarity import (
+        ivf_index_complete,
+    )
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    def corpus(tag, n):
+        texts = [
+            (f"{tag} compaction document {i} about index maintenance "
+             f"{'alpha beta gamma delta '[: 8 + i % 12]} ").encode() * 3
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            [
+                (
+                    f"file:/fake/{tag}{i}.pdf",
+                    f"{tag}{i}.pdf",
+                    len(b),
+                    bytearray(b"stream\n(" + b + b") Tj\nendstream"),
+                )
+                for i, b in enumerate(texts)
+            ],
+            "source STRING, filename STRING, file_bytes LONG, content BINARY",
+        )
+
+    coll = VectorCollection(spark, str(tmp_path / "cmp_coll"))
+    coll.overwrite(build_chunks(corpus("base", 8), chunk_size=60, overlap=10))
+    for kind in ("ivf", "ivfpq"):
+        coll.build_ann_index(kind=kind, n_centroids=4, m=4, ksub=8)
+    # several absorbs: each appends one small file per touched cid
+    for tag in ("a", "b", "c"):
+        batch = build_chunks(
+            corpus(tag, 3), chunk_size=60, overlap=10
+        ).localCheckpoint(eager=True)
+        coll.append(batch)
+        for kind in ("ivf", "ivfpq"):
+            coll.ann_absorb(batch, kind=kind)
+
+    k = coll.count()
+    q = "compaction index maintenance"
+    before = {
+        kind: [
+            (r.chunk_uid, r.score)
+            for r in coll.search_ann(q, n_results=k, kind=kind).collect()
+        ]
+        for kind in ("ivf", "ivfpq")
+    }
+    before["refined"] = [
+        (r.chunk_uid, r.score)
+        for r in coll.search_ann(
+            q, n_results=k, kind="ivfpq", refine=True
+        ).collect()
+    ]
+    totals = {
+        kind: coll.ann_drift_report(kind).agg(F.sum("n")).first()[0]
+        for kind in ("ivf", "ivfpq")
+    }
+
+    for kind in ("ivf", "ivfpq"):
+        files_before = coll._ann_data_file_count(kind)
+        files_after = coll.ann_compact(kind=kind)
+        assert files_after < files_before, (kind, files_before, files_after)
+        assert ivf_index_complete(spark, coll._ann_path(kind))
+        assert (
+            coll.ann_drift_report(kind).agg(F.sum("n")).first()[0]
+            == totals[kind]
+        )
+        got = [
+            (r.chunk_uid, r.score)
+            for r in coll.search_ann(q, n_results=k, kind=kind).collect()
+        ]
+        assert got == before[kind], kind
+    # refine companion rewritten into one global range order, still exact
+    assert coll._ann_vectors_complete("ivfpq")
+    got_r = [
+        (r.chunk_uid, r.score)
+        for r in coll.search_ann(
+            q, n_results=k, kind="ivfpq", refine=True
+        ).collect()
+    ]
+    assert got_r == before["refined"]
+    # and the compacted index keeps absorbing
+    batch = build_chunks(
+        corpus("post", 2), chunk_size=60, overlap=10
+    ).localCheckpoint(eager=True)
+    coll.append(batch)
+    coll.ann_absorb(batch, kind="ivfpq")
+    assert (
+        coll.ann_drift_report("ivfpq").agg(F.sum("n")).first()[0]
+        == totals["ivfpq"] + batch.count()
+    )
+
+
 def test_search_ann_filtered_ivf(spark, tmp_path):
     """Filtered ANN (round 13, reference R11 at the index rung): the
     ivf index keeps full rows, so filter_metadata applies INSIDE the

@@ -837,6 +837,117 @@ class VectorCollection:
         else:
             raise ValueError(f"unknown ANN index kind: {kind!r}")
 
+    def ann_compact(
+        self, kind: str = "ivf", target_file_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """Rewrite a prebuilt ANN index into ~target-sized files and
+        return the new data-file count — the index-side twin of
+        :meth:`compact` (round 14).
+
+        Every :meth:`ann_absorb` / :func:`stream_ingest_absorb`
+        micro-batch appends one small file per touched ``cid``
+        partition (codes/rows) plus a range-sorted slice into the
+        refine companion; at streaming cadence that is the same
+        death-by-small-files tax the collection compactor exists for,
+        multiplied by nprobe-pruned scans that pay a task per file.
+        The rewrite:
+
+        * codes/rows — ONE ``repartitionByRange(n, cid, chunk_uid)``
+          (cids stay contiguous across tasks, so ``partitionBy("cid")``
+          emits ~one file per task, sized from the ACTUAL on-disk
+          bytes) + within-file sort on the id, so footer stats prune
+          id lookups inside probed cells too;
+        * the ivfpq refine companion — a fresh
+          :func:`~vector_db_ingestor_spark.operators.similarity.
+          vectors_write`, folding the per-batch disjoint id ranges
+          that ``vectors_append`` leaves behind back into ONE global
+          range order (the compaction story its docstring promises);
+        * model sidecars — rewritten into the tmp dir (the live index
+          is untouched until the swap), ``_INDEX_SUCCESS`` written
+          LAST so a half-built tmp can never read as complete.
+
+        Swap is rename-only (live -> trash, tmp -> live, delete
+        trash), the :meth:`compact` idiom: a crash at any step leaves
+        one full copy on disk — run out-of-band, not under readers."""
+        import math
+        import uuid
+
+        from vector_db_ingestor_spark.operators.similarity import (
+            ivf_index_complete,
+            vectors_write,
+        )
+
+        path = self._ann_path(kind)
+        if not ivf_index_complete(self.spark, path):
+            raise ValueError(
+                f"no complete {kind!r} index at {path}; run "
+                f"build_ann_index(kind={kind!r}) first"
+            )
+        hpath = self.spark._jvm.org.apache.hadoop.fs.Path
+        fs = hpath(path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+
+        data_bytes = 0
+        for st in fs.listStatus(hpath(path)):
+            if st.getPath().getName().startswith("cid="):
+                data_bytes += fs.getContentSummary(st.getPath()).getLength()
+        n_files = max(1, math.ceil(data_bytes / target_file_bytes))
+        token = uuid.uuid4().hex[:8]
+        tmp = path + f"__compact_{token}"
+
+        (
+            self.spark.read.parquet(path)
+            .repartitionByRange(n_files, "cid", "chunk_uid")
+            .sortWithinPartitions("cid", "chunk_uid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(tmp)
+        )
+        for side in ("_centroids", "_codebooks"):
+            src = path + "/" + side
+            if fs.exists(hpath(src)):
+                (
+                    self.spark.read.parquet(src)
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(tmp + "/" + side)
+                )
+        if kind == "ivfpq" and self._ann_vectors_complete(kind):
+            vectors_write(
+                self.spark.read.parquet(self._ann_vectors_path(kind)),
+                tmp + "/_vectors",
+                id_col="chunk_uid",
+            )
+        fs.create(hpath(tmp + "/_INDEX_SUCCESS"), True).close()
+
+        trash = path + f"__retired_{token}"
+        if not fs.rename(hpath(path), hpath(trash)):
+            raise IOError(f"ann_compact: could not retire {path}")
+        if not fs.rename(hpath(tmp), hpath(path)):
+            if fs.rename(hpath(trash), hpath(path)):
+                raise IOError(
+                    f"ann_compact: could not promote {tmp}; rolled back"
+                )
+            raise IOError(
+                f"ann_compact: could not promote {tmp} AND rollback "
+                f"failed — live index intact under {trash}"
+            )
+        fs.delete(hpath(trash), True)
+        return self._ann_data_file_count(kind)
+
+    def _ann_data_file_count(self, kind: str) -> int:
+        """Parquet data files across the index's cid partitions."""
+        hpath = self.spark._jvm.org.apache.hadoop.fs.Path
+        path = self._ann_path(kind)
+        fs = hpath(path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        n = 0
+        for st in fs.listStatus(hpath(path)):
+            if not st.getPath().getName().startswith("cid="):
+                continue
+            for f in fs.listStatus(st.getPath()):
+                if f.getPath().getName().endswith(".parquet"):
+                    n += 1
+        return n
+
     def ann_drift_report(self, kind: str = "ivf") -> DataFrame:
         """Occupancy report for a prebuilt index (per-cell n / share /
         skew, operators/similarity.py ivf_drift_report): the retrain
