@@ -227,6 +227,7 @@ QUEUE_AUDITS: dict[str, dict] = {
     # temperature's 1-row grand total is the scalar-model broadcast
     # cross join, so it pins partial_agg + broadcast
     "q_sample_temperature": {"partial_agg": True, "broadcast": True},
+    "q_jsonl_ingest": {"max_exchange": 0},
     "q_text_boilerplate_strip": {"broadcast": True, "partial_agg": True},
     "q_nb_classify": {"partial_agg": True},
     "q_stream_dedup": {"partial_agg": True},

@@ -116,6 +116,53 @@ def test_multimodal_manifest_matches_sequential_writer(spark, sf_dir):
             assert v1[3] < v2[2]
 
 
+def test_jsonl_scan_survives_corrupt_lines(spark, tmp_path):
+    """The REAL file-based front door (sources/text.py scan_jsonl)
+    under the dirty-dump case the in-plan pair certifies: a corrupt
+    line lands a null row under the explicit schema's PERMISSIVE
+    default instead of killing the scan, and intact lines are
+    untouched."""
+    from vector_db_ingestor_spark.sources.text import scan_jsonl
+
+    (tmp_path / "dirty.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha", "lang": "en", "source": "s0"}\n'
+        '{"doc_id": 2, "text": "TRUNCAT\n'
+        '{"doc_id": 3, "text": "gamma", "lang": "de", "source": "s1"}\n'
+    )
+    rows = scan_jsonl(spark, str(tmp_path / "dirty.jsonl")).collect()
+    assert len(rows) == 3
+    good = {r.doc_id: (r.text, r.lang) for r in rows if r.doc_id is not None}
+    assert good == {1: ("alpha", "en"), 3: ("gamma", "de")}
+    bad = [r for r in rows if r.doc_id is None]
+    assert len(bad) == 1 and bad[0].text is None and bad[0].lang is None
+
+
+def test_jsonl_roundtrip_corruption_is_exact(spark, sf_dir):
+    """q_jsonl_ingest semantics: corruption is EXACTLY the doc_id % 17
+    set, good rows round-trip id/lang and pin text by sha — recomputed
+    here from the raw table."""
+    import hashlib
+
+    fn, _ = QUEUED_QUERIES["q_jsonl_ingest"]
+    got = {r.src_doc_id: r for r in fn(spark, sf_dir).collect()}
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    assert set(got) == {r.doc_id for r in raw}
+    for r in raw:
+        g = got[r.doc_id]
+        if r.doc_id % 17 == 0:
+            assert g.is_corrupt and g.parsed_doc_id is None
+            assert g.parsed_lang is None and g.text_sha is None
+        else:
+            assert not g.is_corrupt
+            assert g.parsed_doc_id == r.doc_id
+            assert g.parsed_lang == r.lang
+            assert g.text_sha == hashlib.sha256(
+                r.text.encode()
+            ).hexdigest()
+
+
 def test_asof_tolerance_three_way_split(spark, sf_dir):
     """q_join_asof_tolerance semantics: the fixture splits three ways
     (matched-within / matched-stale / never-matched, all nonempty);

@@ -8902,6 +8902,62 @@ def _sample_temperature_oracle(budget: int = 100_000) -> str:
     """
 
 
+def q_jsonl_ingest_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL front door under the hash gate — the q_warc_ingest
+    symmetry for the LLM-data interchange format
+    (``sources/text.py scan_jsonl``'s parse contract): fixture
+    documents are serialized IN-PLAN to JSONL records (``to_json``
+    over a struct — the exact wire format), every 17th line is
+    corrupted (truncated mid-record, the malformed-line case every
+    crawl dump contains), and the lines run back through ``from_json``
+    with the EXPLICIT schema + PERMISSIVE corrupt handling the source
+    mandates at 100 TB (schema inference is a second full pass; a
+    FAILFAST parse dies on line one of a dirty dump).  Good lines
+    round-trip identically (parsed id/lang equal the originals, text
+    pinned by sha-256); corrupt lines land nulls + a flag instead of
+    killing the job.  ``from_json`` is the same Jackson parser the
+    file reader runs, so this certifies the deployed path's semantics.
+    Scale: a pure projection riding the scan — zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "lang", "text"))
+    wire = F.when(
+        F.col("doc_id") % 17 == 0, F.substring(line, 1, 25)
+    ).otherwise(line)
+    parsed = F.from_json(
+        wire, "doc_id LONG, lang STRING, text STRING"
+    ).alias("rec")
+    return docs.select(
+        F.col("doc_id").alias("src_doc_id"), parsed
+    ).select(
+        "src_doc_id",
+        F.col("rec.doc_id").alias("parsed_doc_id"),
+        F.col("rec.lang").alias("parsed_lang"),
+        F.when(
+            F.col("rec.text").isNotNull(),
+            F.sha2(F.to_binary(F.col("rec.text"), F.lit("utf-8")), 256),
+        ).alias("text_sha"),
+        F.col("rec.doc_id").isNull().alias("is_corrupt"),
+    )
+
+
+def _jsonl_ingest_oracle() -> str:
+    """DuckDB mirror: identity on the synthesis for good lines (a
+    truncated record can never parse — the brace never closes — so
+    corruption is exactly the doc_id % 17 set), constants for corrupt
+    ones."""
+    return """
+    SELECT doc_id AS src_doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN NULL ELSE doc_id END
+               AS parsed_doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END
+               AS parsed_lang,
+           CASE WHEN doc_id % 17 = 0 THEN NULL ELSE sha256(text) END
+               AS text_sha,
+           doc_id % 17 = 0 AS is_corrupt
+    FROM documents
+    """
+
+
 # =====================================================================
 # Round-14 declarations (SURVEY §7's largest window: the seven pairs
 # built round 11, differentially tested in tests/test_round11_queries.py,
@@ -8950,6 +9006,7 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
         q_sample_temperature_impl,
         _sample_temperature_oracle(),
     ),
+    "q_jsonl_ingest": (q_jsonl_ingest_impl, _jsonl_ingest_oracle()),
     "q_graph_pagerank": (q_graph_pagerank_impl, _graph_pagerank_oracle()),
     "q_sketch_linear": (q_sketch_linear_impl, _sketch_linear_oracle()),
     "q_sketch_bloom": (q_sketch_bloom_impl, _sketch_bloom_oracle()),
