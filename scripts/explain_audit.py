@@ -228,6 +228,7 @@ QUEUE_AUDITS: dict[str, dict] = {
     # cross join, so it pins partial_agg + broadcast
     "q_sample_temperature": {"partial_agg": True, "broadcast": True},
     "q_jsonl_ingest": {"max_exchange": 0},
+    "q_csv_ingest": {"max_exchange": 0},
     "q_text_boilerplate_strip": {"broadcast": True, "partial_agg": True},
     "q_nb_classify": {"partial_agg": True},
     "q_stream_dedup": {"partial_agg": True},

@@ -148,6 +148,7 @@ QUEUE_CASES = [
     ("q_multimodal_manifest", "no_nested_loop"),
     ("q_join_asof_tolerance", "no_nested_loop"),
     ("q_jsonl_ingest", "no_shuffle"),
+    ("q_csv_ingest", "no_shuffle"),
     # temperature's 1-row total is a deliberate broadcast cross join
     # (scalar-model pattern), so pin the map-side partial agg instead
     ("q_url_curation", "no_shuffle"),

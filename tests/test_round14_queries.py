@@ -163,6 +163,35 @@ def test_jsonl_roundtrip_corruption_is_exact(spark, sf_dir):
             ).hexdigest()
 
 
+def test_csv_scan_roundtrips_quoted_fields(spark, tmp_path):
+    """The REAL file-based scan_csv under the quoting the in-plan pair
+    certifies: embedded delimiters and doubled quotes round-trip
+    through an actual file."""
+    from vector_db_ingestor_spark.sources.text import scan_csv
+
+    (tmp_path / "quoted.csv").write_text(
+        'doc_id,text,lang,source\n'
+        '1,"alpha, with a ""quoted"" word",en,s0\n'
+        '2,plain,de,s1\n'
+    )
+    rows = {
+        r.doc_id: r.text
+        for r in scan_csv(spark, str(tmp_path / "quoted.csv")).collect()
+    }
+    assert rows == {1: 'alpha, with a "quoted" word', 2: "plain"}
+
+
+def test_csv_ingest_every_row_quoted(spark, sf_dir):
+    """q_csv_ingest semantics: the injected tail forces the writer to
+    quote EVERY row (the contract the key exists to certify), and the
+    parsed text always ends with the tail."""
+    fn, _ = QUEUED_QUERIES["q_csv_ingest"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.was_quoted for r in rows)
+    assert all(r.parsed_doc_id == r.src_doc_id for r in rows)
+
+
 def test_asof_tolerance_three_way_split(spark, sf_dir):
     """q_join_asof_tolerance semantics: the fixture splits three ways
     (matched-within / matched-stale / never-matched, all nonempty);

@@ -8958,6 +8958,60 @@ def _jsonl_ingest_oracle() -> str:
     """
 
 
+def q_csv_ingest_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV front door under the hash gate — the q_jsonl_ingest
+    sibling for the other interchange format (``sources/text.py
+    scan_csv``): the contract worth certifying for CSV is QUOTING, so
+    every row's text gets an injected ``, and a "quoted, comma" tail``
+    (embedded delimiter + embedded quote — the fields that corrupt a
+    naive split-on-comma), is serialized in-plan with ``to_csv`` (the
+    writer quotes and doubles the quote char) and parsed back with
+    ``from_csv`` under the explicit schema.  Round-trip is pinned by
+    sha-256 of the parsed text against the oracle's hand-built
+    original; ``was_quoted`` certifies the writer actually exercised
+    quoting on every row.  Same Univocity parser as the file reader,
+    zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tricky = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(', and a "quoted, comma" tail'),
+    )
+    wire = F.to_csv(
+        F.struct(
+            F.col("doc_id"), F.col("lang"), tricky.alias("text")
+        )
+    )
+    rec = F.from_csv(wire, "doc_id LONG, lang STRING, text STRING")
+    return docs.select(
+        F.col("doc_id").alias("src_doc_id"),
+        rec.alias("rec"),
+        wire.contains('"').alias("was_quoted"),
+    ).select(
+        "src_doc_id",
+        F.col("rec.doc_id").alias("parsed_doc_id"),
+        F.col("rec.lang").alias("parsed_lang"),
+        F.sha2(F.to_binary(F.col("rec.text"), F.lit("utf-8")), 256).alias(
+            "text_sha"
+        ),
+        "was_quoted",
+    )
+
+
+def _csv_ingest_oracle() -> str:
+    """DuckDB mirror: identity on the synthesis — the oracle never
+    parses CSV, it states what a correct quote round-trip must return
+    (the q_warc_ingest/q_jsonl_ingest contract style)."""
+    return """
+    SELECT doc_id AS src_doc_id,
+           doc_id AS parsed_doc_id,
+           lang AS parsed_lang,
+           sha256(substr(text, 1, 40)
+                  || ', and a "quoted, comma" tail') AS text_sha,
+           TRUE AS was_quoted
+    FROM documents
+    """
+
+
 # =====================================================================
 # Round-14 declarations (SURVEY §7's largest window: the seven pairs
 # built round 11, differentially tested in tests/test_round11_queries.py,
@@ -9007,6 +9061,7 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
         _sample_temperature_oracle(),
     ),
     "q_jsonl_ingest": (q_jsonl_ingest_impl, _jsonl_ingest_oracle()),
+    "q_csv_ingest": (q_csv_ingest_impl, _csv_ingest_oracle()),
     "q_graph_pagerank": (q_graph_pagerank_impl, _graph_pagerank_oracle()),
     "q_sketch_linear": (q_sketch_linear_impl, _sketch_linear_oracle()),
     "q_sketch_bloom": (q_sketch_bloom_impl, _sketch_bloom_oracle()),

@@ -30,7 +30,17 @@ def scan_jsonl(
 def scan_csv(
     spark: SparkSession, path: str, schema: str = DOC_SCHEMA, header: bool = True
 ) -> DataFrame:
-    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+    # escape='"' = RFC 4180 doubled-quote escaping, the dialect every
+    # spreadsheet/pandas/DuckDB export writes.  Spark's default escape
+    # is backslash, under which `"a ""b"" c"` comes back with its
+    # quotes INTACT — silently wrong fields, caught by
+    # tests/test_round14_queries.py::test_csv_scan_roundtrips_quoted_fields.
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("escape", '"')
+        .csv(path)
+    )
 
 
 def scan_text_files(spark: SparkSession, path: str, glob: str = "*.txt") -> DataFrame:
