@@ -1367,6 +1367,20 @@ def test_ann_compact_preserves_serving(spark, tmp_path):
         == totals["ivfpq"] + batch.count()
     )
 
+    # the one-call maintenance report carries both action signals
+    rep = coll.ann_maintenance_report("ivfpq")
+    assert rep["complete"] and rep["refine_companion"]
+    assert rep["n_rows"] == totals["ivfpq"] + batch.count()
+    assert rep["n_data_files"] == coll._ann_data_file_count("ivfpq")
+    assert rep["avg_file_bytes"] > 0 and rep["data_bytes"] > 0
+    assert isinstance(rep["rebuild_recommended"], bool)
+    assert isinstance(rep["compact_recommended"], bool)
+    # an index that was never built reports incomplete, not an error
+    empty = VectorCollection(spark, str(tmp_path / "no_idx"))
+    assert empty.ann_maintenance_report("ivf") == {
+        "kind": "ivf", "complete": False,
+    }
+
 
 def test_search_ann_filtered_ivf(spark, tmp_path):
     """Filtered ANN (round 13, reference R11 at the index rung): the

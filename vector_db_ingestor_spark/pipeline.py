@@ -948,6 +948,50 @@ class VectorCollection:
                     n += 1
         return n
 
+    def ann_maintenance_report(self, kind: str = "ivf") -> dict:
+        """One driver-side dict with every signal the two maintenance
+        actions key on (round 14): ``rebuild`` when drift skew crosses
+        ~4 (:meth:`build_ann_index` — the frozen model no longer fits
+        the data) and ``compact`` when absorb-accumulated files push
+        the per-file average under ~1/4 of the target
+        (:meth:`ann_compact` — the scan pays a task per file).  Cheap
+        at any scale: the drift report reads only the cid partition
+        column; the file stats are a namenode listing."""
+        from vector_db_ingestor_spark.operators.similarity import (
+            ivf_index_complete,
+        )
+
+        path = self._ann_path(kind)
+        if not ivf_index_complete(self.spark, path):
+            return {"kind": kind, "complete": False}
+        drift = self.ann_drift_report(kind).agg(
+            F.max("skew").alias("max_skew"), F.sum("n").alias("n_rows")
+        ).first()
+        hpath = self.spark._jvm.org.apache.hadoop.fs.Path
+        fs = hpath(path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        data_bytes = 0
+        for st in fs.listStatus(hpath(path)):
+            if st.getPath().getName().startswith("cid="):
+                data_bytes += fs.getContentSummary(st.getPath()).getLength()
+        n_files = self._ann_data_file_count(kind)
+        target = 128 * 1024 * 1024
+        return {
+            "kind": kind,
+            "complete": True,
+            "n_rows": int(drift["n_rows"]),
+            "max_skew": float(drift["max_skew"]),
+            "rebuild_recommended": float(drift["max_skew"]) > 4.0,
+            "n_data_files": n_files,
+            "data_bytes": int(data_bytes),
+            "avg_file_bytes": int(data_bytes / n_files) if n_files else 0,
+            "compact_recommended": bool(
+                n_files and data_bytes / n_files < target / 4 and n_files > 8
+            ),
+            "refine_companion": (
+                self._ann_vectors_complete(kind) if kind == "ivfpq" else None
+            ),
+        }
+
     def ann_drift_report(self, kind: str = "ivf") -> DataFrame:
         """Occupancy report for a prebuilt index (per-cell n / share /
         skew, operators/similarity.py ivf_drift_report): the retrain
