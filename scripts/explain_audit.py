@@ -229,6 +229,7 @@ QUEUE_AUDITS: dict[str, dict] = {
     "q_sample_temperature": {"partial_agg": True, "broadcast": True},
     "q_jsonl_ingest": {"max_exchange": 0},
     "q_csv_ingest": {"max_exchange": 0},
+    "q_ann_nprobe_curve": {"top_k": True, "broadcast": True},
     "q_text_boilerplate_strip": {"broadcast": True, "partial_agg": True},
     "q_nb_classify": {"partial_agg": True},
     "q_stream_dedup": {"partial_agg": True},

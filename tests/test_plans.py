@@ -149,6 +149,7 @@ QUEUE_CASES = [
     ("q_join_asof_tolerance", "no_nested_loop"),
     ("q_jsonl_ingest", "no_shuffle"),
     ("q_csv_ingest", "no_shuffle"),
+    ("q_ann_nprobe_curve", "take_ordered"),
     # temperature's 1-row total is a deliberate broadcast cross join
     # (scalar-model pattern), so pin the map-side partial agg instead
     ("q_url_curation", "no_shuffle"),

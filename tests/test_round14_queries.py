@@ -163,6 +163,20 @@ def test_jsonl_roundtrip_corruption_is_exact(spark, sf_dir):
             ).hexdigest()
 
 
+def test_nprobe_curve_is_monotone_to_exact(spark, sf_dir):
+    """q_ann_nprobe_curve semantics the oracle can't state: recall is
+    non-decreasing in nprobe (a wider probe can only add exact-top-k
+    members) and reaches exactly 1000 milli at all-cells-probed — the
+    q_ann_ivf_escalate boundary property read as a curve."""
+    fn, _ = QUEUED_QUERIES["q_ann_nprobe_curve"]
+    rows = sorted(fn(spark, sf_dir).collect(), key=lambda r: r.nprobe)
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    recalls = [r.recall_milli for r in rows]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1000
+    assert all(r.n_hits <= 20 for r in rows)
+
+
 def test_csv_scan_roundtrips_quoted_fields(spark, tmp_path):
     """The REAL file-based scan_csv under the quoting the in-plan pair
     certifies: embedded delimiters and doubled quotes round-trip

@@ -9012,6 +9012,127 @@ def _csv_ingest_oracle() -> str:
     """
 
 
+def q_ann_nprobe_curve_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe TUNING CURVE under the hash gate — recall@k at every
+    escalation depth in one plan, the report an IVF deployment runs
+    before choosing its nprobe/recall trade (and the measured
+    companion to q_ann_ivf_escalate's underfill rule): on the
+    literal-centroid model, rows carry their cell's probe rank ``rr``;
+    the exact top-k is a TakeOrdered over all rows; each depth's
+    approximate top-k is a TakeOrdered within ``rr <= p``; a
+    broadcast semi-join against the exact id set counts hits, and
+    recall rides as exact integer milli-units (no float agg).  Scale:
+    each depth's scan is partition-prunable to its prefix cells in a
+    real index (here in-plan), the exact leg is the one full pass a
+    tuning run pays once, and every ranked set is k rows — the joins
+    are broadcast by construction."""
+    from vector_db_ingestor_spark.functions.vector import cosine_similarity
+    from vector_db_ingestor_spark.operators.similarity import (
+        _assign_cid,
+        ivf_shortlist,
+    )
+
+    k = 20
+    cents = _ivf_assign_centroids()
+    order = ivf_shortlist(cents, PROBE_64, nprobe=len(cents))
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    rr = F.lit(None).cast("int")
+    for pos, cid in enumerate(order):
+        rr = F.when(F.col("cid") == cid, pos + 1).otherwise(rr)
+    scored = (
+        emb.withColumn("cid", _assign_cid(vec, cents, round_dp=6))
+        .withColumn("rr", rr)
+        .withColumn(
+            "score", F.round(cosine_similarity(vec, F.lit(PROBE_64)), 6)
+        )
+        .select("vec_id", "rr", "score")
+    )
+    exact = (
+        scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id")
+    )
+    parts = None
+    for p in (1, 2, 4, len(cents)):
+        approx = (
+            scored.filter(F.col("rr") <= p)
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(k)
+            .select(F.lit(p).cast("int").alias("nprobe"), "vec_id")
+        )
+        parts = approx if parts is None else parts.unionByName(approx)
+    hits = parts.join(F.broadcast(exact), "vec_id", "left_semi")
+    return (
+        hits.groupBy("nprobe")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .withColumn(
+            "recall_milli",
+            F.round(F.col("n_hits") * 1000 / F.lit(k), 0).cast("long"),
+        )
+    )
+
+
+def _ann_nprobe_curve_oracle(k: int = 20) -> str:
+    """DuckDB mirror: same centroid literals, same rr ranking, exact
+    and per-depth top-k CTEs, semi-join overlap counts, integer
+    milli recall."""
+    cents = _ivf_assign_centroids()
+
+    def cvec(c: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in c) + "]::DOUBLE[]"
+
+    def cos_sql(c: list[float]) -> str:
+        lit = cvec(c)
+        return (
+            f"round(list_dot_product(embedding::DOUBLE[], {lit})"
+            f" / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+            f" * sqrt(list_dot_product({lit}, {lit}))), 6)"
+        )
+
+    cent_rows = ", ".join(f"({i}, {cvec(c)})" for i, c in enumerate(cents))
+    sims = ", ".join(cos_sql(c) for c in cents)
+    depth_legs = "\n        UNION ALL\n".join(
+        f"""        SELECT CAST({p} AS INTEGER) AS nprobe, vec_id
+        FROM (SELECT vec_id FROM scored WHERE rr <= {p}
+              ORDER BY score DESC, vec_id ASC LIMIT {k})"""
+        for p in (1, 2, 4, len(cents))
+    )
+    return f"""
+    WITH cents(cid, cvec) AS (VALUES {cent_rows}),
+    ranked_cells AS (
+        SELECT cid,
+               CAST(row_number() OVER (
+                   ORDER BY (list_dot_product(cvec, {_PROBE_SQL})
+                             / (sqrt(list_dot_product(cvec, cvec))
+                                * sqrt(list_dot_product({_PROBE_SQL},
+                                                        {_PROBE_SQL})))) DESC,
+                            cid ASC) AS INTEGER) AS rr
+        FROM cents
+    ),
+    assigned AS (
+        SELECT vec_id, embedding,
+               CAST(list_position(sims, list_max(sims)) - 1 AS INTEGER) AS cid
+        FROM (SELECT vec_id, embedding, [{sims}] AS sims FROM embeddings)
+    ),
+    scored AS (
+        SELECT a.vec_id, rc.rr, {_SCORE_SQL} AS score
+        FROM assigned a JOIN ranked_cells rc USING (cid)
+    ),
+    exact AS (
+        SELECT vec_id FROM scored ORDER BY score DESC, vec_id ASC LIMIT {k}
+    ),
+    approx AS (
+{depth_legs}
+    )
+    SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(round(count(*) * 1000.0 / {k}, 0) AS BIGINT) AS recall_milli
+    FROM approx
+    WHERE vec_id IN (SELECT vec_id FROM exact)
+    GROUP BY nprobe
+    """
+
+
 # =====================================================================
 # Round-14 declarations (SURVEY §7's largest window: the seven pairs
 # built round 11, differentially tested in tests/test_round11_queries.py,
@@ -9062,6 +9183,10 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     ),
     "q_jsonl_ingest": (q_jsonl_ingest_impl, _jsonl_ingest_oracle()),
     "q_csv_ingest": (q_csv_ingest_impl, _csv_ingest_oracle()),
+    "q_ann_nprobe_curve": (
+        q_ann_nprobe_curve_impl,
+        _ann_nprobe_curve_oracle(),
+    ),
     "q_graph_pagerank": (q_graph_pagerank_impl, _graph_pagerank_oracle()),
     "q_sketch_linear": (q_sketch_linear_impl, _sketch_linear_oracle()),
     "q_sketch_bloom": (q_sketch_bloom_impl, _sketch_bloom_oracle()),
