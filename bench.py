@@ -154,6 +154,14 @@ HEADLINE = [
     "q_sketch_cms",
     "q_ann_ivfpq_refine",
     "q_join_interval",
+    # round-15 declarations, in the headline from birth: exact-BIGINT
+    # PageRank, the two mergeable sketch rungs, the stateful-operator
+    # batch parity, and MRL prefix-shortlist retrieval
+    "q_graph_pagerank",
+    "q_sketch_linear",
+    "q_sketch_bloom",
+    "q_stream_totals",
+    "q_topk_matryoshka",
 ]
 
 
@@ -369,9 +377,11 @@ def format_summary_line(
     (BENCH_r09.json "parsed": null).  Compact separators + 2-decimal
     per-query values keep the line ~1.8 KB; if the suite grows past
     the window anyway, per-query precision degrades (2 -> 1 -> 0
-    decimals — never dropping keys) until the line fits.  Coarse is
-    acceptable: the repo's round-over-round discipline ignores deltas
-    under 1.5x on untouched code.
+    decimals, then 0 decimals with the uniform "q_" prefix stripped —
+    never dropping keys) until the line fits.  Coarse is acceptable:
+    the repo's round-over-round discipline ignores deltas under 1.5x
+    on untouched code, and BENCH_DETAIL_r{N}.json carries the
+    full-precision, full-name record.
     """
     sf_str = str(sf)
     payload = {
@@ -382,11 +392,16 @@ def format_summary_line(
         "n": reps,
         "sf": float(sf_str) if sf_str.replace(".", "").isdigit() else sf,
     }
-    for ndigits in (2, 1, None):
+    for ndigits, strip_prefix in ((2, False), (1, False), (None, False), (None, True)):
         payload["queries"] = {
-            # ndigits=None is the last resort: whole-second ints
-            # ("1000" not "1000.0")
-            k: (int(round(v)) if ndigits is None else round(v, ndigits))
+            # ndigits=None: whole-second ints ("1000" not "1000.0");
+            # strip_prefix is the rung below that (round 15, the suite
+            # crossed 96 keys): every key starts with the uniform "q_",
+            # so dropping it saves 2 bytes/key losslessly — the full
+            # names live in BENCH_DETAIL_r{N}.json, the authoritative
+            # per-key record since r14
+            (k[2:] if strip_prefix and k.startswith("q_") else k):
+                (int(round(v)) if ndigits is None else round(v, ndigits))
             for k, v in timings.items()
         }
         line = json.dumps(payload, separators=(",", ":"))

@@ -437,6 +437,71 @@ def main() -> None:
             lines.append(f"| {key} | {name} | {status} | {detail} |")
             print(f"{'OK  ' if ok else 'FAIL'} {key:20s} {name:18s} {detail}")
 
+    # escalation-bounded (round 15, VERDICT r14 #7): the filtered-ANN
+    # recall contract escalates by re-running ivf_topk(predicate=...)
+    # at doubled nprobe — so its scale story holds only if the
+    # single-pass plan stays TakeOrdered + zero-exchange +
+    # partition-pruned at EVERY probe depth (a shape regression at one
+    # depth would multiply by the log2-bounded escalation rounds).
+    # Pin it against a real persisted index, not an in-plan stand-in.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from vector_db_ingestor_spark.operators.similarity import (
+        ivf_read,
+        ivf_topk,
+        ivf_write,
+    )
+
+    tmp_ivf = tempfile.mkdtemp(prefix="explain_audit_ivf_")
+    try:
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        dim = len(emb.select("embedding").first()[0])
+        probe_vec = [1.0 if i % 7 == 0 else 0.1 for i in range(dim)]
+        ivf_write(emb, tmp_ivf, dim=dim, n_centroids=8, iters=1)
+        indexed, cents = ivf_read(spark, tmp_ivf)
+        depth = 1
+        while depth <= len(cents):
+            df = ivf_topk(
+                indexed, cents, probe_vec, k=10, nprobe=depth,
+                predicate=F.col("label") == 3,
+            )
+            df.collect()
+            plan = executed_plan(df)
+            checks = [
+                ("take-ordered", "TakeOrderedAndProject" in plan),
+                ("zero-exchange", count_shuffles(plan) == 0),
+                # a 1-cell shortlist prints "(cid#n = 3)", wider ones
+                # "cid#n IN (..)" — both are file-skipping
+                (
+                    "partition-pruned",
+                    bool(
+                        re.search(
+                            r"PartitionFilters: \[[^\]]*(IN |= |EqualTo)",
+                            plan,
+                        )
+                    ),
+                ),
+            ]
+            ok = all(c[1] for c in checks)
+            failures += (not ok)
+            detail = ", ".join(
+                f"{n}={'ok' if v else 'FAIL'}" for n, v in checks
+            )
+            lines.append(
+                f"| ivf_topk(predicate) nprobe={depth} | escalation-bounded "
+                f"| {'ok' if ok else 'FAIL'} | {detail} |"
+            )
+            print(
+                f"{'OK  ' if ok else 'FAIL'} ivf_topk(pred) nprobe={depth:2d} "
+                f"escalation-bounded  {detail}"
+            )
+            depth *= 2
+    finally:
+        shutil.rmtree(tmp_ivf, ignore_errors=True)
+
     # repo-wide invariants over every declared query's structural plan
     # (pre-AQE suffices: Window-vs-limit position and Python eval
     # fan-out are both decided at planning time, so no execution is

@@ -155,13 +155,19 @@ def test_bench_summary_line_fits_driver_tail_window():
 
     import bench
 
+    def unstripped(keys):
+        # the final precision rung (round 15, 96 keys) drops the
+        # uniform "q_" prefix losslessly; normalize for comparison
+        return {k if k.startswith("q_") else f"q_{k}" for k in keys}
+
     realistic = bench.format_summary_line(
         {k: 3.141 for k in bench.HEADLINE}, 236.5, 5, "0.1"
     )
     assert len(realistic) <= bench.TAIL_BUDGET < 2000
     parsed = json.loads(realistic)
-    assert set(parsed["queries"]) == set(bench.HEADLINE)
-    got = parsed["queries"][bench.HEADLINE[0]]
+    assert unstripped(parsed["queries"]) == set(bench.HEADLINE)
+    first = bench.HEADLINE[0]
+    got = parsed["queries"].get(first, parsed["queries"].get(first[2:]))
     assert got in (3.14, 3.1, 3)
     if got != 3.14:
         # degradation must be necessary, never gratuitous: the full-2dp
@@ -186,15 +192,14 @@ def test_bench_summary_line_fits_driver_tail_window():
     )
     assert len(absurd) <= bench.TAIL_BUDGET
     absurd_queries = json.loads(absurd)["queries"]
-    # at 91 keys a worst-case-width (100s/key, 3 digits at 0dp) map no
+    # at 96 keys a worst-case-width (100s/key, 3 digits at 0dp) map no
     # longer fits the tail window: the formatter must either keep every
-    # key or take the LOUD count-drop path — never silently truncate.
-    # (The full-precision per-key record rides BENCH_DETAIL_r{N}.json,
-    # committed per round, so the stdout map is no longer the only
-    # carrier.)
-    assert set(absurd_queries) in (
-        set(bench.HEADLINE),
-        {"_dropped_keys"},
+    # key (full or prefix-stripped) or take the LOUD count-drop path —
+    # never silently truncate.  (The full-precision per-key record
+    # rides BENCH_DETAIL_r{N}.json, committed per round, so the stdout
+    # map is no longer the only carrier.)
+    assert set(absurd_queries) == {"_dropped_keys"} or (
+        unstripped(absurd_queries) == set(bench.HEADLINE)
     )
     if set(absurd_queries) == {"_dropped_keys"}:
         assert absurd_queries["_dropped_keys"] == len(bench.HEADLINE)

@@ -103,6 +103,55 @@ def test_asof_join_brute_force_parity(spark):
     assert out[3] is None  # other user's events invisible
 
 
+def test_asof_join_whole_row_null_semantics(spark):
+    """pandas merge_asof whole-row parity (round-15 ADVICE fix): the
+    match is the NEWEST qualifying build ROW — a null value on that row
+    yields null (it must not resurrect an older row's value), and the
+    tolerance gate must judge the SAME row that supplies the values."""
+    probe = spark.createDataFrame(
+        [(1, 10, _ts(9))], "event_id INT, user_id INT, ts TIMESTAMP"
+    )
+    # older row has a value and is WITHIN tolerance; newest row (the
+    # match) has a null value
+    build = spark.createDataFrame(
+        [(10, _ts(8), 108), (10, _ts(9), None)],
+        "user_id INT, ts TIMESTAMP, click_id INT",
+    )
+    out = asof_join(
+        probe, build, by="user_id", probe_ts="ts", build_ts="ts",
+        value_cols=["click_id"],
+    ).collect()
+    assert out[0].asof_click_id is None  # newest row's null, not 108
+
+    # tolerance judged on the matched row's ts: newest build row is
+    # stale (null result) even though an older IN-tolerance row carries
+    # a non-null value — per-column carries would wrongly emit 208
+    probe2 = spark.createDataFrame(
+        [(1, 10, _ts(30))], "event_id INT, user_id INT, ts TIMESTAMP"
+    )
+    build2 = spark.createDataFrame(
+        [(10, _ts(29), 208), (10, _ts(29, 30), None)],
+        "user_id INT, ts TIMESTAMP, click_id INT",
+    )
+    out2 = asof_join(
+        probe2, build2, by="user_id", probe_ts="ts", build_ts="ts",
+        value_cols=["click_id"],
+        tolerance=F.expr("INTERVAL 45 SECONDS"),
+    ).collect()
+    assert out2[0].asof_click_id is None
+    # and when the newest row IS within tolerance and non-null it wins
+    build3 = spark.createDataFrame(
+        [(10, _ts(20), 301), (10, _ts(29, 50), 302)],
+        "user_id INT, ts TIMESTAMP, click_id INT",
+    )
+    out3 = asof_join(
+        probe2, build3, by="user_id", probe_ts="ts", build_ts="ts",
+        value_cols=["click_id"],
+        tolerance=F.expr("INTERVAL 45 SECONDS"),
+    ).collect()
+    assert out3[0].asof_click_id == 302
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     from vector_db_ingestor_spark.operators.dedup import simhash_near_dups
 

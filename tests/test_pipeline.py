@@ -1269,6 +1269,24 @@ def test_ann_absorb_idempotent_per_artifact(spark, tmp_path):
     got = {r.filename for r in hits.collect()}
     assert any(f.startswith("half") for f in got)
 
+    # (4) round-15 ADVICE: a batch carrying duplicate ROWS per id (the
+    # at-least-once redelivery shape, NOT pre-deduped by the caller) is
+    # absorbed once — duplicates must not land in any artifact
+    batch3 = build_chunks(
+        corpus("dup", 2), chunk_size=60, overlap=10
+    ).localCheckpoint(eager=True)
+    dup_batch = batch3.unionByName(batch3).localCheckpoint(eager=True)
+    coll.append(batch3)
+    n3 = batch3.count()
+    for kind, path in (("ivf", ivf_path), ("ivfpq", codes_path)):
+        before = len(artifact_ids(path))
+        coll.ann_absorb(dup_batch, kind=kind)
+        ids = artifact_ids(path)
+        assert len(ids) == len(set(ids)) == before + n3, kind
+    comp_ids = artifact_ids(comp_path)
+    assert len(comp_ids) == len(set(comp_ids))
+    assert set(comp_ids) == set(artifact_ids(codes_path))
+
 
 def test_ann_compact_preserves_serving(spark, tmp_path):
     """Round 14: ann_compact folds absorb-accumulated small files back

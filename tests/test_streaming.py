@@ -856,3 +856,71 @@ def test_stream_absorb_replay_heals_unindexed_rows(spark, tmp_path):
     )
     assert any(r.filename.startswith("torn_") for r in hits.collect())
     assert hits.filter(F.col("text").isNull()).count() == 0
+
+
+def test_stream_absorb_compaction_cadence_soak(spark, tmp_path):
+    """Round 15 (VERDICT r14 #4 — close the maintenance loop): a
+    25-micro-batch soak through stream_ingest_absorb with
+    compact_every_n_batches=5.  Every absorb appends one small file per
+    touched cid, so an unmaintained index grows ~O(batches x cells)
+    files; the cadence-triggered, report-gated ann_compact must keep
+    the file count bounded hands-off, lose no rows, and leave serving
+    exact (ivf at all-cells-probed == the exact ranking)."""
+    import pyspark.sql.functions as F
+
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+    from vector_db_ingestor_spark.streaming.ingest import (
+        stream_ingest_absorb,
+        stream_ingest_dedup,
+    )
+
+    def pdf(i, tag):
+        return (
+            f"stream\n({tag} file number {i} about compaction cadence. "
+            "More sentences follow here! Another one arrives? "
+            "The final words land.) Tj\nendstream"
+        ).encode()
+
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    for i in range(3):
+        (src / f"seed_{i}.pdf").write_bytes(pdf(i, "seed"))
+    out, ck = str(tmp_path / "coll"), str(tmp_path / "ck")
+
+    q0 = stream_ingest_dedup(spark, str(src), out, ck, chunk_size=40, overlap=8)
+    q0.awaitTermination(120)
+    coll = VectorCollection(spark, out)
+    coll.build_ann_index(kind="ivf", n_centroids=4)
+
+    # 25 files at maxFilesPerTrigger=1 -> 25 absorb micro-batches
+    for i in range(25):
+        (src / f"soak_{i:02d}.pdf").write_bytes(pdf(i, "soak"))
+    q1 = stream_ingest_absorb(
+        spark, str(src), out, ck, kind="ivf", chunk_size=40, overlap=8,
+        max_files_per_trigger=1, compact_every_n_batches=5,
+    )
+    q1.awaitTermination(300)
+
+    report = coll.ann_maintenance_report("ivf")
+    # no rows lost or duplicated: index totals == collection totals
+    assert report["n_rows"] == coll.count()
+    ids = [
+        r[0]
+        for r in spark.read.parquet(coll._ann_path("ivf"))
+        .select("chunk_uid").collect()
+    ]
+    assert len(ids) == len(set(ids))
+    assert set(ids) == {r[0] for r in coll.df().select("chunk_uid").collect()}
+    # bounded files: 25 absorbs x up-to-4 cid files each would be ~100+
+    # unmaintained; the every-5 cadence keeps at most ~1 compacted base
+    # + 4 batches x 4 cells of fresh appends on top
+    assert report["n_data_files"] <= 25, report
+    # serving stays exact through the mid-stream swaps: all cells
+    # probed == the exact cosine ranking over the collection
+    ann = coll.search_ann("soak compaction cadence", n_results=5,
+                          kind="ivf", nprobe=4)
+    exact = coll.search("soak compaction cadence", n_results=5)
+    assert (
+        [(r.chunk_uid, r.rank) for r in ann.orderBy("rank").collect()]
+        == [(r.chunk_uid, r.rank) for r in exact.orderBy("rank").collect()]
+    )

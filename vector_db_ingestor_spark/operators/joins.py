@@ -88,26 +88,34 @@ def asof_join(
     A match older than ``probe_ts - tolerance`` is nulled out — the
     probe row survives with null values (left-join semantics), exactly
     like a no-match, because a stale quote/click is not a match.  The
-    matched build timestamp rides the same carried window, so the
+    matched build timestamp rides the same carried struct, so the
     tolerance check adds NO extra shuffle or join.
+
+    Whole-row semantics (round 15): the matched build row is carried as
+    ONE struct ``(build_ts, *value_cols)``, so every output value — and
+    the timestamp the tolerance gate checks — comes from the SAME
+    (newest qualifying) build row, exactly like pandas ``merge_asof``.
+    A null value on that newest row yields null (it does not resurrect
+    an older row's value, which per-column ``last(ignorenulls)``
+    carries would).
 
     Union-sort trick: one shuffle on ``by``, a running
     ``last(..., ignorenulls=True)`` window, then keep probe rows.
     """
+    if "__asof_bts" in value_cols:
+        raise ValueError("asof_join: value column name __asof_bts is reserved")
     pcols = probe.columns
-    extra_p, extra_b, carry_extra = [], [], []
-    if tolerance is not None:
-        bts_type = build.schema[build_ts].dataType
-        extra_p = [F.lit(None).cast(bts_type).alias("__v___bts")]
-        extra_b = [F.col(build_ts).alias("__v___bts")]
-        carry_extra = ["__bts"]
+    vrow = F.struct(
+        F.col(build_ts).alias("__asof_bts"),
+        *[F.col(c) for c in value_cols],
+    )
+    vrow_type = build.select(vrow.alias("__vrow")).schema["__vrow"].dataType
     p = probe.select(
         F.col(by).alias("__by"),
         F.col(probe_ts).alias("__ts"),
         F.lit(1).alias("__is_probe"),
         F.struct(*pcols).alias("__probe"),
-        *[F.lit(None).cast(build.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
-        *extra_p,
+        F.lit(None).cast(vrow_type).alias("__vrow"),
     )
     b = build.select(
         F.col(by).alias("__by"),
@@ -116,8 +124,7 @@ def asof_join(
         F.lit(None).cast(
             p.schema["__probe"].dataType
         ).alias("__probe"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
-        *extra_b,
+        vrow.alias("__vrow"),
     )
     # ties: build rows sort before probe rows (order by __is_probe) so a
     # build row at exactly probe_ts is visible unless strict.
@@ -132,21 +139,18 @@ def asof_join(
         "__ts",
         "__is_probe",
         "__probe",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__last_{c}")
-            for c in (*value_cols, *carry_extra)
-        ],
+        F.last("__vrow", ignorenulls=True).over(w).alias("__m"),
     )
     probe_rows = carried.filter(F.col("__is_probe") == 1)
     if tolerance is not None:
-        ok = F.col("__last___bts") >= (F.col("__ts") - tolerance)
+        ok = F.col("__m.__asof_bts") >= (F.col("__ts") - tolerance)
         vals = [
-            F.when(ok, F.col(f"__last_{c}")).alias(f"asof_{c}")
+            F.when(ok, F.col(f"__m.{c}")).alias(f"asof_{c}")
             for c in value_cols
         ]
     else:
         vals = [
-            F.col(f"__last_{c}").alias(f"asof_{c}") for c in value_cols
+            F.col(f"__m.{c}").alias(f"asof_{c}") for c in value_cols
         ]
     return probe_rows.select(
         *[F.col(f"__probe.{c}").alias(c) for c in pcols], *vals

@@ -731,7 +731,15 @@ class VectorCollection:
         shuffle, no join — the batch side never broadcasts against the
         full artifact), then a plain list difference.  Returns ``None``
         when nothing is novel so callers skip the append entirely
-        (an empty append still writes empty files)."""
+        (an empty append still writes empty files).
+
+        The batch itself is also deduplicated on ``id_col`` (round-15
+        ADVICE): the stream path pre-dedups, but a direct caller
+        passing duplicate ROWS for one id would otherwise append them
+        all verbatim — one ``dropDuplicates`` at micro-batch scale
+        keeps the "replay after ANY crash point converges" claim true
+        for arbitrary callers, not just pre-deduped batches."""
+        batch = batch.dropDuplicates([id_col])
         rows = batch.select(id_col).distinct().limit(max_ids + 1).collect()
         if len(rows) > max_ids:
             raise ValueError(
@@ -781,7 +789,13 @@ class VectorCollection:
         (:meth:`_novel_rows` — one In-pushed id-column scan, driver
         list difference at the 100k shortlist cap), so replaying a
         batch after ANY crash point converges instead of duplicating
-        rows or silently skipping them.  For ivfpq the refine
+        rows or silently skipping them.  Duplicate ROWS within the
+        batch are likewise dropped per id (round-15 ADVICE) — they
+        must be exact copies (the at-least-once redelivery shape);
+        two DIFFERENT rows claiming one id is a caller error with no
+        defined winner, same as replaying an id with new content
+        (absorbed content is immutable — rebuild to change it).  For
+        ivfpq the refine
         companion is appended BEFORE the codes: companion rows
         without codes are never shortlisted (harmless), while codes
         without companion rows would silently vanish from the exact
@@ -948,7 +962,10 @@ class VectorCollection:
                     n += 1
         return n
 
-    def ann_maintenance_report(self, kind: str = "ivf") -> dict:
+    def ann_maintenance_report(
+        self, kind: str = "ivf",
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
         """One driver-side dict with every signal the two maintenance
         actions key on (round 14): ``rebuild`` when drift skew crosses
         ~4 (:meth:`build_ann_index` — the frozen model no longer fits
@@ -956,7 +973,13 @@ class VectorCollection:
         the per-file average under ~1/4 of the target
         (:meth:`ann_compact` — the scan pays a task per file).  Cheap
         at any scale: the drift report reads only the cid partition
-        column; the file stats are a namenode listing."""
+        column; the file stats are a namenode listing.
+
+        ``target_file_bytes`` (round-15 ADVICE) must match the value a
+        deployment passes to :meth:`ann_compact`, so the
+        ``compact_recommended`` threshold keys to the file size the
+        compaction will actually produce; it defaults to
+        ``ann_compact``'s default."""
         from vector_db_ingestor_spark.operators.similarity import (
             ivf_index_complete,
         )
@@ -974,7 +997,7 @@ class VectorCollection:
             if st.getPath().getName().startswith("cid="):
                 data_bytes += fs.getContentSummary(st.getPath()).getLength()
         n_files = self._ann_data_file_count(kind)
-        target = 128 * 1024 * 1024
+        target = target_file_bytes
         return {
             "kind": kind,
             "complete": True,
@@ -983,6 +1006,7 @@ class VectorCollection:
             "rebuild_recommended": float(drift["max_skew"]) > 4.0,
             "n_data_files": n_files,
             "data_bytes": int(data_bytes),
+            "target_file_bytes": int(target),
             "avg_file_bytes": int(data_bytes / n_files) if n_files else 0,
             "compact_recommended": bool(
                 n_files and data_bytes / n_files < target / 4 and n_files > 8
@@ -1055,11 +1079,20 @@ class VectorCollection:
                 self.spark, path, vecs, probe,
                 k=cur_k2, k2=cur_k2, nprobe=cur_np, id_col="chunk_uid",
             )
-            surv = self._fetch_hits(ranked.drop("rank")).filter(meta_pred)
+            # materialize the candidate fetch ONCE per escalation round
+            # (VERDICT r14 #1): the underfill count, the exhaustion
+            # check, and the final rank all read this k2-scale snapshot
+            # instead of re-running the shortlist fetch + predicate
+            fetched = self._fetch_hits(ranked.drop("rank")).localCheckpoint(
+                eager=True
+            )
+            surv = fetched.filter(meta_pred)
             if not escalate or surv.count() >= n_results:
                 break
+            # fetched is 1:1 with the shortlist (unique ids), so its
+            # count IS the candidate-pool size — no ADC re-run
             exhausted = (
-                cur_np >= n_cells and ranked.count() < cur_k2
+                cur_np >= n_cells and fetched.count() < cur_k2
             )
             if exhausted or cur_k2 >= 100_000:
                 break
@@ -1234,7 +1267,12 @@ class VectorCollection:
                     # with < n_results survivors re-probe at doubled
                     # nprobe (each retry is one pruned scan for the
                     # whole underfilled subset, log2(|cells|) rounds
-                    # worst case)
+                    # worst case).  hits is materialized after every
+                    # round (ADVICE r14: Q*k-scale rows), so each
+                    # round's count — and the final fetch — reads the
+                    # snapshot instead of re-executing every prior
+                    # topk leg (O(rounds^2) pruned scans otherwise)
+                    hits = hits.localCheckpoint(eager=True)
                     cur = nprobe
                     while cur < len(cents):
                         counts = {
@@ -1259,7 +1297,7 @@ class VectorCollection:
                         under_ids = [qid for qid, _ in under]
                         hits = hits.filter(
                             ~F.col("query_id").isin(under_ids)
-                        ).unionByName(redo)
+                        ).unionByName(redo).localCheckpoint(eager=True)
             elif kind == "ivfpq":
                 codes, cents, cbs = ivfpq_read(self.spark, path)
                 hits = ivfpq_topk_batch_indexed(

@@ -8920,8 +8920,13 @@ def q_jsonl_ingest_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a pure projection riding the scan — zero shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     line = F.to_json(F.struct("doc_id", "lang", "text"))
+    # truncate at 11 chars: every line starts '{"doc_id":' (10 chars)
+    # and the shortest COMPLETE object to_json can emit for this struct
+    # is '{"doc_id":0}' (12 chars — null fields are omitted), so an
+    # 11-char prefix is unparseable for every possible row, not just
+    # rows whose text happens to be long (round-15 ADVICE hardening)
     wire = F.when(
-        F.col("doc_id") % 17 == 0, F.substring(line, 1, 25)
+        F.col("doc_id") % 17 == 0, F.substring(line, 1, 11)
     ).otherwise(line)
     parsed = F.from_json(
         wire, "doc_id LONG, lang STRING, text STRING"
@@ -9157,6 +9162,26 @@ ORACLE_SQL["q_join_interval"] = _join_interval_oracle()
 
 
 # =====================================================================
+# Round-15 declarations (the scheduled window from SURVEY §7: built +
+# differentially tested round 11, gate-green on every --queue run since
+# — promoted from QUEUED_QUERIES into the declared inventory here).
+# q_sketch_linear also retires the evidence-ladder gap next to
+# q_agg_approx's rows-only HLL (hash-exact distinct estimation).
+# =====================================================================
+
+QUERIES["q_graph_pagerank"] = q_graph_pagerank_impl
+ORACLE_SQL["q_graph_pagerank"] = _graph_pagerank_oracle()
+QUERIES["q_sketch_linear"] = q_sketch_linear_impl
+ORACLE_SQL["q_sketch_linear"] = _sketch_linear_oracle()
+QUERIES["q_sketch_bloom"] = q_sketch_bloom_impl
+ORACLE_SQL["q_sketch_bloom"] = _sketch_bloom_oracle()
+QUERIES["q_stream_totals"] = q_stream_totals_impl
+ORACLE_SQL["q_stream_totals"] = _stream_totals_oracle()
+QUERIES["q_topk_matryoshka"] = q_topk_matryoshka_impl
+ORACLE_SQL["q_topk_matryoshka"] = _topk_matryoshka_oracle()
+
+
+# =====================================================================
 # the declaration queue, as data: every built-ahead impl/oracle pair
 # (single source of truth for scripts/check_oracle.py --queue and the
 # per-round registration diffs; tests import the pairs directly)
@@ -9187,11 +9212,6 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
         q_ann_nprobe_curve_impl,
         _ann_nprobe_curve_oracle(),
     ),
-    "q_graph_pagerank": (q_graph_pagerank_impl, _graph_pagerank_oracle()),
-    "q_sketch_linear": (q_sketch_linear_impl, _sketch_linear_oracle()),
-    "q_sketch_bloom": (q_sketch_bloom_impl, _sketch_bloom_oracle()),
-    "q_stream_totals": (q_stream_totals_impl, _stream_totals_oracle()),
-    "q_topk_matryoshka": (q_topk_matryoshka_impl, _topk_matryoshka_oracle()),
     "q_sample_reservoir": (q_sample_reservoir_impl, _sample_reservoir_oracle()),
     "q_dedup_passage": (q_dedup_passage_impl, _dedup_passage_oracle()),
     "q_graph_hits": (q_graph_hits_impl, _graph_hits_oracle()),
