@@ -1393,6 +1393,18 @@ def test_ann_compact_preserves_serving(spark, tmp_path):
     assert rep["avg_file_bytes"] > 0 and rep["data_bytes"] > 0
     assert isinstance(rep["rebuild_recommended"], bool)
     assert isinstance(rep["compact_recommended"], bool)
+    # round-15 ADVICE: the compact recommendation keys to the SAME
+    # target the deployment passes ann_compact — tiny files under the
+    # default threshold stop being "fragmented" under a tiny target
+    assert rep["target_file_bytes"] == 128 * 1024 * 1024
+    tiny = coll.ann_maintenance_report("ivfpq", target_file_bytes=256)
+    assert tiny["target_file_bytes"] == 256
+    assert not tiny["compact_recommended"]  # avg >= 256/4 bytes/file
+    if rep["n_data_files"] > 8:
+        huge = coll.ann_maintenance_report(
+            "ivfpq", target_file_bytes=1 << 40
+        )
+        assert huge["compact_recommended"]  # avg << (1 TiB)/4
     # an index that was never built reports incomplete, not an error
     empty = VectorCollection(spark, str(tmp_path / "no_idx"))
     assert empty.ann_maintenance_report("ivf") == {
