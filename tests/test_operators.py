@@ -152,6 +152,67 @@ def test_asof_join_whole_row_null_semantics(spark):
     assert out3[0].asof_click_id == 302
 
 
+def test_asof_join_directions_match_pandas(spark):
+    """Full pandas merge_asof parity (round 15): direction
+    backward/forward/nearest x allow_exact_matches x tolerance, checked
+    row-for-row against REAL pd.merge_asof on an adversarial fixture
+    (exact-ts ties, equidistant nearest ties, per-key gaps, matches
+    only one side of a probe)."""
+    import pandas as pd
+
+    probe_rows = [
+        (1, 10, _ts(5)), (2, 10, _ts(0)), (3, 10, _ts(9)),
+        (4, 20, _ts(3)), (5, 20, _ts(7)), (6, 30, _ts(4)),
+        (7, 10, _ts(6)),  # equidistant between builds at 5 and 7
+    ]
+    build_rows = [
+        (10, _ts(1), 101), (10, _ts(5), 105), (10, _ts(7), 107),
+        (20, _ts(6), 206), (30, _ts(2), 302),
+    ]
+    probe = spark.createDataFrame(
+        probe_rows, "event_id INT, user_id INT, ts TIMESTAMP"
+    )
+    build = spark.createDataFrame(
+        build_rows, "user_id INT, ts TIMESTAMP, click_id INT"
+    )
+    pdf_probe = pd.DataFrame(
+        probe_rows, columns=["event_id", "user_id", "ts"]
+    ).sort_values("ts", kind="stable")
+    pdf_build = pd.DataFrame(
+        build_rows, columns=["user_id", "ts", "click_id"]
+    ).sort_values("ts", kind="stable")
+
+    for direction in ("backward", "forward", "nearest"):
+        for strict in (False, True):
+            for tol_s in (None, 120):
+                want_df = pd.merge_asof(
+                    pdf_probe, pdf_build, on="ts", by="user_id",
+                    direction=direction, allow_exact_matches=not strict,
+                    tolerance=(
+                        pd.Timedelta(seconds=tol_s) if tol_s else None
+                    ),
+                )
+                want = {
+                    int(r.event_id): (
+                        None if pd.isna(r.click_id) else int(r.click_id)
+                    )
+                    for r in want_df.itertuples()
+                }
+                got = {
+                    r.event_id: r.asof_click_id
+                    for r in asof_join(
+                        probe, build, by="user_id", probe_ts="ts",
+                        build_ts="ts", value_cols=["click_id"],
+                        strict=strict, direction=direction,
+                        tolerance=(
+                            F.expr(f"INTERVAL {tol_s} SECONDS")
+                            if tol_s else None
+                        ),
+                    ).collect()
+                }
+                assert got == want, (direction, strict, tol_s, got, want)
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     from vector_db_ingestor_spark.operators.dedup import simhash_near_dups
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 
 def range_join_count(
@@ -77,11 +78,27 @@ def asof_join(
     value_cols: list[str],
     strict: bool = False,
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: for each probe row, the build row with the
     greatest ``build_ts <= probe_ts`` (``<`` if strict) within the same
     ``by`` key.  Build must be unique per (by, build_ts) for
     deterministic output — pre-aggregate it if not.
+
+    ``direction`` (round 15, full pandas ``merge_asof`` parity):
+    ``"backward"`` (default, the rule above), ``"forward"`` (the
+    SMALLEST ``build_ts >= probe_ts``, ``>`` if strict — the
+    next-quote / next-deploy attribution shape), or ``"nearest"``
+    (whichever of the two is closer in time; an exact tie prefers the
+    backward row, matching pandas).  ``strict`` maps to pandas
+    ``allow_exact_matches=False`` and applies to both sides of
+    ``nearest``.  Forward rides the same union-sort plan with a
+    ``first(ignorenulls)`` following window instead of a
+    ``last(ignorenulls)`` preceding one; nearest carries both structs
+    over the one shuffle (two sorts, same partitioning, no second
+    exchange).  Differentially tested against real ``pd.merge_asof``
+    across direction x strict x tolerance
+    (``tests/test_operators.py``).
 
     ``tolerance`` (round 14, pandas ``merge_asof(tolerance=...)``
     parity): an interval Column (e.g. ``F.expr("INTERVAL 12 HOURS")``).
@@ -104,6 +121,10 @@ def asof_join(
     """
     if "__asof_bts" in value_cols:
         raise ValueError("asof_join: value column name __asof_bts is reserved")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: direction={direction!r} not in backward/forward/nearest"
+        )
     pcols = probe.columns
     vrow = F.struct(
         F.col(build_ts).alias("__asof_bts"),
@@ -126,32 +147,74 @@ def asof_join(
         ).alias("__probe"),
         vrow.alias("__vrow"),
     )
-    # ties: build rows sort before probe rows (order by __is_probe) so a
-    # build row at exactly probe_ts is visible unless strict.
-    order = [F.col("__ts").asc(), F.col("__is_probe").asc() if not strict else F.col("__is_probe").desc()]
-    w = (
-        Window.partitionBy("__by")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    # Carried-match columns.  Equal-ts tie handling is encoded in the
+    # secondary sort: for BACKWARD a build row at exactly probe_ts must
+    # fall inside the preceding-or-current frame unless strict (build
+    # rows sort before probe rows, or after when strict); for FORWARD
+    # it must fall inside the current-or-following frame unless strict
+    # (probe rows sort first, or after the builds when strict).
+    base = Window.partitionBy("__by")
+
+    def _carried(d: str) -> Column:
+        if d == "backward":
+            order = [
+                F.col("__ts").asc(),
+                F.col("__is_probe").asc() if not strict else F.col("__is_probe").desc(),
+            ]
+            w = base.orderBy(*order).rowsBetween(
+                Window.unboundedPreceding, -1 if strict else 0
+            )
+            return F.last("__vrow", ignorenulls=True).over(w)
+        order = [
+            F.col("__ts").asc(),
+            F.col("__is_probe").desc() if not strict else F.col("__is_probe").asc(),
+        ]
+        w = base.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+        return F.first("__vrow", ignorenulls=True).over(w)
+
+    carry_cols = (
+        [_carried("backward").alias("__mb"), _carried("forward").alias("__mf")]
+        if direction == "nearest"
+        else [_carried(direction).alias("__m")]
     )
     carried = p.unionByName(b).select(
-        "__by",
-        "__ts",
-        "__is_probe",
-        "__probe",
-        F.last("__vrow", ignorenulls=True).over(w).alias("__m"),
+        "__by", "__ts", "__is_probe", "__probe", *carry_cols
     )
     probe_rows = carried.filter(F.col("__is_probe") == 1)
-    if tolerance is not None:
-        ok = F.col("__m.__asof_bts") >= (F.col("__ts") - tolerance)
-        vals = [
-            F.when(ok, F.col(f"__m.{c}")).alias(f"asof_{c}")
-            for c in value_cols
-        ]
+
+    def _in_tol(m: Column, d: str) -> Column:
+        """Null out a carried match whose ts violates the tolerance
+        bound for its direction (backward: not older than ts - tol;
+        forward: not newer than ts + tol)."""
+        if tolerance is None:
+            return m
+        if d == "backward":
+            ok = m["__asof_bts"] >= (F.col("__ts") - tolerance)
+        else:
+            ok = m["__asof_bts"] <= (F.col("__ts") + tolerance)
+        return F.when(ok, m)
+
+    if direction == "nearest":
+        ts_type = probe.schema[probe_ts].dataType
+        _t = (
+            F.unix_micros
+            if isinstance(ts_type, TimestampType)
+            else (lambda c: c)
+        )
+        mb = _in_tol(F.col("__mb"), "backward")
+        mf = _in_tol(F.col("__mf"), "forward")
+        # tie (equidistant) prefers backward, matching pandas
+        pick_b = mf.isNull() | (
+            mb.isNotNull()
+            & (
+                (_t(F.col("__ts")) - _t(mb["__asof_bts"]))
+                <= (_t(mf["__asof_bts"]) - _t(F.col("__ts")))
+            )
+        )
+        m = F.when(pick_b, mb).otherwise(mf)
     else:
-        vals = [
-            F.col(f"__m.{c}").alias(f"asof_{c}") for c in value_cols
-        ]
+        m = _in_tol(F.col("__m"), direction)
+    vals = [m[c].alias(f"asof_{c}") for c in value_cols]
     return probe_rows.select(
         *[F.col(f"__probe.{c}").alias(c) for c in pcols], *vals
     )
