@@ -224,6 +224,7 @@ QUEUE_AUDITS: dict[str, dict] = {
     "q_multimodal_dedup": {"max_exchange": 1},
     "q_multimodal_manifest": {"max_exchange": 1, "partial_agg": True},
     "q_join_asof_tolerance": {"no_nested_loop": True},
+    "q_join_asof_nearest": {"no_nested_loop": True},
     # temperature's 1-row grand total is the scalar-model broadcast
     # cross join, so it pins partial_agg + broadcast
     "q_sample_temperature": {"partial_agg": True, "broadcast": True},

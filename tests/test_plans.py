@@ -147,6 +147,7 @@ QUEUE_CASES = [
     ("q_multimodal_dedup", "no_nested_loop"),
     ("q_multimodal_manifest", "no_nested_loop"),
     ("q_join_asof_tolerance", "no_nested_loop"),
+    ("q_join_asof_nearest", "no_nested_loop"),
     ("q_jsonl_ingest", "no_shuffle"),
     ("q_csv_ingest", "no_shuffle"),
     ("q_ann_nprobe_curve", "take_ordered"),

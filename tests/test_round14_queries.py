@@ -259,6 +259,54 @@ def test_asof_tolerance_three_way_split(spark, sf_dir):
     assert wide == base
 
 
+def test_asof_nearest_semantics(spark, sf_dir):
+    """q_join_asof_nearest semantics: wherever the nearest pick is
+    backward, it agrees with q_join_asof's match; every matched delta
+    is the MINIMUM of the two directions' deltas (nearest really is
+    nearest); side is null exactly when no click exists for the user."""
+    from vector_db_ingestor_spark.queries import QUERIES
+
+    fn, _ = QUEUED_QUERIES["q_join_asof_nearest"]
+    got = {r.event_id: r for r in fn(spark, sf_dir).collect()}
+    back = {
+        r.event_id: r.asof_click_id
+        for r in QUERIES["q_join_asof"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(back)
+    sides = {r.nearest_side for r in got.values()}
+    assert "backward" in sides and "forward" in sides  # both exercised
+    for e, r in got.items():
+        if r.nearest_side == "backward":
+            assert r.asof_click_id == back[e], e
+        if r.nearest_side is None:
+            assert r.asof_click_id is None and r.delta_s is None
+        else:
+            assert r.asof_click_id is not None and r.delta_s >= 0
+        # a forward pick implies the backward side was farther (or
+        # absent): its delta must beat any backward match's delta
+    # cross-check minimality on a sample: forward picks must be at
+    # least as close as the backward candidate the plain asof found
+    ev = load_table(spark, sf_dir, "events")
+    purch_ts = {
+        r.event_id: r.ts
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts").collect()
+    }
+    click_ts = {
+        (r.user_id, r.click_id): r.ts
+        for r in ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "click_id", "ts").collect()
+    }
+    for e, r in got.items():
+        if r.nearest_side == "forward" and back[e] is not None:
+            bts = click_ts[(r.user_id, back[e])]
+            fwd_delta = r.delta_s
+            back_delta = int((purch_ts[e] - bts).total_seconds())
+            assert fwd_delta <= back_delta, e
+
+
 def test_sample_temperature_flattens(spark, sf_dir):
     """q_sample_temperature semantics: weights form a distribution,
     alpha < 1 FLATTENS it (the largest-share source is undersampled,
