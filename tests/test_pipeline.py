@@ -1473,6 +1473,26 @@ def test_search_ann_filtered_ivf(spark, tmp_path):
     with pytest.raises(ValueError, match="needs kind='ivf'"):
         coll.search_ann(q, kind="ivfpq", filter_metadata=flt)
 
+    # round 15: the recall-tuning action — the curve is monotone
+    # nondecreasing, exactly 1.0 at all cells, and the recommended
+    # depth is the minimal one meeting the target
+    rec = coll.ann_recommend_nprobe(target_recall=1.0, n_queries=4, k=5)
+    depths = sorted(rec["curve"])
+    assert depths[-1] == 4 and rec["curve"][4] == 1.0
+    assert all(
+        rec["curve"][a] <= rec["curve"][b] + 1e-9
+        for a, b in zip(depths, depths[1:])
+    )
+    assert rec["nprobe"] == min(
+        d for d in depths if rec["curve"][d] >= 1.0
+    )
+    # a trivial target recommends the shallowest depth
+    assert coll.ann_recommend_nprobe(
+        target_recall=0.0, n_queries=2, k=5
+    )["nprobe"] == 1
+    with pytest.raises(ValueError, match="ivf index"):
+        coll.ann_recommend_nprobe(kind="ivfpq")
+
 
 def test_search_ann_filtered_escalation(spark, tmp_path):
     """Round 14, the filtered-ANN recall contract (VERDICT r13 #2/#3):

@@ -1044,6 +1044,97 @@ class VectorCollection:
             raise ValueError(f"unknown ANN index kind: {kind!r}")
         return ivf_drift_report(indexed, n_centroids=len(cents))
 
+    def ann_recommend_nprobe(
+        self,
+        target_recall: float = 0.95,
+        n_queries: int = 8,
+        k: int = 10,
+        kind: str = "ivf",
+    ) -> dict:
+        """Turn the nprobe/recall trade into an ACTION (round 15 — the
+        recall-tuning sibling of :meth:`ann_maintenance_report` →
+        :meth:`ann_compact`): measure recall@``k`` of the ivf serve at
+        every doubling probe depth against the all-cells-probed result
+        (which IS the exact ranking over indexed rows — the escalation
+        contract's pinned property), and return the SMALLEST depth
+        whose mean recall over ``n_queries`` self-query probes meets
+        ``target_recall``.
+
+        Probes are the first ``n_queries`` indexed vectors by id —
+        deterministic, and self-retrieval recall is the standard
+        zero-label proxy for tuning a frozen index.  Cost: one pruned
+        scan per (probe, depth) — ``n_queries * (log2(cells)+1)``
+        k-row jobs, a tuning-time operation to run once per
+        (re)build, not on the serving path.  At 100 TB every job is
+        still nprobe-pruned file-skipping; nothing scans the corpus.
+
+        Returns ``{"nprobe": chosen, "curve": {depth: mean recall},
+        "target_recall": ..., "n_queries": ..., "k": ...}``; the curve
+        is monotone in expectation and exactly 1.0 at all cells, so a
+        target of 1.0 degrades to exhaustive probing by construction.
+        """
+        from vector_db_ingestor_spark.operators.similarity import (
+            ivf_index_complete,
+            ivf_read,
+            ivf_topk,
+        )
+
+        if kind != "ivf":
+            raise ValueError(
+                "ann_recommend_nprobe tunes the full-row ivf index; for "
+                "ivfpq tune k2/nprobe via the refine ladder's escalation"
+            )
+        path = self._ann_path(kind)
+        if not ivf_index_complete(self.spark, path):
+            raise ValueError(
+                f"no complete {kind!r} index at {path}; run "
+                f"build_ann_index(kind={kind!r}) first"
+            )
+        indexed, cents = ivf_read(self.spark, path)
+        probes = [
+            list(r.embedding)
+            for r in indexed.select("chunk_uid", "embedding")
+            .orderBy("chunk_uid")
+            .limit(n_queries)
+            .collect()
+        ]
+        if not probes:
+            raise ValueError("ann_recommend_nprobe: empty index")
+        depths: list[int] = []
+        d = 1
+        while d < len(cents):
+            depths.append(d)
+            d *= 2
+        depths.append(len(cents))
+        ids: dict[tuple[int, int], set] = {}
+        for qi, probe in enumerate(probes):
+            for depth in depths:
+                ids[(qi, depth)] = {
+                    r.chunk_uid
+                    for r in ivf_topk(
+                        indexed, cents, probe, k=k, nprobe=depth,
+                        id_col="chunk_uid", vec_col="embedding",
+                    ).collect()
+                }
+        curve = {}
+        for depth in depths:
+            recs = [
+                len(ids[(qi, depth)] & ids[(qi, len(cents))])
+                / max(1, len(ids[(qi, len(cents))]))
+                for qi in range(len(probes))
+            ]
+            curve[depth] = sum(recs) / len(recs)
+        chosen = next(
+            (d for d in depths if curve[d] >= target_recall), len(cents)
+        )
+        return {
+            "nprobe": chosen,
+            "curve": curve,
+            "target_recall": target_recall,
+            "n_queries": len(probes),
+            "k": k,
+        }
+
     def _refined_filtered_topk(
         self,
         path: str,
