@@ -1412,6 +1412,89 @@ def test_ann_compact_preserves_serving(spark, tmp_path):
     }
 
 
+def test_ann_rebuild_swaps_without_downtime(spark, tmp_path):
+    """Round 15: ann_rebuild retrains a LIVE index at a tmp path and
+    promotes it with the rename-only swap — serving results equal an
+    in-place build_ann_index over the same rows, every index row
+    survives, no tmp/trash directories are left behind, and the
+    refine companion is rebuilt for ivfpq.  A never-built index
+    raises (first builds go through build_ann_index)."""
+    import pytest
+
+    from vector_db_ingestor_spark.operators.similarity import (
+        ivf_index_complete,
+    )
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    def corpus(tag, n):
+        texts = [
+            (f"{tag} rebuild document {i} about drifted centroids "
+             f"{'alpha beta gamma delta '[: 8 + i % 12]} ").encode() * 3
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            [
+                (
+                    f"file:/fake/{tag}{i}.pdf",
+                    f"{tag}{i}.pdf",
+                    len(b),
+                    bytearray(b"stream\n(" + b + b") Tj\nendstream"),
+                )
+                for i, b in enumerate(texts)
+            ],
+            "source STRING, filename STRING, file_bytes LONG, content BINARY",
+        )
+
+    coll = VectorCollection(spark, str(tmp_path / "rb_coll"))
+    coll.overwrite(build_chunks(corpus("base", 6), chunk_size=60, overlap=10))
+    for kind in ("ivf", "ivfpq"):
+        coll.build_ann_index(kind=kind, n_centroids=4, m=4, ksub=8)
+    # drift the index: absorb a skewed batch under the frozen model
+    batch = build_chunks(
+        corpus("drift", 4), chunk_size=60, overlap=10
+    ).localCheckpoint(eager=True)
+    coll.append(batch)
+    for kind in ("ivf", "ivfpq"):
+        coll.ann_absorb(batch, kind=kind)
+
+    k = coll.count()
+    q = "drifted centroids rebuild"
+    for kind in ("ivf", "ivfpq"):
+        n_before = coll.ann_drift_report(kind).agg(F.sum("n")).first()[0]
+        rep = coll.ann_rebuild(kind=kind, n_centroids=4, m=4, ksub=8)
+        # returns the post-rebuild maintenance report
+        assert rep["complete"] and rep["kind"] == kind
+        assert rep["n_rows"] == n_before == coll.count()
+        assert ivf_index_complete(spark, coll._ann_path(kind))
+        # serving equals a fresh IN-PLACE build over the same rows
+        # (same seeds/hyperparams -> identical model -> identical hits)
+        got = [
+            (r.chunk_uid, round(r.score, 9))
+            for r in coll.search_ann(q, n_results=k, kind=kind).collect()
+        ]
+        coll.build_ann_index(kind=kind, n_centroids=4, m=4, ksub=8)
+        ref = [
+            (r.chunk_uid, round(r.score, 9))
+            for r in coll.search_ann(q, n_results=k, kind=kind).collect()
+        ]
+        assert got == ref, kind
+    assert coll._ann_vectors_complete("ivfpq")
+    # rename-only swap leaves no tmp/trash siblings behind
+    leftovers = [
+        p.name
+        for p in (tmp_path / "rb_coll").iterdir()
+        if "__rebuild_" in p.name or "__retired_" in p.name
+    ]
+    assert leftovers == []
+    # first builds go through build_ann_index, loudly
+    fresh = VectorCollection(spark, str(tmp_path / "rb_none"))
+    fresh.overwrite(
+        build_chunks(corpus("x", 2), chunk_size=60, overlap=10)
+    )
+    with pytest.raises(ValueError, match="build_ann_index"):
+        fresh.ann_rebuild(kind="ivf")
+
+
 def test_search_ann_filtered_ivf(spark, tmp_path):
     """Filtered ANN (round 13, reference R11 at the index rung): the
     ivf index keeps full rows, so filter_metadata applies INSIDE the

@@ -685,7 +685,29 @@ class VectorCollection:
         re-rank BY DEFAULT — no separate layout opt-in (VERDICT r12
         #2).  Underscore-prefixed index directories are invisible to
         the collection scan, so exact search and ``df()`` are
-        unaffected."""
+        unaffected.
+
+        Writes IN PLACE — correct for a first build (nothing is
+        serving yet).  For a drift-triggered retrain of a LIVE index
+        use :meth:`ann_rebuild`, which builds at a tmp path and
+        promotes with a rename-only swap."""
+        self._ann_build_at(
+            self._ann_path(kind), kind,
+            n_centroids=n_centroids, iters=iters, m=m, ksub=ksub,
+        )
+
+    def _ann_build_at(
+        self,
+        path: str,
+        kind: str,
+        n_centroids: int,
+        iters: int,
+        m: int,
+        ksub: int,
+    ) -> None:
+        """Train + persist an ANN index at an explicit ``path`` — the
+        shared body of :meth:`build_ann_index` (in place) and
+        :meth:`ann_rebuild` (tmp dir + swap)."""
         from vector_db_ingestor_spark.operators.similarity import (
             ivf_write,
             ivfpq_train_write,
@@ -694,13 +716,13 @@ class VectorCollection:
 
         if kind == "ivf":
             ivf_write(
-                self.df(), self._ann_path(kind), dim=self.embedder.dim,
+                self.df(), path, dim=self.embedder.dim,
                 n_centroids=n_centroids, iters=iters,
                 id_col="chunk_uid", vec_col="embedding",
             )
         elif kind == "ivfpq":
             ivfpq_train_write(
-                self.df(), self._ann_path(kind), dim=self.embedder.dim,
+                self.df(), path, dim=self.embedder.dim,
                 n_centroids=n_centroids, m=m, ksub=ksub, iters=iters,
                 id_col="chunk_uid", vec_col="embedding",
             )
@@ -710,11 +732,79 @@ class VectorCollection:
             # partial fetch
             vectors_write(
                 self.df().select("chunk_uid", "embedding"),
-                self._ann_vectors_path(kind),
+                path + "/_vectors",
                 id_col="chunk_uid",
             )
         else:
             raise ValueError(f"unknown ANN index kind: {kind!r}")
+
+    def ann_rebuild(
+        self,
+        kind: str = "ivf",
+        n_centroids: int = 16,
+        iters: int = 2,
+        m: int = 4,
+        ksub: int = 16,
+    ) -> dict:
+        """Retrain a LIVE index without serving downtime (round 15 —
+        the rebuild half of the maintenance loop, pairing
+        :meth:`ann_maintenance_report`'s ``rebuild_recommended`` with
+        an action the way ``compact_recommended`` pairs with
+        :meth:`ann_compact`): train a FRESH model over the CURRENT
+        collection into a tmp directory, then promote it with the
+        rename-only swap.  :meth:`build_ann_index` overwrites in place
+        (fine for a first build — nothing is serving), but a drift
+        rebuild runs while readers hold the old index; building at tmp
+        keeps the old index live until two directory renames, and a
+        crash at ANY step leaves one complete index on disk (an
+        abandoned tmp is garbage — it is never promoted; the live
+        path is only touched by the final renames).
+
+        Returns the post-rebuild :meth:`ann_maintenance_report`, so a
+        maintenance driver can assert the skew actually reset."""
+        import uuid
+
+        from vector_db_ingestor_spark.operators.similarity import (
+            ivf_index_complete,
+        )
+
+        path = self._ann_path(kind)
+        if not ivf_index_complete(self.spark, path):
+            raise ValueError(
+                f"no complete {kind!r} index at {path}; first builds go "
+                f"through build_ann_index(kind={kind!r})"
+            )
+        token = uuid.uuid4().hex[:8]
+        tmp = path + f"__rebuild_{token}"
+        self._ann_build_at(
+            tmp, kind, n_centroids=n_centroids, iters=iters, m=m, ksub=ksub,
+        )
+        self._ann_promote(path, tmp, token, "ann_rebuild")
+        return self.ann_maintenance_report(kind)
+
+    def _ann_promote(
+        self, path: str, tmp: str, token: str, op: str
+    ) -> None:
+        """Rename-only promotion of a fully-built ``tmp`` index over
+        the live one (the :meth:`compact` idiom, shared by
+        :meth:`ann_compact` and :meth:`ann_rebuild`): live -> trash,
+        tmp -> live, delete trash.  A crash at any step leaves one
+        full copy on disk."""
+        hpath = self.spark._jvm.org.apache.hadoop.fs.Path
+        fs = hpath(path).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        trash = path + f"__retired_{token}"
+        if not fs.rename(hpath(path), hpath(trash)):
+            raise IOError(f"{op}: could not retire {path}")
+        if not fs.rename(hpath(tmp), hpath(path)):
+            if fs.rename(hpath(trash), hpath(path)):
+                raise IOError(
+                    f"{op}: could not promote {tmp}; rolled back"
+                )
+            raise IOError(
+                f"{op}: could not promote {tmp} AND rollback "
+                f"failed — live index intact under {trash}"
+            )
+        fs.delete(hpath(trash), True)
 
     def _novel_rows(
         self,
@@ -933,19 +1023,7 @@ class VectorCollection:
             )
         fs.create(hpath(tmp + "/_INDEX_SUCCESS"), True).close()
 
-        trash = path + f"__retired_{token}"
-        if not fs.rename(hpath(path), hpath(trash)):
-            raise IOError(f"ann_compact: could not retire {path}")
-        if not fs.rename(hpath(tmp), hpath(path)):
-            if fs.rename(hpath(trash), hpath(path)):
-                raise IOError(
-                    f"ann_compact: could not promote {tmp}; rolled back"
-                )
-            raise IOError(
-                f"ann_compact: could not promote {tmp} AND rollback "
-                f"failed — live index intact under {trash}"
-            )
-        fs.delete(hpath(trash), True)
+        self._ann_promote(path, tmp, token, "ann_compact")
         return self._ann_data_file_count(kind)
 
     def _ann_data_file_count(self, kind: str) -> int:
