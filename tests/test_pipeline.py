@@ -1495,6 +1495,91 @@ def test_ann_rebuild_swaps_without_downtime(spark, tmp_path):
         fresh.ann_rebuild(kind="ivf")
 
 
+def test_ann_maintain_runs_recommended_actions(spark, tmp_path):
+    """Round 15: ann_maintain is the one-call batch-side maintenance
+    driver — it reads the report and runs exactly the recommended
+    action (rebuild on drift with hyperparams INFERRED from the live
+    sidecars, compact on fragmentation, nothing otherwise), returning
+    before/after reports."""
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    def corpus(texts, tag):
+        blobs = [t.encode() * 3 for t in texts]
+        return spark.createDataFrame(
+            [
+                (
+                    f"file:/fake/{tag}{i}.pdf",
+                    f"{tag}{i}.pdf",
+                    len(b),
+                    bytearray(b"stream\n(" + b + b") Tj\nendstream"),
+                )
+                for i, b in enumerate(blobs)
+            ],
+            "source STRING, filename STRING, file_bytes LONG, content BINARY",
+        )
+
+    varied = [
+        f"maintain document {i} about {topic} pipelines and "
+        f"{'alpha beta gamma delta epsilon zeta '[: 12 + i % 20]}"
+        for i, topic in enumerate(
+            ["spark", "index", "parquet", "shuffle", "codegen", "arrow",
+             "stream", "window"] * 2
+        )
+    ]
+
+    # --- rebuild branch: 16 cells + a near-duplicate absorb pile ---
+    coll = VectorCollection(spark, str(tmp_path / "mnt_coll"))
+    coll.overwrite(build_chunks(corpus(varied, "base"),
+                                chunk_size=60, overlap=10))
+    coll.build_ann_index(kind="ivf", n_centroids=16)
+    pile = build_chunks(
+        corpus(["drifted hot cluster text about one single topic"] * 24,
+               "pile"),
+        chunk_size=60, overlap=10,
+    ).localCheckpoint(eager=True)
+    coll.append(pile)
+    coll.ann_absorb(pile, kind="ivf")
+    out = coll.ann_maintain(kind="ivf")
+    assert out["before"]["rebuild_recommended"], out["before"]
+    assert out["actions"] == ["rebuild"]
+    assert out["after"]["complete"]
+    assert out["after"]["n_rows"] == out["before"]["n_rows"] == coll.count()
+    # retraining on the CURRENT data splits the hot cluster
+    assert out["after"]["max_skew"] < out["before"]["max_skew"]
+    # the inferred hyperparams preserved the model shape
+    assert spark.read.parquet(
+        coll._ann_path("ivf") + "/_centroids"
+    ).count() == 16
+
+    # --- compact branch: 4 cells (skew can never exceed 4) ---
+    c2 = VectorCollection(spark, str(tmp_path / "mnt_c2"))
+    c2.overwrite(build_chunks(corpus(varied, "v"),
+                              chunk_size=60, overlap=10))
+    c2.build_ann_index(kind="ivf", n_centroids=4)
+    # a generous per-file threshold: nothing is recommended -> no-op
+    noop = c2.ann_maintain(kind="ivf", target_file_bytes=256)
+    assert noop["actions"] == [] and noop["after"] is noop["before"]
+    for tag in ("fa", "fb", "fc"):
+        b = build_chunks(
+            corpus([f"{tag} fragmentation batch doc {i} spark" for i in
+                    range(3)], tag),
+            chunk_size=60, overlap=10,
+        ).localCheckpoint(eager=True)
+        c2.append(b)
+        c2.ann_absorb(b, kind="ivf")
+    out2 = c2.ann_maintain(kind="ivf", target_file_bytes=1 << 40)
+    assert out2["before"]["compact_recommended"], out2["before"]
+    assert not out2["before"]["rebuild_recommended"]
+    assert out2["actions"] == ["compact"]
+    assert out2["after"]["n_data_files"] < out2["before"]["n_data_files"]
+    assert out2["after"]["n_rows"] == out2["before"]["n_rows"]
+
+    # --- never built: report passthrough, no actions, no error ---
+    empty = VectorCollection(spark, str(tmp_path / "mnt_none"))
+    none = empty.ann_maintain(kind="ivf")
+    assert none["actions"] == [] and none["before"]["complete"] is False
+
+
 def test_search_ann_filtered_ivf(spark, tmp_path):
     """Filtered ANN (round 13, reference R11 at the index rung): the
     ivf index keeps full rows, so filter_metadata applies INSIDE the

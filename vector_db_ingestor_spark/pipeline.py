@@ -782,6 +782,61 @@ class VectorCollection:
         self._ann_promote(path, tmp, token, "ann_rebuild")
         return self.ann_maintenance_report(kind)
 
+    def ann_maintain(
+        self,
+        kind: str = "ivf",
+        target_file_bytes: int = 128 * 1024 * 1024,
+        iters: int = 2,
+    ) -> dict:
+        """One-call hands-off maintenance for a BATCH deployment (the
+        streaming path has its cadence via ``stream_ingest_absorb(...,
+        compact_every_n_batches=N)``): read
+        :meth:`ann_maintenance_report` and run whichever action it
+        recommends — :meth:`ann_rebuild` on drift (which also rewrites
+        every file, so a same-pass compact would be redundant), else
+        :meth:`ann_compact` on fragmentation, else nothing.
+
+        Rebuild hyperparameters are INFERRED from the live index's own
+        sidecars (``n_centroids`` = centroid count, ``m``/``ksub`` =
+        codebook shape), so the call needs no configuration beyond the
+        compaction target — the shape a cron-style maintenance driver
+        wants.  ``iters`` is the one knob the artifacts don't record.
+
+        Returns ``{"actions": [...], "before": report, "after":
+        report}`` (``after`` is ``before`` when nothing ran).  An
+        index that was never built reports ``complete: False`` with no
+        actions, mirroring the report's own contract."""
+        before = self.ann_maintenance_report(kind, target_file_bytes)
+        if not before.get("complete"):
+            return {"actions": [], "before": before, "after": before}
+        actions: list[str] = []
+        if before["rebuild_recommended"]:
+            from vector_db_ingestor_spark.operators.similarity import (
+                ivf_read,
+                ivfpq_read,
+            )
+
+            path = self._ann_path(kind)
+            if kind == "ivfpq":
+                _, cents, cbs = ivfpq_read(self.spark, path)
+                m, ksub = len(cbs), len(cbs[0])
+            else:
+                _, cents = ivf_read(self.spark, path)
+                m, ksub = 4, 16
+            self.ann_rebuild(
+                kind, n_centroids=len(cents), iters=iters, m=m, ksub=ksub,
+            )
+            actions.append("rebuild")
+        elif before["compact_recommended"]:
+            self.ann_compact(kind, target_file_bytes)
+            actions.append("compact")
+        after = (
+            self.ann_maintenance_report(kind, target_file_bytes)
+            if actions
+            else before
+        )
+        return {"actions": actions, "before": before, "after": after}
+
     def _ann_promote(
         self, path: str, tmp: str, token: str, op: str
     ) -> None:
