@@ -249,6 +249,11 @@ QUEUE_AUDITS: dict[str, dict] = {
     # nb_classify they pin partial_agg instead of no_nested_loop.
     "q_sample_reservoir": {"max_exchange": 1},
     "q_dedup_passage": {"top_k": True, "partial_agg": True},
+    # hot grams removed via broadcast anti-join; candidate generation
+    # and verify are hash joins + hash aggs only
+    "q_dedup_containment": {
+        "broadcast": True, "no_nested_loop": True, "partial_agg": True,
+    },
     "q_graph_hits": {"partial_agg": True, "broadcast": True},
     "q_sketch_kmv": {"partial_agg": True},
     "q_stats_ab": {"partial_agg": True, "no_nested_loop": True},

@@ -169,6 +169,7 @@ QUEUE_CASES = [
     # trivial 1x1 nested loop) fails a naive no_nested_loop check
     ("q_sample_reservoir", "no_nested_loop"),
     ("q_dedup_passage", "take_ordered"),
+    ("q_dedup_containment", "no_nested_loop"),
     ("q_stats_ab", "no_nested_loop"),
     ("q_join_spatial", "no_nested_loop"),
     ("q_vec_pq_quality", "no_nested_loop"),

@@ -735,6 +735,90 @@ def _ngram_jaccard_capped(sh: DataFrame, threshold: float, max_df: int) -> DataF
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = "lang",
+    n: int = 2,
+    threshold: float = 0.5,
+    max_df: int = 5,
+) -> DataFrame:
+    """Exact min-side CONTAINMENT over word n-gram sets — the
+    asymmetric near-subset detector Jaccard washes out.
+
+    ``containment = |A n B| / min(|A|, |B|)``: a 50-gram doc fully
+    embedded in a 5000-gram doc scores jaccard ~0.01 (invisible at any
+    sane threshold) but containment 1.0 — the quote/excerpt/
+    re-publication duplication shape a crawl-scale corpus is full of,
+    and the reason containment is the standard complement to Jaccard
+    in training-data dedup.  Output: ``(id_a, id_b, sz_a, sz_b,
+    n_inter, containment)`` with ``id_a < id_b`` and the direction
+    recoverable from the sizes (the smaller side is the contained
+    one; equal sizes make the measure symmetric).
+
+    The plan is :func:`ngram_jaccard_pairs`'s capped shape verbatim —
+    candidates from RARE grams only (document frequency <=
+    ``max_df``, hot grams removed via broadcast anti-join; the token
+    stream shuffles ONCE on the self-join key), then exact
+    verification over the candidate pair's FULL gram sets.  Recall
+    contract, inherited and sharper here: the only pairs missed are
+    those whose every shared gram is hot (> ``max_df`` docs) — i.e.
+    docs "contained" purely in boilerplate, exactly the pairs a
+    containment dedup must NOT merge.  There is deliberately no
+    uncapped variant: a contained short doc shares ALL its grams, so
+    candidate volume without the cap is bounded by the hottest gram's
+    df^2 — worse than Jaccard's, not better.
+    """
+    sh = df.select(
+        F.col(id_col).alias("gid"),
+        *(
+            [F.col(block_col).alias("blk")]
+            if block_col
+            else [F.lit(1).alias("blk")]
+        ),
+        word_shingles(F.col(text_col), n).alias("grams"),
+    )
+    toks = sh.select(
+        "gid", "blk", F.explode("grams").alias("g")
+    ).select("gid", "blk", F.xxhash64("g").alias("gram"))
+    hot = (
+        toks.groupBy("blk", "gram")
+        .count()
+        .filter(F.col("count") > max_df)
+        .select("blk", "gram")
+    )
+    rare = toks.repartition("blk", "gram").join(
+        F.broadcast(hot), ["blk", "gram"], "left_anti"
+    )
+    cand = (
+        rare.selectExpr("gid as id_a", "blk", "gram")
+        .join(rare.selectExpr("gid as id_b", "blk", "gram"), ["blk", "gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = sh.select(F.col("gid").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = sh.select(F.col("gid").alias("id_b"), F.col("grams").alias("grams_b"))
+    n_inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    sz_a, sz_b = F.size("grams_a"), F.size("grams_b")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            sz_a.alias("sz_a"),
+            sz_b.alias("sz_b"),
+            n_inter.alias("n_inter"),
+            F.round(
+                n_inter / F.least(sz_a, sz_b), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ------------------------------------------------- embedding near-dup
 
 def embedding_near_dups(

@@ -9270,6 +9270,78 @@ ORACLE_SQL["q_topk_matryoshka"] = _topk_matryoshka_oracle()
 
 
 # =====================================================================
+# round-16 queue (3rd pair, built round 15): min-side CONTAINMENT — the
+# asymmetric near-subset dedup metric (quote/excerpt/re-publication
+# pairs Jaccard washes out), same capped rare-gram candidate plan as
+# q_dedup_ngram_capped, exact verify, direction in the sizes.
+# =====================================================================
+
+_CONTAIN = {"n": 2, "max_df": 5, "threshold": 0.25}
+
+
+def q_dedup_containment_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-subset dedup (operators/dedup.py
+    containment_pairs): containment = |A n B| / min(|A|, |B|) over
+    word-bigram sets, lang-blocked.  A short doc fully embedded in a
+    long one scores jaccard ~|A|/|B| (invisible) but containment 1.0
+    — the excerpt/re-publication duplication shape; the scale plan is
+    q_dedup_ngram_capped's verbatim (rare-gram candidates, df <=
+    max_df via broadcast anti-join, ONE token-stream shuffle, exact
+    array-intersect verify on candidates only), and the recall
+    contract drops exactly the boilerplate-only containments a dedup
+    must not merge.  Sizes ride in the output so the contained side
+    is recoverable (sz_a vs sz_b)."""
+    from vector_db_ingestor_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs,
+        block_col="lang",
+        n=_CONTAIN["n"],
+        threshold=_CONTAIN["threshold"],
+        max_df=_CONTAIN["max_df"],
+    )
+
+
+def _dedup_containment_oracle() -> str:
+    """DuckDB mirror: same shingles (string grams — the engine's
+    xxhash64 candidate key only AFFECTS candidacy via ~2^-64
+    collisions), same df cap on (lang, gram), same pair generation,
+    same exact containment on full gram sets."""
+    n, max_df, thr = (
+        _CONTAIN["n"], _CONTAIN["max_df"], _CONTAIN["threshold"],
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, lang, {_ngram_list_sql(n)} AS grams FROM documents
+    ),
+    t AS (SELECT doc_id, lang, unnest(grams) AS g FROM sh),
+    df AS (SELECT lang, g, count(*) AS dfreq FROM t GROUP BY lang, g),
+    rare AS (
+        SELECT t.doc_id, t.lang, t.g FROM t JOIN df USING (lang, g)
+        WHERE df.dfreq <= {max_df}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rare a JOIN rare b
+          ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM (
+        SELECT id_a, id_b,
+               CAST(len(x.grams) AS INTEGER) AS sz_a,
+               CAST(len(y.grams) AS INTEGER) AS sz_b,
+               CAST(len(list_intersect(x.grams, y.grams)) AS INTEGER)
+                   AS n_inter,
+               round(CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+                     / least(len(x.grams), len(y.grams)), 6) AS containment
+        FROM cand
+        JOIN sh x ON cand.id_a = x.doc_id
+        JOIN sh y ON cand.id_b = y.doc_id
+    ) WHERE containment >= {thr}
+    """
+
+
+# =====================================================================
 # the declaration queue, as data: every built-ahead impl/oracle pair
 # (single source of truth for scripts/check_oracle.py --queue and the
 # per-round registration diffs; tests import the pairs directly)
@@ -9306,6 +9378,10 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
     ),
     "q_sample_reservoir": (q_sample_reservoir_impl, _sample_reservoir_oracle()),
     "q_dedup_passage": (q_dedup_passage_impl, _dedup_passage_oracle()),
+    "q_dedup_containment": (
+        q_dedup_containment_impl,
+        _dedup_containment_oracle(),
+    ),
     "q_graph_hits": (q_graph_hits_impl, _graph_hits_oracle()),
     "q_sketch_kmv": (q_sketch_kmv_impl, _sketch_kmv_oracle()),
     "q_stats_ab": (q_stats_ab_impl, _stats_ab_oracle()),
