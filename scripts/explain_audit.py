@@ -254,6 +254,9 @@ QUEUE_AUDITS: dict[str, dict] = {
     "q_dedup_containment": {
         "broadcast": True, "no_nested_loop": True, "partial_agg": True,
     },
+    # one map-side-combined hash agg on (user_id, event_type): exactly
+    # one exchange, state O(entities)
+    "q_agg_decay": {"partial_agg": True, "max_exchange": 1},
     "q_graph_hits": {"partial_agg": True, "broadcast": True},
     "q_sketch_kmv": {"partial_agg": True},
     "q_stats_ab": {"partial_agg": True, "no_nested_loop": True},

@@ -170,6 +170,7 @@ QUEUE_CASES = [
     ("q_sample_reservoir", "no_nested_loop"),
     ("q_dedup_passage", "take_ordered"),
     ("q_dedup_containment", "no_nested_loop"),
+    ("q_agg_decay", "no_nested_loop"),
     ("q_stats_ab", "no_nested_loop"),
     ("q_join_spatial", "no_nested_loop"),
     ("q_vec_pq_quality", "no_nested_loop"),

@@ -9342,6 +9342,96 @@ def _dedup_containment_oracle() -> str:
 
 
 # =====================================================================
+# round-17 queue (3rd pair, built round 15): exponentially
+# time-decayed aggregation — the feature-store recency weighting
+# (decayed counts/sums per entity), hash-exact because the decay
+# weights are EXACT POWERS OF TWO over integer day-bucket ages, so
+# every term and every sum is exact BIGINT arithmetic and aggregation
+# order cannot move a bit (the q_graph_pagerank rule applied to decay).
+# =====================================================================
+
+_DECAY = {"ref": "2024-03-01", "halflife_days": 7, "kcap": 20}
+
+
+def q_agg_decay_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed per-(user, event_type) activity — the
+    feature-store shape (half-life weighted engagement: an event
+    ``age`` days old contributes ``value * 2^-floor(age/halflife)``).
+    Floats never enter the aggregation: value is exact centi-units
+    (2dp fixture), the decay weight is ``2^(kcap - k)`` cast to
+    BIGINT (exact for k in [0, kcap]), ages clamp to
+    [0, kcap] half-lives — so ``decayed_scaled`` is an
+    order-independent integer sum and the readable ``decayed_milli``
+    (milli-value-units, the q_text_lm_score integer-encoding rule) is
+    ONE integer division — no float ever rounds, so no cross-engine
+    tie can flip a digit (a round(x, 6) here DID tie at sf0.01:
+    4.1653125 rounds differently across engines).  Plan:
+    one map-side-combined hash aggregation on (user_id, event_type);
+    state is O(entities), the shuffle carries one row per key per
+    partition at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    ref, hl, kcap = _DECAY["ref"], _DECAY["halflife_days"], _DECAY["kcap"]
+    age = F.datediff(F.lit(ref).cast("date"), F.col("ts").cast("date"))
+    k = F.least(
+        F.greatest(F.floor(age / F.lit(hl)), F.lit(0)), F.lit(kcap)
+    ).cast("int")
+    centi = F.round(F.col("value") * 100, 0).cast("long")
+    # pow(2, j) for j in [0, kcap] is an exactly-representable double,
+    # so the cast back to long is exact (shiftleft needs a literal
+    # shift amount; this keeps the weight per-row)
+    w = F.pow(F.lit(2.0), (F.lit(kcap) - k).cast("double")).cast("long")
+    scale = 100 * (1 << kcap)
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            (centi * w).alias("term"),
+            centi.alias("centi"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("centi").cast("long").alias("raw_centi"),
+            F.sum("term").cast("long").alias("decayed_scaled"),
+        )
+        # values are non-negative, so truncating div == floor div; the
+        # *1000 stays far under BIGINT (decayed_scaled ~1e13 at sf0.1)
+        .withColumn(
+            "decayed_milli",
+            F.expr(f"(decayed_scaled * 1000L) div {scale}L"),
+        )
+    )
+
+
+def _agg_decay_oracle() -> str:
+    """DuckDB mirror: same day-bucket age (date_diff on DATE casts —
+    the ns->us->DATE truncation chain is shared), same clamp, same
+    power-of-two weight (power() over ints 0..20 is exact in a
+    double), same integer sums, same final division."""
+    ref, hl, kcap = _DECAY["ref"], _DECAY["halflife_days"], _DECAY["kcap"]
+    scale = 100 * (1 << kcap)
+    return f"""
+    WITH e AS (
+        SELECT user_id, event_type,
+               least(greatest(CAST(floor(
+                   date_diff('day', CAST(ts AS DATE), DATE '{ref}')
+                   / {hl}) AS INTEGER), 0), {kcap}) AS k,
+               CAST(round(value * 100, 0) AS BIGINT) AS centi
+        FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(centi) AS BIGINT) AS raw_centi,
+           CAST(sum(centi * CAST(power(2, {kcap} - k) AS BIGINT))
+               AS BIGINT) AS decayed_scaled,
+           CAST(sum(centi * CAST(power(2, {kcap} - k) AS BIGINT))
+                * 1000 // {scale} AS BIGINT) AS decayed_milli
+    FROM e
+    GROUP BY user_id, event_type
+    """
+
+
+# =====================================================================
 # the declaration queue, as data: every built-ahead impl/oracle pair
 # (single source of truth for scripts/check_oracle.py --queue and the
 # per-round registration diffs; tests import the pairs directly)
@@ -9382,6 +9472,7 @@ QUEUED_QUERIES: dict[str, tuple[QueryFn, str]] = {
         q_dedup_containment_impl,
         _dedup_containment_oracle(),
     ),
+    "q_agg_decay": (q_agg_decay_impl, _agg_decay_oracle()),
     "q_graph_hits": (q_graph_hits_impl, _graph_hits_oracle()),
     "q_sketch_kmv": (q_sketch_kmv_impl, _sketch_kmv_oracle()),
     "q_stats_ab": (q_stats_ab_impl, _stats_ab_oracle()),
