@@ -1495,6 +1495,66 @@ def test_ann_rebuild_swaps_without_downtime(spark, tmp_path):
         fresh.ann_rebuild(kind="ivf")
 
 
+def test_ann_recommend_refine_grid_semantics(spark, tmp_path):
+    """Round 15: the refine-ladder tuning action — complete grid over
+    (nprobe doublings) x (k, 2k, 4k), recall nondecreasing in k2 at
+    fixed nprobe (superset shortlist into an exact re-rank), cheapest
+    config chosen nprobe-major, trivial target picks (1, k), and a
+    missing index raises."""
+    import pytest
+
+    from vector_db_ingestor_spark.pipeline import VectorCollection
+
+    def corpus(n):
+        texts = [
+            (f"refine tuning document {i} about quantized serving "
+             f"{'alpha beta gamma delta '[: 8 + i % 12]} ").encode() * 3
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            [
+                (
+                    f"file:/fake/r{i}.pdf",
+                    f"r{i}.pdf",
+                    len(b),
+                    bytearray(b"stream\n(" + b + b") Tj\nendstream"),
+                )
+                for i, b in enumerate(texts)
+            ],
+            "source STRING, filename STRING, file_bytes LONG, content BINARY",
+        )
+
+    coll = VectorCollection(spark, str(tmp_path / "ref_coll"))
+    coll.overwrite(build_chunks(corpus(8), chunk_size=60, overlap=10))
+    coll.build_ann_index(kind="ivfpq", n_centroids=4, m=4, ksub=8)
+
+    k = 5
+    rec = coll.ann_recommend_refine(target_recall=1.0, n_queries=3, k=k)
+    depths = sorted({np for np, _ in rec["grid"]})
+    assert depths[-1] == 4 and len(rec["grid"]) == len(depths) * 3
+    assert all(0.0 <= v <= 1.0 for v in rec["grid"].values())
+    # superset shortlist into an exact re-rank: recall nondecreasing
+    # in k2 at every fixed nprobe
+    for np_ in depths:
+        assert (
+            rec["grid"][(np_, k)]
+            <= rec["grid"][(np_, 2 * k)] + 1e-9
+        )
+        assert (
+            rec["grid"][(np_, 2 * k)]
+            <= rec["grid"][(np_, 4 * k)] + 1e-9
+        )
+    # the chosen config actually carries its met verdict
+    assert rec["met"] == (rec["grid"][(rec["nprobe"], rec["k2"])] >= 1.0)
+    # a trivial target picks the cheapest rung of the ladder
+    cheap = coll.ann_recommend_refine(target_recall=0.0, n_queries=2, k=k)
+    assert (cheap["nprobe"], cheap["k2"]) == (1, k) and cheap["met"]
+    # loud without an index
+    empty = VectorCollection(spark, str(tmp_path / "ref_none"))
+    with pytest.raises(ValueError, match="ivfpq index"):
+        empty.ann_recommend_refine()
+
+
 def test_ann_maintain_runs_recommended_actions(spark, tmp_path):
     """Round 15: ann_maintain is the one-call batch-side maintenance
     driver — it reads the report and runs exactly the recommended

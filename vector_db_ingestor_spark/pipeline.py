@@ -782,6 +782,113 @@ class VectorCollection:
         self._ann_promote(path, tmp, token, "ann_rebuild")
         return self.ann_maintenance_report(kind)
 
+    def ann_recommend_refine(
+        self,
+        target_recall: float = 0.95,
+        n_queries: int = 8,
+        k: int = 10,
+    ) -> dict:
+        """The :meth:`ann_recommend_nprobe` sibling for the ivfpq
+        REFINE ladder (round 15): measure recall@``k`` of refined
+        serving at every (nprobe doubling) x (k2 in {k, 2k, 4k})
+        against the EXACT ranking over the indexed vectors (the
+        ``_vectors`` refine companion — same rows the ladder re-ranks
+        from), and return the cheapest config meeting
+        ``target_recall`` (probing cost dominates, so nprobe-major
+        order).
+
+        Unlike the full-row ivf curve — exactly 1.0 at all cells by
+        construction — the refine ladder's ceiling is QUANTIZATION
+        bound: an exact-top-k id the ADC sketch ranks below ``k2``
+        never reaches the re-rank, at any probe depth.  That makes
+        this report the tuning-time rebuild signal the drift report
+        can't give: ``met=False`` at the maximal config means no
+        serving knob reaches the target and the codebooks themselves
+        need more resolution (``build_ann_index(m=..., ksub=...)``).
+
+        Probes are the first ``n_queries`` indexed vectors by id
+        (deterministic self-retrieval, the zero-label tuning proxy).
+        Cost: one exact scan of the companion per probe plus
+        ``n_queries * depths * 3`` pruned k2-row ladders — tuning
+        time, never the serving path.  Returns ``{"nprobe", "k2",
+        "met", "grid": {(nprobe, k2): mean recall}, ...}``."""
+        from vector_db_ingestor_spark.operators.similarity import (
+            ivf_index_complete,
+            ivfpq_read,
+            ivfpq_topk_refined_indexed,
+        )
+        from vector_db_ingestor_spark.operators.topk import topk_cosine
+
+        kind = "ivfpq"
+        path = self._ann_path(kind)
+        if not ivf_index_complete(self.spark, path):
+            raise ValueError(
+                f"no complete ivfpq index at {path}; run "
+                "build_ann_index(kind='ivfpq') first"
+            )
+        if not self._ann_vectors_complete(kind):
+            raise ValueError(
+                f"no refine companion at {self._ann_vectors_path(kind)}; "
+                "rebuild with build_ann_index(kind='ivfpq')"
+            )
+        _, cents, _ = ivfpq_read(self.spark, path)
+        vecs_path = self._ann_vectors_path(kind)
+        vectors = self.spark.read.parquet(vecs_path)
+        probes = [
+            list(r.embedding)
+            for r in vectors.orderBy("chunk_uid").limit(n_queries).collect()
+        ]
+        if not probes:
+            raise ValueError("ann_recommend_refine: empty index")
+        depths: list[int] = []
+        d = 1
+        while d < len(cents):
+            depths.append(d)
+            d *= 2
+        depths.append(len(cents))
+        k2s = [k, 2 * k, 4 * k]
+        grid: dict[tuple[int, int], float] = {}
+        for qi, probe in enumerate(probes):
+            exact = {
+                r.chunk_uid
+                for r in topk_cosine(
+                    vectors, probe, k=k,
+                    id_col="chunk_uid", vec_col="embedding",
+                ).collect()
+            }
+            for nprobe in depths:
+                for k2 in k2s:
+                    got = {
+                        r.chunk_uid
+                        for r in ivfpq_topk_refined_indexed(
+                            self.spark, path, vecs_path, probe,
+                            k=k, k2=k2, nprobe=nprobe,
+                            id_col="chunk_uid", vec_col="embedding",
+                        ).collect()
+                    }
+                    rec = len(got & exact) / max(1, len(exact))
+                    grid[(nprobe, k2)] = (
+                        grid.get((nprobe, k2), 0.0) + rec / len(probes)
+                    )
+        chosen = next(
+            (
+                (nprobe, k2)
+                for nprobe in depths
+                for k2 in k2s
+                if grid[(nprobe, k2)] >= target_recall
+            ),
+            (depths[-1], k2s[-1]),
+        )
+        return {
+            "nprobe": chosen[0],
+            "k2": chosen[1],
+            "met": grid[chosen] >= target_recall,
+            "grid": grid,
+            "target_recall": target_recall,
+            "n_queries": len(probes),
+            "k": k,
+        }
+
     def ann_maintain(
         self,
         kind: str = "ivf",
