@@ -691,18 +691,23 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def _ngram_jaccard_capped(sh: DataFrame, threshold: float, max_df: int) -> DataFrame:
-    """Candidates from rare grams (df <= max_df), exact verify on full
-    gram sets.  See :func:`ngram_jaccard_pairs` for the recall contract.
-    """
+def _capped_candidates(sh: DataFrame, max_df: int) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs sharing at least one RARE gram
+    (document frequency <= ``max_df``) — the shared candidate stage of
+    the capped verify-exact plans (:func:`_ngram_jaccard_capped`,
+    :func:`containment_pairs`).
+
+    The hot-gram list itself is tiny by definition (few grams exceed
+    ``max_df``), so compute it with a hash agg and remove via broadcast
+    anti-join — the token stream is shuffled ONCE (repartition on the
+    self-join key; both sides reuse the exchange), not re-sorted for
+    a window.  Grams are distinct per doc, so count(*) == df.  Pairs
+    join on a 64-bit gram hash (smaller shuffle rows; cross-doc
+    collisions only ADD candidates, at ~n_grams²/2^64 odds, and the
+    exact verify scores them honestly)."""
     toks = sh.select(
         "gid", "blk", F.explode("grams").alias("g")
     ).select("gid", "blk", F.xxhash64("g").alias("gram"))
-    # The hot-gram list itself is tiny by definition (few grams exceed
-    # max_df), so compute it with a hash agg and remove via broadcast
-    # anti-join — the token stream is shuffled ONCE (repartition on the
-    # self-join key; both sides reuse the exchange), not re-sorted for
-    # a window.  Grams are distinct per doc, so count(*) == df.
     hot = (
         toks.groupBy("blk", "gram")
         .count()
@@ -712,13 +717,20 @@ def _ngram_jaccard_capped(sh: DataFrame, threshold: float, max_df: int) -> DataF
     rare = toks.repartition("blk", "gram").join(
         F.broadcast(hot), ["blk", "gram"], "left_anti"
     )
-    cand = (
+    return (
         rare.selectExpr("gid as id_a", "blk", "gram")
         .join(rare.selectExpr("gid as id_b", "blk", "gram"), ["blk", "gram"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def _ngram_jaccard_capped(sh: DataFrame, threshold: float, max_df: int) -> DataFrame:
+    """Candidates from rare grams (df <= max_df), exact verify on full
+    gram sets.  See :func:`ngram_jaccard_pairs` for the recall contract.
+    """
+    cand = _capped_candidates(sh, max_df)
     ga = sh.select(F.col("gid").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = sh.select(F.col("gid").alias("id_b"), F.col("grams").alias("grams_b"))
     n_inter = F.size(F.array_intersect("grams_a", "grams_b"))
@@ -779,25 +791,7 @@ def containment_pairs(
         ),
         word_shingles(F.col(text_col), n).alias("grams"),
     )
-    toks = sh.select(
-        "gid", "blk", F.explode("grams").alias("g")
-    ).select("gid", "blk", F.xxhash64("g").alias("gram"))
-    hot = (
-        toks.groupBy("blk", "gram")
-        .count()
-        .filter(F.col("count") > max_df)
-        .select("blk", "gram")
-    )
-    rare = toks.repartition("blk", "gram").join(
-        F.broadcast(hot), ["blk", "gram"], "left_anti"
-    )
-    cand = (
-        rare.selectExpr("gid as id_a", "blk", "gram")
-        .join(rare.selectExpr("gid as id_b", "blk", "gram"), ["blk", "gram"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _capped_candidates(sh, max_df)
     ga = sh.select(F.col("gid").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = sh.select(F.col("gid").alias("id_b"), F.col("grams").alias("grams_b"))
     n_inter = F.size(F.array_intersect("grams_a", "grams_b"))

@@ -741,10 +741,10 @@ class VectorCollection:
     def ann_rebuild(
         self,
         kind: str = "ivf",
-        n_centroids: int = 16,
+        n_centroids: int | None = None,
         iters: int = 2,
-        m: int = 4,
-        ksub: int = 16,
+        m: int | None = None,
+        ksub: int | None = None,
     ) -> dict:
         """Retrain a LIVE index without serving downtime (round 15 —
         the rebuild half of the maintenance loop, pairing
@@ -760,12 +760,22 @@ class VectorCollection:
         abandoned tmp is garbage — it is never promoted; the live
         path is only touched by the final renames).
 
+        Hyperparameters default to the LIVE index's own shape, read
+        from its sidecars (``n_centroids`` = centroid count, ``m`` /
+        ``ksub`` = codebook layout) — a drift rebuild must not
+        silently collapse a 64-cell / m=8 deployment to library
+        defaults.  Pass explicit values only to deliberately resize
+        the model (``iters`` is the one knob the artifacts don't
+        record).
+
         Returns the post-rebuild :meth:`ann_maintenance_report`, so a
         maintenance driver can assert the skew actually reset."""
         import uuid
 
         from vector_db_ingestor_spark.operators.similarity import (
             ivf_index_complete,
+            ivf_read,
+            ivfpq_read,
         )
 
         path = self._ann_path(kind)
@@ -774,6 +784,14 @@ class VectorCollection:
                 f"no complete {kind!r} index at {path}; first builds go "
                 f"through build_ann_index(kind={kind!r})"
             )
+        if kind == "ivfpq":
+            _, cents, cbs = ivfpq_read(self.spark, path)
+            m = m or len(cbs)
+            ksub = ksub or len(cbs[0])
+        else:
+            _, cents = ivf_read(self.spark, path)
+            m, ksub = m or 4, ksub or 16
+        n_centroids = n_centroids or len(cents)
         token = uuid.uuid4().hex[:8]
         tmp = path + f"__rebuild_{token}"
         self._ann_build_at(
@@ -813,9 +831,10 @@ class VectorCollection:
         time, never the serving path.  Returns ``{"nprobe", "k2",
         "met", "grid": {(nprobe, k2): mean recall}, ...}``."""
         from vector_db_ingestor_spark.operators.similarity import (
+            fetch_vectors,
             ivf_index_complete,
             ivfpq_read,
-            ivfpq_topk_refined_indexed,
+            ivfpq_topk_indexed,
         )
         from vector_db_ingestor_spark.operators.topk import topk_cosine
 
@@ -831,24 +850,25 @@ class VectorCollection:
                 f"no refine companion at {self._ann_vectors_path(kind)}; "
                 "rebuild with build_ann_index(kind='ivfpq')"
             )
-        _, cents, _ = ivfpq_read(self.spark, path)
+        # read the codes table + model sidecars ONCE and drive the
+        # ladder's stages directly — the packaged
+        # ivfpq_topk_refined_indexed would re-collect both sidecars
+        # for every one of the n_queries * depths * 3 grid cells
+        codes, cents, cbs = ivfpq_read(self.spark, path)
         vecs_path = self._ann_vectors_path(kind)
         vectors = self.spark.read.parquet(vecs_path)
-        probes = [
-            list(r.embedding)
-            for r in vectors.orderBy("chunk_uid").limit(n_queries).collect()
-        ]
-        if not probes:
-            raise ValueError("ann_recommend_refine: empty index")
-        depths: list[int] = []
-        d = 1
-        while d < len(cents):
-            depths.append(d)
-            d *= 2
-        depths.append(len(cents))
+        probes = self._ann_probe_vectors(vectors, n_queries, "ann_recommend_refine")
+        depths = self._doubling_depths(len(cents))
         k2s = [k, 2 * k, 4 * k]
-        grid: dict[tuple[int, int], float] = {}
-        for qi, probe in enumerate(probes):
+        # per-cell recall lists, averaged ONCE at the end: an
+        # incremental `+= rec/len(probes)` float accumulation can read
+        # 0.999... for a true 1.0 (e.g. 6 probes) and spuriously fail
+        # target_recall=1.0 — which this report defines as the
+        # rebuild-codebooks signal
+        recs: dict[tuple[int, int], list[float]] = {
+            (nprobe, k2): [] for nprobe in depths for k2 in k2s
+        }
+        for probe in probes:
             exact = {
                 r.chunk_uid
                 for r in topk_cosine(
@@ -858,18 +878,26 @@ class VectorCollection:
             }
             for nprobe in depths:
                 for k2 in k2s:
+                    short = ivfpq_topk_indexed(
+                        codes, cents, cbs, probe, k=k2, nprobe=nprobe,
+                        id_col="chunk_uid",
+                    )
+                    ids = [r[0] for r in short.select("chunk_uid").collect()]
                     got = {
                         r.chunk_uid
-                        for r in ivfpq_topk_refined_indexed(
-                            self.spark, path, vecs_path, probe,
-                            k=k, k2=k2, nprobe=nprobe,
+                        for r in topk_cosine(
+                            fetch_vectors(
+                                self.spark, vecs_path, ids,
+                                id_col="chunk_uid",
+                            ),
+                            probe, k=k,
                             id_col="chunk_uid", vec_col="embedding",
                         ).collect()
                     }
-                    rec = len(got & exact) / max(1, len(exact))
-                    grid[(nprobe, k2)] = (
-                        grid.get((nprobe, k2), 0.0) + rec / len(probes)
+                    recs[(nprobe, k2)].append(
+                        len(got & exact) / max(1, len(exact))
                     )
+        grid = {cell: sum(v) / len(v) for cell, v in recs.items()}
         chosen = next(
             (
                 (nprobe, k2)
@@ -888,6 +916,35 @@ class VectorCollection:
             "n_queries": len(probes),
             "k": k,
         }
+
+    def _ann_probe_vectors(
+        self, df, n_queries: int, op: str
+    ) -> list[list[float]]:
+        """The tuners' shared deterministic probe set: the first
+        ``n_queries`` indexed vectors by id (zero-label self-retrieval
+        proxy).  ``df`` carries (chunk_uid, embedding)."""
+        probes = [
+            list(r.embedding)
+            for r in df.select("chunk_uid", "embedding")
+            .orderBy("chunk_uid")
+            .limit(n_queries)
+            .collect()
+        ]
+        if not probes:
+            raise ValueError(f"{op}: empty index")
+        return probes
+
+    @staticmethod
+    def _doubling_depths(n_cells: int) -> list[int]:
+        """1, 2, 4, ... capped-and-terminated at all cells — the probe
+        schedule both recall tuners share."""
+        depths: list[int] = []
+        d = 1
+        while d < n_cells:
+            depths.append(d)
+            d *= 2
+        depths.append(n_cells)
+        return depths
 
     def ann_maintain(
         self,
@@ -918,21 +975,9 @@ class VectorCollection:
             return {"actions": [], "before": before, "after": before}
         actions: list[str] = []
         if before["rebuild_recommended"]:
-            from vector_db_ingestor_spark.operators.similarity import (
-                ivf_read,
-                ivfpq_read,
-            )
-
-            path = self._ann_path(kind)
-            if kind == "ivfpq":
-                _, cents, cbs = ivfpq_read(self.spark, path)
-                m, ksub = len(cbs), len(cbs[0])
-            else:
-                _, cents = ivf_read(self.spark, path)
-                m, ksub = 4, 16
-            self.ann_rebuild(
-                kind, n_centroids=len(cents), iters=iters, m=m, ksub=ksub,
-            )
+            # ann_rebuild infers n_centroids/m/ksub from the live
+            # sidecars itself
+            self.ann_rebuild(kind, iters=iters)
             actions.append("rebuild")
         elif before["compact_recommended"]:
             self.ann_compact(kind, target_file_bytes)
@@ -1331,21 +1376,10 @@ class VectorCollection:
                 f"build_ann_index(kind={kind!r}) first"
             )
         indexed, cents = ivf_read(self.spark, path)
-        probes = [
-            list(r.embedding)
-            for r in indexed.select("chunk_uid", "embedding")
-            .orderBy("chunk_uid")
-            .limit(n_queries)
-            .collect()
-        ]
-        if not probes:
-            raise ValueError("ann_recommend_nprobe: empty index")
-        depths: list[int] = []
-        d = 1
-        while d < len(cents):
-            depths.append(d)
-            d *= 2
-        depths.append(len(cents))
+        probes = self._ann_probe_vectors(
+            indexed, n_queries, "ann_recommend_nprobe"
+        )
+        depths = self._doubling_depths(len(cents))
         ids: dict[tuple[int, int], set] = {}
         for qi, probe in enumerate(probes):
             for depth in depths:
