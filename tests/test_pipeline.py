@@ -1479,6 +1479,14 @@ def test_ann_rebuild_swaps_without_downtime(spark, tmp_path):
         ]
         assert got == ref, kind
     assert coll._ann_vectors_complete("ivfpq")
+    # a NO-ARG rebuild infers the live model's shape from the sidecars
+    # (review fix: library defaults must not silently collapse a
+    # non-default deployment — ksub=8 here vs the default 16)
+    coll.ann_rebuild(kind="ivfpq")
+    from vector_db_ingestor_spark.operators.similarity import ivfpq_read
+
+    _, cents2, cbs2 = ivfpq_read(spark, coll._ann_path("ivfpq"))
+    assert len(cents2) == 4 and len(cbs2) == 4 and len(cbs2[0]) == 8
     # rename-only swap leaves no tmp/trash siblings behind
     leftovers = [
         p.name
@@ -1493,6 +1501,28 @@ def test_ann_rebuild_swaps_without_downtime(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="build_ann_index"):
         fresh.ann_rebuild(kind="ivf")
+
+    # the "crash at any step leaves one complete copy" contract,
+    # exercised at the worst point — between the two renames (live
+    # retired, tmp not yet promoted): serving fails LOUDLY (the index
+    # reads as incomplete, never partially), and promoting either
+    # sibling restores byte-identical serving
+    import shutil
+
+    live = tmp_path / "rb_coll" / "_ann_ivf"
+    got_before = [
+        (r.chunk_uid, r.score)
+        for r in coll.search_ann(q, n_results=k, kind="ivf").collect()
+    ]
+    shutil.move(str(live), str(live) + "__retired_crash")
+    with pytest.raises(ValueError, match="no complete"):
+        coll.search_ann(q, n_results=k, kind="ivf")
+    shutil.move(str(live) + "__retired_crash", str(live))
+    got_after = [
+        (r.chunk_uid, r.score)
+        for r in coll.search_ann(q, n_results=k, kind="ivf").collect()
+    ]
+    assert got_after == got_before
 
 
 def test_ann_recommend_refine_grid_semantics(spark, tmp_path):
