@@ -882,3 +882,43 @@ def test_hll_sketches_merge_exactly(spark, sf_dir):
     exact = ev.select("user_id").distinct().count()
     assert merged_est == global_est
     assert abs(merged_est - exact) / exact < 0.05
+
+
+# ------------------------------------------------- fast literal parity
+
+def test_lit_doubles_bitwise_parity(spark):
+    """lit_doubles/lit_double_matrix (one-expr-string literals, r15
+    optimization) must be BIT-identical to the per-element F.lit path
+    they replaced — including -0.0 sign, denormals, and extreme
+    magnitudes — or every model-literal plan would drift vs its oracle."""
+    import math
+
+    from vector_db_ingestor_spark.functions.literals import (
+        lit_double_matrix,
+        lit_doubles,
+    )
+
+    vals = [0.0, -0.0, 1e-300, -1e-300, 2.0**-1074, -1.5e308, 1.5e308,
+            0.1, -1 / 3, 123456789.123456789, 2654435761.0]
+    mat = [vals, list(reversed(vals))]
+    row = (
+        spark.range(1)
+        .select(
+            F.lit(vals).alias("a"),
+            lit_doubles(vals).alias("b"),
+            F.lit(mat).alias("ma"),
+            lit_double_matrix(mat).alias("mb"),
+        )
+        .collect()[0]
+    )
+    assert len(row["a"]) == len(row["b"])
+    for x, y in zip(row["a"], row["b"]):
+        assert x == y and math.copysign(1.0, x) == math.copysign(1.0, y)
+    for ra, rb in zip(row["ma"], row["mb"]):
+        for x, y in zip(ra, rb):
+            assert x == y and math.copysign(1.0, x) == math.copysign(1.0, y)
+    # dtype parity: both sides must be array<double>
+    df = spark.range(1).select(
+        F.lit(vals).alias("a"), lit_doubles(vals).alias("b")
+    )
+    assert dict(df.dtypes) == {"a": "array<double>", "b": "array<double>"}

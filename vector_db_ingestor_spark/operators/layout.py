@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vector_db_ingestor_spark.functions.literals import lit_doubles
+
 
 def zorder_key(normalized: list[Column], bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of already-normalized integer
@@ -70,7 +72,7 @@ def normalize_equidepth(col: Column, boundaries: list[float]) -> Column:
     low 10% of RANGE holds 63% of rows, measured — and linear scaling
     would cram those rows into a few cells, defeating the interleave)."""
     return F.aggregate(
-        F.lit([float(b) for b in boundaries]),
+        lit_doubles([float(b) for b in boundaries]),
         F.lit(0).cast("long"),
         lambda acc, b: acc
         + F.when(col.cast("double") >= b, 1).otherwise(0).cast("long"),

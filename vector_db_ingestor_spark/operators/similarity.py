@@ -32,6 +32,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vector_db_ingestor_spark.functions.vector import cosine_similarity, dot
+from vector_db_ingestor_spark.functions.literals import (
+    lit_double_matrix,
+    lit_doubles,
+)
 
 
 def _hyperplane(dim: int, bit: int) -> list[float]:
@@ -82,7 +86,7 @@ def rp_lsh_bucket(vec: Column, dim: int, n_bits: int = 8) -> Column:
     for b in range(n_bits):
         # one ArrayType literal per plane (not dim scalar literals):
         # keeps the expression tree O(n_bits), not O(n_bits * dim)
-        h = F.lit(_hyperplane(dim, b))
+        h = lit_doubles(_hyperplane(dim, b))
         bit = (dot(vec, h) > 0).cast("int")
         bucket = bucket + bit * F.lit(1 << b)
     return bucket
@@ -164,7 +168,7 @@ def _assign_cid(
     squashed so Spark and DuckDB argmax the same values; the production
     paths leave it None (full precision).
     """
-    cents_col = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    cents_col = lit_double_matrix(centroids)
     sims = F.transform(cents_col, lambda c: cosine_similarity(vec, c))
     if round_dp is not None:
         sims = F.transform(sims, lambda s: F.round(s, round_dp))
@@ -458,7 +462,7 @@ def ivf_topk(
     raise ``nprobe`` for highly-selective filters.
     """
     shortlist = ivf_shortlist(centroids, probe, nprobe)
-    probe_col = F.lit([float(x) for x in probe])
+    probe_col = lit_doubles(probe)
     vec = F.col(vec_col).cast("array<double>")
     scored = indexed.filter(F.col("cid").isin(shortlist))
     if predicate is not None:
@@ -573,7 +577,7 @@ def ivfpq_topk(
         vec.alias("v"),
         _assign_cid(vec, centroids, round_dp).alias("cid"),
     ).filter(F.col("cid").isin(short))
-    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    cents_lit = lit_double_matrix(centroids)
     resid = F.zip_with(
         F.col("v"),
         F.element_at(cents_lit, F.col("cid") + 1),
@@ -588,12 +592,12 @@ def ivfpq_topk(
         ],
     )
     tabs = pq_adc_tables(probe, codebooks)
-    q_dot_c = F.lit(
+    q_dot_c = lit_doubles(
         [float(sum(p * c for p, c in zip(probe, cc))) for cc in centroids]
     )
     adc = F.element_at(q_dot_c, F.col("cid") + 1)
     for s in range(m):
-        adc = adc + F.element_at(F.lit(tabs[s]), F.col(f"c{s}") + 1)
+        adc = adc + F.element_at(lit_doubles(tabs[s]), F.col(f"c{s}") + 1)
     return (
         coded.withColumn("score", F.round(adc, round_dp))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -629,7 +633,7 @@ def ivfpq_write(
         vec_col, _checked_vec(vec_col, dim, "ivfpq_write")
     )
     vec = F.col(vec_col).cast("array<double>")
-    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    cents_lit = lit_double_matrix(centroids)
     assigned = guarded.select(
         id_col, vec.alias("v"), _assign_cid(vec, centroids, round_dp).alias("cid")
     )
@@ -685,7 +689,7 @@ def ivfpq_train_write(
     corpus-sized pass."""
     cents = ivf_train(embeddings, dim, n_centroids, iters, id_col, vec_col)
     vec = F.col(vec_col).cast("array<double>")
-    cents_lit = F.lit([[float(x) for x in c] for c in cents])
+    cents_lit = lit_double_matrix(cents)
     resid_df = embeddings.select(
         F.col(id_col),
         F.zip_with(
@@ -734,12 +738,12 @@ def ivfpq_topk_indexed(
     m = len(codebooks)
     short = ivf_shortlist(centroids, probe, nprobe)
     tabs = pq_adc_tables(probe, codebooks)
-    q_dot_c = F.lit(
+    q_dot_c = lit_doubles(
         [float(sum(p * c for p, c in zip(probe, cc))) for cc in centroids]
     )
     adc = F.element_at(q_dot_c, F.col("cid") + 1)
     for s in range(m):
-        adc = adc + F.element_at(F.lit(tabs[s]), F.col(f"c{s}") + 1)
+        adc = adc + F.element_at(lit_doubles(tabs[s]), F.col(f"c{s}") + 1)
     return (
         codes.filter(F.col("cid").isin(short))
         .withColumn("score", F.round(adc, round_dp))
@@ -956,7 +960,7 @@ def ivfpq_append(
         vec_col, _checked_vec(vec_col, dim, "ivfpq_append")
     )
     vec = F.col(vec_col).cast("array<double>")
-    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    cents_lit = lit_double_matrix(centroids)
     assigned = guarded.select(
         F.col(id_col).cast(dict(codes.dtypes)[id_col]).alias(id_col),
         vec.alias("v"),
@@ -1025,7 +1029,7 @@ def ivfpq_topk_batch(
         vec.alias("v"),
         _assign_cid(vec, centroids, round_dp).alias("cid"),
     ).filter(F.col("cid").isin(union_cids))
-    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    cents_lit = lit_double_matrix(centroids)
     resid = F.zip_with(
         F.col("v"),
         F.element_at(cents_lit, F.col("cid") + 1),
@@ -1083,11 +1087,11 @@ def ivfpq_topk_batch_indexed(
         for _, vec in probes
     ]
     adc = F.element_at(
-        F.element_at(F.lit(qdotc_by_probe), qpos), F.col("cid") + 1
+        F.element_at(lit_double_matrix(qdotc_by_probe), qpos), F.col("cid") + 1
     )
     for s in range(m):
         adc = adc + F.element_at(
-            F.element_at(F.lit([t[s] for t in tabs_by_probe]), qpos),
+            F.element_at(lit_double_matrix([t[s] for t in tabs_by_probe]), qpos),
             F.col(f"c{s}") + 1,
         )
     scored = (
@@ -1239,8 +1243,8 @@ def pq_code(
 
     dsub = len(codebook[0])
     sub = F.slice(vec.cast("array<double>"), offset + 1, dsub)
-    cents = F.lit([[float(x) for x in c] for c in codebook])
-    ccs = F.lit([float(sum(x * x for x in c)) for c in codebook])
+    cents = lit_double_matrix(codebook)
+    ccs = lit_doubles([float(sum(x * x for x in c)) for c in codebook])
     dists = F.transform(
         cents,
         lambda c, i: F.round(

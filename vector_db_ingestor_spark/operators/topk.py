@@ -31,11 +31,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_db_ingestor_spark.functions.literals import lit_doubles
 from vector_db_ingestor_spark.functions.vector import cosine_similarity
 
 
 def probe_literal(probe: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in probe])
+    return lit_doubles(probe)
 
 
 def topk_cosine(

@@ -19,6 +19,11 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_db_ingestor_spark.functions.literals import (
+    lit_double_matrix,
+    lit_doubles,
+)
+
 from vector_db_ingestor_spark.constants import (
     EMBEDDING_DIM,
     PROBE_64,
@@ -1721,7 +1726,7 @@ def q_ann_ivf_escalate_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rr") <= F.col("nprobe_used"))
         .withColumn(
             "score",
-            F.round(cosine_similarity(vec, F.lit(PROBE_64)), 6),
+            F.round(cosine_similarity(vec, lit_doubles(PROBE_64)), 6),
         )
     )
     w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
@@ -3755,7 +3760,7 @@ def q_vector_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_ingestor_spark.functions.vector import dot, l2_distance, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    p = F.lit(PROBE_64)
+    p = lit_doubles(PROBE_64)
     v = F.col("embedding").cast("array<double>")
     raw = emb.select(
         "vec_id",
@@ -4408,7 +4413,7 @@ def q_topk_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = F.array(*[F.slice(e, s * width + 1, width) for s in range(n_slices)])
     qv = F.array(
         *[
-            F.lit([float(x) for x in PROBE_64[s * width : (s + 1) * width]])
+            lit_doubles(PROBE_64[s * width : (s + 1) * width])
             for s in range(n_slices)
         ]
     )
@@ -5071,9 +5076,9 @@ def q_vec_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[pq_code(vec, cbs[s], s * dsub).alias(f"c{s}") for s in range(m)],
     )
-    adc = F.element_at(F.lit(tabs[0]), F.col("c0") + 1)
+    adc = F.element_at(lit_doubles(tabs[0]), F.col("c0") + 1)
     for s in range(1, m):
-        adc = adc + F.element_at(F.lit(tabs[s]), F.col(f"c{s}") + 1)
+        adc = adc + F.element_at(lit_doubles(tabs[s]), F.col(f"c{s}") + 1)
     # materialize the codes once: both the top-10 heap and the output
     # join consume the same encode (at deployment scale the codes are a
     # persisted table built once, like the IVF index — re-encoding per
@@ -7433,7 +7438,7 @@ def q_topk_matryoshka_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-vs-prefix tradeoff on real models is a model property."""
     emb = load_table(spark, sf_dir, "embeddings")
     prefix = F.slice(F.col("embedding").cast("array<double>"), 1, 16)
-    probe16 = F.array(*[F.lit(float(v)) for v in PROBE_64[:16]])
+    probe16 = lit_doubles(PROBE_64[:16])
     pre_score = F.round(
         F.aggregate(
             F.zip_with(prefix, probe16, lambda a, b: a * b),
@@ -8132,7 +8137,7 @@ def q_vec_pq_quality_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsub = EMBEDDING_DIM // m
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
-    cents_lit = F.lit([[float(x) for x in c] for c in cents])
+    cents_lit = lit_double_matrix(cents)
     assigned = emb.select(
         vec.alias("v"), _assign_cid(vec, cents, round_dp=6).alias("cid")
     )
@@ -8152,7 +8157,7 @@ def q_vec_pq_quality_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon = F.concat(
         *[
             F.element_at(
-                F.lit([[float(x) for x in c] for c in cbs[s]]),
+                lit_double_matrix(cbs[s]),
                 F.col(f"c{s}") + 1,
             )
             for s in range(m)
@@ -9137,7 +9142,7 @@ def q_ann_nprobe_curve_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.withColumn("cid", _assign_cid(vec, cents, round_dp=6))
         .withColumn("rr", rr)
         .withColumn(
-            "score", F.round(cosine_similarity(vec, F.lit(PROBE_64)), 6)
+            "score", F.round(cosine_similarity(vec, lit_doubles(PROBE_64)), 6)
         )
         .select("vec_id", "rr", "score")
     )
