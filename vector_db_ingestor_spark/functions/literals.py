@@ -34,11 +34,17 @@ def _d(x: float) -> str:
     return repr(v) + "D"
 
 
+def doubles_sql(vals: Sequence[float]) -> str:
+    """``array<double>`` literal as a SQL fragment (for composing into a
+    larger single-``F.expr`` build)."""
+    if len(vals) == 0:
+        raise ValueError("doubles_sql: empty literal")
+    return "array(" + ",".join(_d(v) for v in vals) + ")"
+
+
 def lit_doubles(vals: Sequence[float]) -> Column:
     """``array<double>`` literal in one py4j call."""
-    if len(vals) == 0:
-        raise ValueError("lit_doubles: empty literal")
-    return F.expr("array(" + ",".join(_d(v) for v in vals) + ")")
+    return F.expr(doubles_sql(vals))
 
 
 def lit_double_matrix(rows: Sequence[Sequence[float]]) -> Column:

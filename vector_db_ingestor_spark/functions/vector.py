@@ -36,6 +36,27 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def dot_sql(a: str, b: str) -> str:
+    """:func:`dot` as a SQL fragment over SQL sub-expressions.
+
+    Parses to the identical ArrayAggregate/ZipWith tree (same casts,
+    same 0.0 double seed, same left-to-right fold), but building the
+    expression costs ONE py4j round trip via ``F.expr`` instead of
+    ~26 ms of per-lambda py4j/py-inspection work — plan-construction
+    time the bench pays on every invocation (optimization guide §7.3).
+    """
+    return (
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>),"
+        f" CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y),"
+        f" 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    """:func:`l2_norm` as a SQL fragment (see :func:`dot_sql`)."""
+    return f"sqrt({dot_sql(a, a)})"
+
+
 def l2_norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -200,6 +200,28 @@ def _minhash_family(num_perm: int, hash_family: str):
     return base_of, perms
 
 
+def _minhash_family_sql(num_perm: int, hash_family: str):
+    """SQL-fragment twin of :func:`_minhash_family` for the hot path:
+    ``(base_sql(gram_sql), [perm_sql(base_sql), ...])`` built from the
+    SAME constants (:func:`minhash_perm_consts`, ``MINHASH_P``) and the
+    same formulas, so the families cannot drift — and the two execution
+    shapes are additionally asserted equal in tests/test_operators.py.
+    One ``F.expr`` parse replaces ~8 py4j calls per permutation
+    (~0.5s of plan build at num_perm=64, paid per bench rep)."""
+    if hash_family == "md5":
+        base_of = lambda g: (  # noqa: E731
+            f"CAST(conv(substring(md5({g}), 1, 8), 16, 10) AS BIGINT)"
+        )
+        perms = [
+            (lambda x, a=a, b=b: f"(({x} * {a} + {b}) % {MINHASH_P})")
+            for a, b in minhash_perm_consts(num_perm)
+        ]
+    else:
+        base_of = lambda g: f"xxhash64({g})"  # noqa: E731
+        perms = [(lambda x, s=s: f"xxhash64({x}, {s})") for s in range(num_perm)]
+    return base_of, perms
+
+
 def minhash_signatures(
     sh_df: DataFrame,
     num_perm: int = 64,
@@ -210,17 +232,24 @@ def minhash_signatures(
     """(id, sig) signatures via explode + K MIN aggregates — the hot
     path :func:`minhash_candidates` uses (2.2x faster than K per-row
     HOF array walks; see SCALING.md).  Same family definition as
-    :func:`minhash_signature` (:func:`_minhash_family`), and the two
-    shapes are asserted equal in tests/test_operators.py.  Rows with
-    empty gram arrays produce no signature."""
-    base_of, perms = _minhash_family(num_perm, hash_family)
+    :func:`minhash_signature` (:func:`_minhash_family_sql` mirrors
+    :func:`_minhash_family` term-for-term), and the two shapes are
+    asserted equal in tests/test_operators.py.  Rows with empty gram
+    arrays produce no signature."""
+    base_of, perms = _minhash_family_sql(num_perm, hash_family)
     exploded = sh_df.select(id_col, F.explode(sh_col).alias("__g")).select(
-        id_col, base_of(F.col("__g")).alias("__bh")
+        id_col, F.expr(base_of("__g")).alias("__bh")
     )
     return exploded.groupBy(id_col).agg(
-        *[F.min(p(F.col("__bh"))).alias(f"__m{i}") for i, p in enumerate(perms)]
+        *[
+            F.expr(f"min({p('__bh')})").alias(f"__m{i}")
+            for i, p in enumerate(perms)
+        ]
     ).select(
-        id_col, F.array(*[f"__m{i}" for i in range(num_perm)]).alias("sig")
+        id_col,
+        F.expr(
+            "array(" + ",".join(f"__m{i}" for i in range(num_perm)) + ")"
+        ).alias("sig"),
     )
 
 
@@ -279,24 +308,20 @@ def minhash_candidates(
     if hash_family == "md5":
         # band key as md5 of the pipe-joined decimal minima: reproducible
         # by any engine, unlike Spark's murmur hash() over an array<long>
-        band_of = lambda b: F.md5(  # noqa: E731
-            F.array_join(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast(
-                    "array<string>"
-                ),
-                "|",
-            )
+        band_of = lambda b: (  # noqa: E731
+            f"md5(array_join(CAST(slice(sig, {b * rows_per_band + 1},"
+            f" {rows_per_band}) AS ARRAY<STRING>), '|'))"
         )
     else:
-        band_of = lambda b: F.hash(  # noqa: E731
-            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        band_of = lambda b: (  # noqa: E731
+            f"hash(slice(sig, {b * rows_per_band + 1}, {rows_per_band}))"
         )
     sig_cols = ["sig"] if with_estimate else []
     banded = sig.select(
         "mh_id",
         *sig_cols,
         F.posexplode(
-            F.array(*[band_of(b) for b in range(bands)])
+            F.expr("array(" + ",".join(band_of(b) for b in range(bands)) + ")")
         ).alias("band_idx", "band_hash"),
     )
     # shared exchange: both self-join sides reuse one shuffle stage, so
@@ -857,20 +882,23 @@ def embedding_near_dups(
     HOF aggregates to one.  Higher-order functions are interpreted, not
     codegen'd, so per-pair expression count is the dominant constant.
     """
-    from vector_db_ingestor_spark.functions.vector import dot, l2_norm
+    from vector_db_ingestor_spark.functions.vector import dot_sql, l2_norm_sql
 
+    # every kernel here builds as ONE F.expr string (identical parsed
+    # trees; see dot_sql) — the Column-composed form cost ~1.2s of py4j
+    # plan construction per invocation, ~1/3 of this key's bench time
     base = embeddings.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
         *( [F.col(block_col)] if block_col is not None else [] ),
-    ).withColumn("__nrm", l2_norm(F.col("__v")))
+    ).withColumn("__nrm", F.expr(l2_norm_sql("__v")))
     normed = base.select(
         id_col,
         "__v",
         *( [block_col] if block_col is not None else [] ),
-        F.transform(F.col("__v"), lambda x: x / F.col("__nrm")).alias("__nv"),
+        F.expr("transform(__v, x -> x / __nrm)").alias("__nv"),
     )
-    cos = F.round(dot(F.col("vec_a"), F.col("vec_b")), 6)
+    cos = F.round(F.expr(dot_sql("vec_a", "vec_b")), 6)
     if block_col is not None:
         a = normed.select(
             F.col(id_col).alias("id_a"),
@@ -890,7 +918,7 @@ def embedding_near_dups(
 
         # bucket on the RAW vector (bit-parity with the oracle; a
         # near-zero hyperplane dot could flip sign under rescaling)
-        e = normed.withColumn("__bkt", rp_lsh_bucket(F.col("__v"), dim, n_bits))
+        e = normed.withColumn("__bkt", rp_lsh_bucket("__v", dim, n_bits))
         flips = F.array(F.lit(0), *[F.lit(1 << b) for b in range(n_bits)])
         a = e.select(
             F.col(id_col).alias("id_a"),

@@ -80,8 +80,24 @@ def auto_n_bits(n_rows: int, target_bucket: int = 64, max_bits: int = 24) -> int
     return max(2, min(max_bits, bits))
 
 
-def rp_lsh_bucket(vec: Column, dim: int, n_bits: int = 8) -> Column:
-    """Random-hyperplane (SimHash-for-cosine) bucket id in [0, 2^n_bits)."""
+def rp_lsh_bucket(vec: Column | str, dim: int, n_bits: int = 8) -> Column:
+    """Random-hyperplane (SimHash-for-cosine) bucket id in [0, 2^n_bits).
+
+    Pass ``vec`` as a column NAME (or SQL fragment) where possible: the
+    whole bucket expression then builds as ONE ``F.expr`` string —
+    n_bits x ~30 ms of per-dot py4j lambda construction becomes ~1 ms —
+    parsing to the identical int-sum-of-sign-bits tree the Column path
+    produces.
+    """
+    from vector_db_ingestor_spark.functions.literals import doubles_sql
+    from vector_db_ingestor_spark.functions.vector import dot_sql
+
+    if isinstance(vec, str):
+        terms = ["0"]
+        for b in range(n_bits):
+            h = doubles_sql(_hyperplane(dim, b))
+            terms.append(f"(CAST(({dot_sql(vec, h)}) > 0 AS INT) * {1 << b})")
+        return F.expr(" + ".join(terms))
     bucket = F.lit(0)
     for b in range(n_bits):
         # one ArrayType literal per plane (not dim scalar literals):
@@ -134,8 +150,8 @@ def lsh_topk(
     bucket, then exact re-rank inside the bucket.  The bucket equi-join
     replaces the cross join — at 100 TB this is the difference between
     scanning everything per probe and scanning ~1/2^n_bits of it."""
-    e = embeddings.withColumn("__bucket", rp_lsh_bucket(F.col(vec_col), dim, n_bits))
-    p = probes.withColumn("__bucket", rp_lsh_bucket(F.col(probe_vec_col), dim, n_bits))
+    e = embeddings.withColumn("__bucket", rp_lsh_bucket(f"`{vec_col}`", dim, n_bits))
+    p = probes.withColumn("__bucket", rp_lsh_bucket(f"`{probe_vec_col}`", dim, n_bits))
     scored = e.join(F.broadcast(p), "__bucket").withColumn(
         "score",
         F.round(cosine_similarity(F.col(vec_col), F.col(probe_vec_col)), round_dp),
@@ -1175,8 +1191,8 @@ def lsh_topk_multiprobe(
     one exploded, the big table is bucketed once; the join stays a
     broadcast hash join on the bucket id.
     """
-    e = embeddings.withColumn("__bucket", rp_lsh_bucket(F.col(vec_col), dim, n_bits))
-    base = probes.withColumn("__b0", rp_lsh_bucket(F.col(probe_vec_col), dim, n_bits))
+    e = embeddings.withColumn("__bucket", rp_lsh_bucket(f"`{vec_col}`", dim, n_bits))
+    base = probes.withColumn("__b0", rp_lsh_bucket(f"`{probe_vec_col}`", dim, n_bits))
     flips = F.array(F.lit(0), *[F.lit(1 << b) for b in range(n_bits)])
     p = base.withColumn(
         "__bucket", F.explode(F.transform(flips, lambda m: F.col("__b0").bitwiseXOR(m)))

@@ -6394,9 +6394,15 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(dtf)
     c2 = dtf.groupBy("a", "b").agg(F.sum("m").alias("c2"))
     c1 = c2.groupBy("a").agg(F.sum("c2").alias("c1"))
+    # r15 optimization: distinct(dtf.a) ∪ distinct(dtf.b) ==
+    # distinct(c2.a) ∪ distinct(c2.b) (c2 is dtf grouped on exactly
+    # (a, b)), so the vocabulary scalar can count over the already-
+    # aggregated c2 — two fewer corpus-sized passes over the cached dtf
+    # (c2's exchange is shared with the scoring join via
+    # ReusedExchange), identical BIGINT result.
     vocab = (
-        dtf.select(F.col("a").alias("t"))
-        .unionAll(dtf.select(F.col("b").alias("t")))
+        c2.select(F.col("a").alias("t"))
+        .unionAll(c2.select(F.col("b").alias("t")))
         .agg(F.countDistinct("t").alias("vocab"))
     )
     p = (F.col("c2") + F.lit(a)) / (F.col("c1") + F.lit(a) * F.col("vocab"))
@@ -6942,8 +6948,20 @@ def q_sketch_cms_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _CMS_W
         )
 
+    exact = toks.groupBy("t").agg(F.count("*").alias("exact_n"))
+    # r15 optimization: a cell's count is the number of token
+    # OCCURRENCES hashing there == sum of per-token exact counts over
+    # the tokens hashing there, so the grid can aggregate the (already
+    # needed) per-token counts instead of re-hashing every occurrence —
+    # the d salted md5s run once per DISTINCT token, not once per
+    # occurrence (guide §2.3 "aggregate before you shuffle"), and both
+    # consumers now share one tokenize+groupBy(t) exchange
+    # (ReusedExchange) instead of scanning the corpus twice.
+    # sum(BIGINT) is BIGINT, so the output schema and values are
+    # identical — hash-checked against the unchanged oracle.
     cells = (
-        toks.select(
+        exact.select(
+            "exact_n",
             F.explode(
                 F.array(
                     *[
@@ -6953,13 +6971,12 @@ def q_sketch_cms_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for i in range(_CMS_D)
                     ]
                 )
-            ).alias("x")
+            ).alias("x"),
         )
-        .select("x.r", "x.c")
+        .select("x.r", "x.c", "exact_n")
         .groupBy("r", "c")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("exact_n").alias("n"))
     )
-    exact = toks.groupBy("t").agg(F.count("*").alias("exact_n"))
     probes = exact.select(
         "t",
         "exact_n",
