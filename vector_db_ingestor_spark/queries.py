@@ -8163,11 +8163,14 @@ def q_vec_pq_quality_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(cents_lit, F.col("cid") + 1),
         lambda a, b: a - b,
     )
-    coded = assigned.select(
+    # materialize the residual once, then code from the column (r15:
+    # inlining the zip_with into every pq_code re-evaluated it per
+    # subspace — same doubles, one evaluation)
+    coded = assigned.withColumn("r", resid).select(
         "cid",
-        resid.alias("r"),
+        "r",
         *[
-            pq_code(resid, cbs[s], s * dsub, round_dp=6).alias(f"c{s}")
+            pq_code(F.col("r"), cbs[s], s * dsub, round_dp=6).alias(f"c{s}")
             for s in range(m)
         ],
     )
