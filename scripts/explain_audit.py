@@ -174,14 +174,14 @@ AUDITS: dict[str, dict] = {
     "q_vec_pq_train": {"max_exchange": 0},
     "q_ann_ivf_train": {"max_exchange": 0},
     # round-7 TPC-H completion
-    # correlated scalar MIN decorrelates to aggregate+join; dims
-    # broadcast; the twice-referenced cost CTE must scan lineitem ONCE
-    # (reused exchange), not re-aggregate per reference
+    # r15 rewrite: the cost CTE is referenced ONCE (per-part minimum via
+    # window over the single EU-joined pass), so there is no duplicated
+    # subtree left to reuse — one lineitem scan+agg by construction;
+    # dims broadcast, never a loop join
     "q_sql_tpch_q2": {
         "broadcast": True,
         "partial_agg": True,
         "no_nested_loop": True,
-        "reused_exchange": True,
     },
     "q_sql_tpch_q9": {"broadcast": True, "partial_agg": True},
     # val CTE aggregated twice (group set + global threshold) — both partial

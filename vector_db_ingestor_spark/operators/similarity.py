@@ -245,9 +245,11 @@ def ivf_train(
     100 TB train on a deterministic sample (e.g. ``pmod(xxhash64(id),
     100)=0``) and assign the full table once — same code path.
     """
+    from pyspark import StorageLevel
+
     v = embeddings.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # 1 + iters jobs read it (see pq_train)
     init = (
         v.orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id"))
         .limit(n_centroids)
@@ -267,6 +269,7 @@ def ivf_train(
         new = {r["cid"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in sums}
         # empty clusters keep their previous centroid (deterministic)
         centroids = [new.get(cid, c) for cid, c in enumerate(centroids)]
+    v.unpersist()
     return centroids
 
 
@@ -1378,11 +1381,22 @@ def pq_train(
     * model state is driver-held (m x ksub x dsub rounded floats) and
       re-enters each step as literals — the iterative plan never grows.
     """
+    from pyspark import StorageLevel
+
     dsub = dim // m
     v = embeddings.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
+    # the projected (id, vec) table feeds 1 + iters sequential jobs
+    # (init sample + one assign/agg per Lloyd step): persist it for the
+    # duration of training so each step reads the narrow cached columns
+    # instead of re-scanning + re-casting the source (guide §5 — reused
+    # and cheaper than the memory pressure it creates; at 100 TB the
+    # same handle holds the training SAMPLE, which is the documented
+    # deployment shape).  Released before returning — training is
+    # eager, so no returned plan depends on the cache.
+    v = v.persist(StorageLevel.MEMORY_AND_DISK)
     init = (
         v.orderBy(F.md5(F.col("__id").cast("string").cast("binary")), F.col("__id"))
         .limit(ksub)
@@ -1428,4 +1442,5 @@ def pq_train(
         cbs = [
             [got.get((s, j), cbs[s][j]) for j in range(ksub)] for s in range(m)
         ]
+    v.unpersist()
     return cbs

@@ -5339,20 +5339,48 @@ _TPCH_Q2 = """
 
 @query("q_sql_tpch_q2", oracle=_TPCH_Q2)
 def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (minimum-cost supplier): correlated scalar MIN
-    over a 5-way join — for each qualifying part, only the EU supplier
-    matching the region-wide minimum unit cost survives.  Catalyst
-    decorrelates the subquery into a per-partkey aggregate joined back,
-    so the min computes once per part, not per candidate row; region->
-    nation->supplier is a broadcast chain and the cost CTE is one
-    map-side-combined agg over lineitem.  min() is order-insensitive
-    and both engines derive identical doubles from the same parquet,
-    so the uc equality is exact (oracle-parity rules).  Unit cost
-    stands in for ps_supplycost (fixtures carry no partsupp)."""
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying
+    part, only the EU supplier matching the region-wide minimum unit
+    cost survives.  r15 optimization: the correlated-subquery form ran
+    the ``cost`` CTE TWICE (Catalyst inlines a CTE at every reference —
+    two full lineitem scan+agg subtrees in the executed plan); this
+    window form computes ``cost`` once, broadcast-joins the EU
+    supplier chain once, and derives the per-part minimum with
+    ``min(uc) OVER (PARTITION BY l_partkey)`` on that single pass —
+    identical rows because ``min`` SELECTS an existing double (no
+    accumulation), so the ``uc = mu`` equality compares exactly the
+    values the decorrelated-subquery plan compared; hash-checked
+    against the UNCHANGED correlated oracle.  One lineitem pass
+    instead of two at any scale.  Unit cost stands in for
+    ps_supplycost (fixtures carry no partsupp)."""
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_TPCH_Q2)
+    return spark.sql(
+        """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS uc
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eu AS (
+            SELECT s_acctbal, s_name, n_name, l_partkey, uc,
+                   min(uc) OVER (PARTITION BY l_partkey) AS mu
+            FROM cost
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               round(uc, 6) AS unit_cost
+        FROM part JOIN eu ON l_partkey = p_partkey
+        WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+          AND uc = mu
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """
+    )
 
 
 _TPCH_Q9 = """
