@@ -262,6 +262,7 @@ def minhash_candidates(
     shingle_n: int = 3,
     with_estimate: bool = True,
     hash_family: str = "xxhash64",
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing >=1 minhash band.
 
@@ -283,13 +284,14 @@ def minhash_candidates(
     cost of candidate generation at 100 TB.
     """
     rows_per_band = num_perm // bands
-    # materialize shingles in their own projection: inlining the shingle
-    # expression into all num_perm minhash expressions defeats CSE and
-    # recomputes the split/ngram work 64x
-    shingled = df.select(
-        F.col(id_col).alias("mh_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
+    if shingled is None:
+        # materialize shingles in their own projection: inlining the
+        # shingle expression into all num_perm minhash expressions
+        # defeats CSE and recomputes the split/ngram work 64x
+        shingled = df.select(
+            F.col(id_col).alias("mh_id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
     # gram-less docs (fewer tokens than shingle_n) have no signature;
     # they can never near-dup anyway, and excluding them (a) keeps the
     # oracle-side expression NULL-free, (b) avoids the all-NULL-sig
@@ -967,13 +969,28 @@ def minhash_verified_pairs(
     external oracle can verify the output exactly at ANY corpus size,
     not just on fixtures where band recall happens to be complete.
     """
-    cands = minhash_candidates(
-        df, text_col, id_col, num_perm, bands, shingle_n,
-        with_estimate=False, hash_family=hash_family,
-    )
+    from pyspark import StorageLevel
+
+    from vector_db_ingestor_spark.caching import register
+
+    # r15 optimization: the candidate path and the verify path both
+    # need the shingled corpus; computing it twice meant two full
+    # tokenize+shingle scans.  One persisted shingle table now feeds
+    # both (the signature pipeline consumes it via the ``shingled``
+    # hook, the verify joins consume the gram arrays directly) — same
+    # shingle expression, identical values, one corpus pass.  The
+    # handle is registered for the harness's release_all().
     sh = df.select(
         F.col(id_col).alias("gid"),
         word_shingles(F.col(text_col), shingle_n).alias("grams"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    register(sh)
+    cands = minhash_candidates(
+        df, text_col, id_col, num_perm, bands, shingle_n,
+        with_estimate=False, hash_family=hash_family,
+        shingled=sh.select(
+            F.col("gid").alias("mh_id"), F.col("grams").alias("sh")
+        ),
     )
     a = sh.selectExpr("gid as id_a", "grams as grams_a")
     b = sh.selectExpr("gid as id_b", "grams as grams_b")

@@ -4226,14 +4226,50 @@ _TPCH_Q15 = """
 
 @query("q_sql_tpch_q15", oracle=_TPCH_Q15)
 def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 (top supplier): a reused derived table — the revenue
-    aggregation feeds both the join and the scalar-max subquery.  Spark
-    evaluates the scalar subquery as its own tiny aggregation over the
-    same shuffle output (exchange reuse), not a per-row loop."""
+    """TPC-H Q15 (top supplier): the revenue aggregation feeds both the
+    join and the scalar-max threshold.  r15 optimization: the SQL-CTE
+    form re-ran the lineitem scan+agg at BOTH references (the executed
+    plan showed two lineitem scans and zero ReusedExchange — the
+    scalar-subquery exchange is not reused under AQE here), so the
+    supplier-sized revenue table is now persisted for the duration of
+    the query and the max enters as a broadcast 1-row aggregate over
+    the SAME materialized sums — the equality therefore compares
+    exactly the values the two-pass plan compared (each pass was
+    deterministic and identical), hash-checked against the unchanged
+    oracle.  One lineitem pass instead of two at any scale; a global
+    window would also work but holds every supplier in one task — the
+    cache + scalar join keeps the plan shape scale-free.  The handle is
+    registered with :mod:`vector_db_ingestor_spark.caching`."""
+    from vector_db_ingestor_spark.caching import register
     from vector_db_ingestor_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_TPCH_Q15)
+    rev = spark.sql(
+        """
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+        """
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    register(rev)
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 4).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
 
 
 _TPCH_Q22 = """
