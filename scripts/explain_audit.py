@@ -85,9 +85,13 @@ AUDITS: dict[str, dict] = {
         "max_exchange": 2, "reused_exchange": True, "partial_agg": True,
         "no_nested_loop": True,
     },
-    # candidates (reused band exchange) + broadcast verify joins
+    # r15 shape: ONE persisted shingle scan feeds signatures and the
+    # exact-jaccard verify, and the banded table is persisted so both
+    # self-join sides read the cache (exchange reuse does not match
+    # across InMemoryTableScan instances) — signature pipeline still
+    # computes exactly once; broadcast verify joins
     "q_dedup_minhash_verified": {
-        "max_exchange": 3, "reused_exchange": True, "no_nested_loop": True,
+        "max_exchange": 4, "no_nested_loop": True, "broadcast": True,
     },
     # LSH-bucketed near-dup: at audit sf fully broadcast (zero
     # exchanges); the structural guarantee is no nested loop — the

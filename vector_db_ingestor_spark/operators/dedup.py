@@ -284,6 +284,7 @@ def minhash_candidates(
     cost of candidate generation at 100 TB.
     """
     rows_per_band = num_perm // bands
+    cached_input = shingled is not None
     if shingled is None:
         # materialize shingles in their own projection: inlining the
         # shingle expression into all num_perm minhash expressions
@@ -334,6 +335,21 @@ def minhash_candidates(
     # twice (observed at audit sf) — and at real scale the banded
     # corpus is never broadcast-able anyway.
     banded = banded.repartition("band_idx", "band_hash")
+    if cached_input:
+        # when the shingles arrive from a persisted table (the
+        # minhash_verified_pairs shared-scan path, r15), ReusedExchange
+        # no longer matches the two self-join subtrees (canonicalized
+        # InMemoryTableScan instances differ), so the signature
+        # pipeline would re-run per side — persist the banded table
+        # instead (bands x (id, band key) per doc, the smallest
+        # corpus-derived relation in this plan); both sides read the
+        # cache and inherit its hash partitioning, so the signature
+        # computes once and the join adds no new exchange.
+        from pyspark import StorageLevel
+
+        from vector_db_ingestor_spark.caching import register
+
+        banded = register(banded.persist(StorageLevel.MEMORY_AND_DISK))
     left = banded.select(
         F.col("mh_id").alias("id_a"),
         *[F.col("sig").alias("sig_a")] if with_estimate else [],
