@@ -469,6 +469,61 @@ def test_word_shingles_short_doc_yields_empty(spark):
     assert rows[3] == ["a b c", "b c d"]
 
 
+def test_word_shingles_sql_parity(spark):
+    """The SQL-fragment shingle builder (the hot-path plan-build
+    optimization) must produce exactly the Column contract's values —
+    including short docs, repeated grams, mixed whitespace, and n=1."""
+    from vector_db_ingestor_spark.operators.dedup import (
+        word_shingles,
+        word_shingles_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two"),
+            (2, ""),
+            (3, "a b c d"),
+            (4, "  The  QUICK   brown\tfox the quick brown fox  "),
+            (5, "x x x x x"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    for n in (1, 2, 3):
+        got = {
+            r.doc_id: r.g
+            for r in df.select(
+                "doc_id", F.expr(word_shingles_sql("`text`", n)).alias("g")
+            ).collect()
+        }
+        want = {
+            r.doc_id: r.g
+            for r in df.select(
+                "doc_id", word_shingles(F.col("text"), n).alias("g")
+            ).collect()
+        }
+        assert got == want, f"n={n}"
+
+
+def test_rp_lsh_bucket_string_column_parity(spark, sf_dir):
+    """rp_lsh_bucket has two construction paths (SQL-string vs Column);
+    all production callers use the string path — pin the Column path to
+    it so neither can silently drift (ADVICE r15 #1), over real fixture
+    vectors whose hyperplane dots include near-zero values."""
+    from vector_db_ingestor_spark.constants import EMBEDDING_DIM
+    from vector_db_ingestor_spark.operators.similarity import rp_lsh_bucket
+    from vector_db_ingestor_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    both = emb.select(
+        "vec_id",
+        rp_lsh_bucket("`embedding`", EMBEDDING_DIM, 8).alias("s"),
+        rp_lsh_bucket(F.col("embedding"), EMBEDDING_DIM, 8).alias("c"),
+    ).collect()
+    assert both, "fixture read produced no rows"
+    for r in both:
+        assert r.s == r.c, f"vec_id={r.vec_id}: {r.s} != {r.c}"
+
+
 def test_ngram_jaccard_df_cap_contract(spark, sf_dir):
     from vector_db_ingestor_spark.operators.dedup import ngram_jaccard_pairs
     from vector_db_ingestor_spark.tables import load_table

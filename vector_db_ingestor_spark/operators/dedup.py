@@ -56,6 +56,34 @@ def dedup_exact(
 
 # ------------------------------------------------------------- shingles
 
+def word_shingles_sql(text_sql: str, n: int = 3) -> str:
+    """:func:`word_shingles` as a SQL fragment over a SQL
+    sub-expression (usually a quoted column name).
+
+    Parses to the same split/ngram tree with the same values, but
+    building the expression costs ONE ``F.expr`` parse instead of
+    ~0.15-0.4 s of per-lambda py4j construction — plan-build time every
+    shingle-consuming query pays per invocation (optimization guide
+    §7.3; the ``dot_sql`` pattern).  Value parity with the Column form
+    is pinned in tests/test_operators.py.
+    """
+    toks = f"split(lower(trim({text_sql})), '\\\\s+')"
+    if n == 1:
+        return f"array_sort(array_distinct({toks}))"
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(t, i + {j + 1})" for j in range(n)
+    ) + ")"
+    grams = (
+        f"array_sort(array_distinct(transform(sequence(0, size(t) - {n}),"
+        f" i -> {gram})))"
+    )
+    return (
+        f"element_at(transform(array({toks}), t -> "
+        f"CASE WHEN size(t) >= {n} THEN {grams} "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END), 1)"
+    )
+
+
 def word_shingles(text_col: Column, n: int = 3) -> Column:
     """Sorted distinct word n-grams of lowercased whitespace tokens.
 
@@ -240,17 +268,13 @@ def minhash_signatures(
     exploded = sh_df.select(id_col, F.explode(sh_col).alias("__g")).select(
         id_col, F.expr(base_of("__g")).alias("__bh")
     )
-    return exploded.groupBy(id_col).agg(
-        *[
-            F.expr(f"min({p('__bh')})").alias(f"__m{i}")
-            for i, p in enumerate(perms)
-        ]
-    ).select(
-        id_col,
-        F.expr(
-            "array(" + ",".join(f"__m{i}" for i in range(num_perm)) + ")"
-        ).alias("sig"),
-    )
+    # ONE agg column holding array(min(p0), ..., min(pK-1)): the same
+    # K MIN aggregate buffers execute (identical values), but the plan
+    # builds with ONE F.expr parse instead of K expr+alias py4j calls,
+    # a K-column agg conversion, and a separate array-building Project
+    # — measured ~1.3 s -> ~0.3 s of per-invocation build at K=64.
+    sig = "array(" + ",".join(f"min({p('__bh')})" for p in perms) + ")"
+    return exploded.groupBy(id_col).agg(F.expr(sig).alias("sig"))
 
 
 def minhash_candidates(
@@ -291,7 +315,7 @@ def minhash_candidates(
         # defeats CSE and recomputes the split/ngram work 64x
         shingled = df.select(
             F.col(id_col).alias("mh_id"),
-            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+            F.expr(word_shingles_sql(f"`{text_col}`", shingle_n)).alias("sh"),
         )
     # gram-less docs (fewer tokens than shingle_n) have no signature;
     # they can never near-dup anyway, and excluding them (a) keeps the
@@ -308,6 +332,20 @@ def minhash_candidates(
     # groupBy shuffle carries just num_perm longs per doc — the
     # signature itself, same volume the old narrow plan produced.
     sig = minhash_signatures(shingled, num_perm, hash_family)
+    if with_estimate:
+        # r16: the signature never rides the banded exchange any more.
+        # Carrying it multiplied the band shuffle by ~num_perm x 8 B x
+        # bands per doc (the guide-§8 heavy-payload-through-the-shuffle
+        # anti-pattern); instead the signature table is persisted once
+        # (corpus x (id + num_perm longs) — the smallest relation that
+        # can answer the estimate) and joined back onto the DEDUPED
+        # candidate pairs, so each unique pair folds its agreement
+        # exactly once.  Same signatures, same pairs, same est_jaccard.
+        from pyspark import StorageLevel
+
+        from vector_db_ingestor_spark.caching import register
+
+        sig = register(sig.persist(StorageLevel.MEMORY_AND_DISK))
     if hash_family == "md5":
         # band key as md5 of the pipe-joined decimal minima: reproducible
         # by any engine, unlike Spark's murmur hash() over an array<long>
@@ -319,10 +357,8 @@ def minhash_candidates(
         band_of = lambda b: (  # noqa: E731
             f"hash(slice(sig, {b * rows_per_band + 1}, {rows_per_band}))"
         )
-    sig_cols = ["sig"] if with_estimate else []
     banded = sig.select(
         "mh_id",
-        *sig_cols,
         F.posexplode(
             F.expr("array(" + ",".join(band_of(b) for b in range(bands)) + ")")
         ).alias("band_idx", "band_hash"),
@@ -335,10 +371,11 @@ def minhash_candidates(
     # twice (observed at audit sf) — and at real scale the banded
     # corpus is never broadcast-able anyway.
     banded = banded.repartition("band_idx", "band_hash")
-    if cached_input:
-        # when the shingles arrive from a persisted table (the
-        # minhash_verified_pairs shared-scan path, r15), ReusedExchange
-        # no longer matches the two self-join subtrees (canonicalized
+    if cached_input or with_estimate:
+        # when the signature pipeline hangs off a persisted table (the
+        # minhash_verified_pairs shared-scan path, r15; the persisted
+        # sig table on the estimate path, r16), ReusedExchange no
+        # longer matches the two self-join subtrees (canonicalized
         # InMemoryTableScan instances differ), so the signature
         # pipeline would re-run per side — persist the banded table
         # instead (bands x (id, band key) per doc, the smallest
@@ -352,13 +389,11 @@ def minhash_candidates(
         banded = register(banded.persist(StorageLevel.MEMORY_AND_DISK))
     left = banded.select(
         F.col("mh_id").alias("id_a"),
-        *[F.col("sig").alias("sig_a")] if with_estimate else [],
         "band_idx",
         "band_hash",
     )
     right = banded.select(
         F.col("mh_id").alias("id_b"),
-        *[F.col("sig").alias("sig_b")] if with_estimate else [],
         "band_idx",
         "band_hash",
     )
@@ -367,24 +402,35 @@ def minhash_candidates(
         .join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .drop("band_idx", "band_hash")
+        .dropDuplicates(["id_a", "id_b"])
     )
     if not with_estimate:
-        return pairs.dropDuplicates(["id_a", "id_b"]).select("id_a", "id_b")
-    # fold the signatures down to the estimate BEFORE the pair-dedup
-    # exchange: duplicate pair rows (one per colliding band) carry
-    # identical signatures, so the dedup shuffle only needs one double
-    # per row, not 2 x num_perm longs
+        return pairs.select("id_a", "id_b")
+    # estimate folds ONCE per unique pair, after the dedup, from the
+    # persisted signature table (two id-equi-joins on a pair set that
+    # is orders of magnitude smaller than the corpus; AQE broadcasts
+    # the smaller side whichever that is)
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda v: v,
         )
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(agree / F.lit(float(num_perm)), 6).alias("est_jaccard"),
-    ).dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs.join(
+            sig.select(F.col("mh_id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("mh_id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(num_perm)), 6).alias("est_jaccard"),
+        )
+    )
 
 
 # -------------------------------------------------------------- simhash
@@ -643,7 +689,7 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("gid"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
-        word_shingles(F.col(text_col), n).alias("grams"),
+        F.expr(word_shingles_sql(f"`{text_col}`", n)).alias("grams"),
     )
     if max_df is not None:
         return _ngram_jaccard_capped(sh, threshold, max_df)
@@ -743,11 +789,23 @@ def _capped_candidates(sh: DataFrame, max_df: int) -> DataFrame:
     The hot-gram list itself is tiny by definition (few grams exceed
     ``max_df``), so compute it with a hash agg and remove via broadcast
     anti-join — the token stream is shuffled ONCE (repartition on the
-    self-join key; both sides reuse the exchange), not re-sorted for
-    a window.  Grams are distinct per doc, so count(*) == df.  Pairs
-    join on a 64-bit gram hash (smaller shuffle rows; cross-doc
-    collisions only ADD candidates, at ~n_grams²/2^64 odds, and the
-    exact verify scores them honestly)."""
+    self-join key; both sides read the persisted rare stream and
+    inherit its hash partitioning), not re-sorted for a window.  Grams
+    are distinct per doc, so count(*) == df.  Pairs join on a 64-bit
+    gram hash (smaller shuffle rows; cross-doc collisions only ADD
+    candidates, at ~n_grams²/2^64 odds, and the exact verify scores
+    them honestly).
+
+    r16: the rare-gram stream is persisted (MEMORY_AND_DISK, registered
+    with :mod:`vector_db_ingestor_spark.caching`).  Without it the two
+    self-join sides each recomputed scan -> shingle -> explode -> hash
+    -> anti-join (ReusedExchange does not match once the callers hand
+    in a persisted shingle table — the r15 InMemoryTableScan
+    canonicalization issue), so the corpus was re-shingled per side."""
+    from pyspark import StorageLevel
+
+    from vector_db_ingestor_spark.caching import register
+
     toks = sh.select(
         "gid", "blk", F.explode("grams").alias("g")
     ).select("gid", "blk", F.xxhash64("g").alias("gram"))
@@ -760,6 +818,7 @@ def _capped_candidates(sh: DataFrame, max_df: int) -> DataFrame:
     rare = toks.repartition("blk", "gram").join(
         F.broadcast(hot), ["blk", "gram"], "left_anti"
     )
+    rare = register(rare.persist(StorageLevel.MEMORY_AND_DISK))
     return (
         rare.selectExpr("gid as id_a", "blk", "gram")
         .join(rare.selectExpr("gid as id_b", "blk", "gram"), ["blk", "gram"])
@@ -772,7 +831,18 @@ def _capped_candidates(sh: DataFrame, max_df: int) -> DataFrame:
 def _ngram_jaccard_capped(sh: DataFrame, threshold: float, max_df: int) -> DataFrame:
     """Candidates from rare grams (df <= max_df), exact verify on full
     gram sets.  See :func:`ngram_jaccard_pairs` for the recall contract.
+
+    r16: the shingled table is persisted for the query's duration —
+    the candidate stage (token stream + hot-gram guard) and the two
+    verify-side gram-array joins all consume it, and without the cache
+    each consumer re-ran scan -> tokenize -> shingle over the corpus
+    (6 parquet scans in the executed plan; 1 with the cache).
     """
+    from pyspark import StorageLevel
+
+    from vector_db_ingestor_spark.caching import register
+
+    sh = register(sh.persist(StorageLevel.MEMORY_AND_DISK))
     cand = _capped_candidates(sh, max_df)
     ga = sh.select(F.col("gid").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = sh.select(F.col("gid").alias("id_b"), F.col("grams").alias("grams_b"))
@@ -825,6 +895,10 @@ def containment_pairs(
     candidate volume without the cap is bounded by the hottest gram's
     df^2 — worse than Jaccard's, not better.
     """
+    from pyspark import StorageLevel
+
+    from vector_db_ingestor_spark.caching import register
+
     sh = df.select(
         F.col(id_col).alias("gid"),
         *(
@@ -832,8 +906,10 @@ def containment_pairs(
             if block_col
             else [F.lit(1).alias("blk")]
         ),
-        word_shingles(F.col(text_col), n).alias("grams"),
+        F.expr(word_shingles_sql(f"`{text_col}`", n)).alias("grams"),
     )
+    # shared-scan persist, same shape as _ngram_jaccard_capped (r16)
+    sh = register(sh.persist(StorageLevel.MEMORY_AND_DISK))
     cand = _capped_candidates(sh, max_df)
     ga = sh.select(F.col("gid").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = sh.select(F.col("gid").alias("id_b"), F.col("grams").alias("grams_b"))
@@ -998,7 +1074,7 @@ def minhash_verified_pairs(
     # handle is registered for the harness's release_all().
     sh = df.select(
         F.col(id_col).alias("gid"),
-        word_shingles(F.col(text_col), shingle_n).alias("grams"),
+        F.expr(word_shingles_sql(f"`{text_col}`", shingle_n)).alias("grams"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     register(sh)
     cands = minhash_candidates(

@@ -256,17 +256,22 @@ def ivf_train(
         .collect()
     )
     centroids = [list(r["__v"]) for r in init]
+    # ONE array-valued agg column instead of dim separate sum columns:
+    # the same dim SUM aggregate buffers execute (byte-identical sums
+    # and therefore byte-identical centroids), but each Lloyd step's
+    # plan builds with one F.expr parse instead of dim x (col + getItem
+    # + sum + alias) py4j calls — measured ~0.4 s of driver time per
+    # step at dim=64 (guide §7.3; the lit_doubles pattern applied to
+    # aggregation lists)
+    sums_sql = "array(" + ",".join(f"sum(__v[{i}])" for i in range(dim)) + ")"
     for _ in range(iters):
         sums = (
             v.withColumn("cid", _assign_cid(F.col("__v"), centroids))
             .groupBy("cid")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.col("__v")[i]).alias(f"s{i}") for i in range(dim)],
-            )
+            .agg(F.count("*").alias("n"), F.expr(sums_sql).alias("s"))
             .collect()
         )
-        new = {r["cid"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in sums}
+        new = {r["cid"]: [s / r["n"] for s in r["s"]] for r in sums}
         # empty clusters keep their previous centroid (deterministic)
         centroids = [new.get(cid, c) for cid, c in enumerate(centroids)]
     v.unpersist()
@@ -1428,17 +1433,21 @@ def pq_train(
                 F.col("e.sub").alias("sub"),
             )
             .groupBy("s", "c")
+            # one array-valued agg column (identical AVG buffers and
+            # identical engine-side rounding, one F.expr parse instead
+            # of dsub expr+alias py4j calls per step — see ivf_train)
             .agg(
-                *[
-                    F.round(F.avg(F.col("sub")[i]), cent_dp).alias(f"a{i}")
-                    for i in range(dsub)
-                ]
+                F.expr(
+                    "array("
+                    + ",".join(
+                        f"round(avg(sub[{i}]), {cent_dp})" for i in range(dsub)
+                    )
+                    + ")"
+                ).alias("a")
             )
             .collect()
         )
-        got = {
-            (r["s"], r["c"]): [float(r[f"a{i}"]) for i in range(dsub)] for r in rows
-        }
+        got = {(r["s"], r["c"]): [float(x) for x in r["a"]] for r in rows}
         cbs = [
             [got.get((s, j), cbs[s][j]) for j in range(ksub)] for s in range(m)
         ]

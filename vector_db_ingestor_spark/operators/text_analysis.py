@@ -163,15 +163,15 @@ def contamination_report(
     all, and the only exchange is the final per-doc aggregation.
     Self-matches (a benchmark doc contaminating itself) are excluded.
     """
-    from vector_db_ingestor_spark.operators.dedup import word_shingles
+    from vector_db_ingestor_spark.operators.dedup import word_shingles_sql
 
     c = corpus.select(
         F.col(id_col).alias("__cid"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("__g"),
+        F.explode(F.expr(word_shingles_sql(f"`{text_col}`", n))).alias("__g"),
     )
     e = eval_docs.select(
         F.col(id_col).alias("__eid"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("__g"),
+        F.explode(F.expr(word_shingles_sql(f"`{text_col}`", n))).alias("__g"),
     )
     return (
         c.join(F.broadcast(e), "__g")
