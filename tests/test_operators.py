@@ -977,3 +977,58 @@ def test_lit_doubles_bitwise_parity(spark):
         F.lit(vals).alias("a"), lit_doubles(vals).alias("b")
     )
     assert dict(df.dtypes) == {"a": "array<double>", "b": "array<double>"}
+
+
+def test_lit_doubles_empty_is_typed_empty_array(spark):
+    """Empty input returns a typed empty array<double> literal instead
+    of raising (ADVICE r15 #2): the operator API boundary the F.lit
+    path accepted must stay accepting, and a bare array() would parse
+    as array<string> — a silent type change."""
+    from vector_db_ingestor_spark.functions.literals import (
+        lit_double_matrix,
+        lit_doubles,
+    )
+
+    df = spark.range(1).select(
+        lit_doubles([]).alias("e"), lit_double_matrix([]).alias("m")
+    )
+    assert dict(df.dtypes) == {"e": "array<double>", "m": "array<array<double>>"}
+    row = df.collect()[0]
+    assert row["e"] == [] and row["m"] == []
+
+
+def test_contamination_report_pregrouped_shape_semantics(spark):
+    """The r16 pre-grouped-eval contamination shape must reproduce the
+    original two-countDistinct semantics on a crafted corpus covering
+    the edges: a corpus doc that IS an eval doc (self-match excluded, a
+    gram shared ONLY with itself not counted), one gram shared with
+    several eval docs (counted once for n_shared_grams, each doc once
+    for n_eval_docs), and a doc with no eval overlap (absent)."""
+    from vector_db_ingestor_spark.operators.text_analysis import (
+        contamination_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            # doc 1: bigrams {a b, b c} -> shares "a b" with evals 10+20,
+            # "b c" with eval 10 -> n_shared=2, n_eval=2
+            (1, "a b c"),
+            # doc 10 IS an eval doc: its own grams excluded; shares
+            # "a b" with eval 20 only -> n_shared=1, n_eval=1
+            (10, "a b q r"),
+            # doc 2: no overlap -> absent from the report
+            (2, "x y z"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    eval_docs = spark.createDataFrame(
+        [(10, "a b q r"), (20, "a b w")], "doc_id INT, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_eval_docs"])
+        for r in contamination_report(corpus, eval_docs, n=2).collect()
+    }
+    # doc 1 grams {a b, b c}: "a b" hits evals {10, 20}, "b c" none
+    # doc 10 grams {a b, b q, q r}: all three hit eval 10 (itself,
+    # excluded); "a b" also hits eval 20 -> (1, 1)
+    assert got == {1: (1, 2), 10: (1, 1)}

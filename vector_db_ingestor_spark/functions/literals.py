@@ -36,9 +36,15 @@ def _d(x: float) -> str:
 
 def doubles_sql(vals: Sequence[float]) -> str:
     """``array<double>`` literal as a SQL fragment (for composing into a
-    larger single-``F.expr`` build)."""
+    larger single-``F.expr`` build).
+
+    Non-empty contract (ADVICE r15 #2): a bare ``array()`` parses as
+    ``array<string>``, silently changing the expression's type, so the
+    empty case returns an explicitly typed empty-double-array literal
+    instead — the same value ``F.lit([])`` cast to array<double> gave
+    the call sites this builder replaced."""
     if len(vals) == 0:
-        raise ValueError("doubles_sql: empty literal")
+        return "CAST(array() AS ARRAY<DOUBLE>)"
     return "array(" + ",".join(_d(v) for v in vals) + ")"
 
 
@@ -48,9 +54,16 @@ def lit_doubles(vals: Sequence[float]) -> Column:
 
 
 def lit_double_matrix(rows: Sequence[Sequence[float]]) -> Column:
-    """``array<array<double>>`` literal in one py4j call."""
-    if len(rows) == 0 or any(len(r) == 0 for r in rows):
-        raise ValueError("lit_double_matrix: empty literal")
+    """``array<array<double>>`` literal in one py4j call.
+
+    An empty matrix is a typed empty literal (see :func:`doubles_sql`);
+    an empty INNER row stays a ``ValueError`` — a mixed-shape matrix
+    has no sensible meaning for the centroid/codebook grids this
+    builds, and every caller derives rows from a fixed ``dim``."""
+    if len(rows) == 0:
+        return F.expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)")
+    if any(len(r) == 0 for r in rows):
+        raise ValueError("lit_double_matrix: empty inner row")
     return F.expr(
         "array("
         + ",".join("array(" + ",".join(_d(v) for v in r) + ")" for r in rows)

@@ -75,7 +75,17 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 
 def normalize(a: Column | str) -> Column:
     """Unit-normalize an array column (reference BGE
-    ``normalize_embeddings=True``, src/PDFToChromaIngestorBgeEmbedding.py:45)."""
+    ``normalize_embeddings=True``, src/PDFToChromaIngestorBgeEmbedding.py:45).
+
+    The norm binds once per row via a singleton-struct transform:
+    referencing it directly from the per-element lambda lets
+    CollapseProject inline the 64-element norm aggregate into the
+    lambda body, re-running it PER ELEMENT (and, through collapsed
+    projections, per downstream consumer) — the r15 `_assign_cid`
+    no-CSE-in-HOF finding.  Identical divisions, identical values."""
     arr = _as_double(a)
-    nrm = l2_norm(arr)
-    return F.transform(arr, lambda x: x / nrm)
+    bound = F.transform(
+        F.array(F.struct(arr.alias("v"), l2_norm(arr).alias("n"))),
+        lambda s: F.transform(s["v"], lambda x: x / s["n"]),
+    )
+    return F.element_at(bound, 1)

@@ -306,6 +306,16 @@ def minhash_candidates(
     when a downstream verify stage recomputes exact similarity anyway
     (:func:`minhash_verified_pairs`) — shuffle volume is the dominant
     cost of candidate generation at 100 TB.
+
+    ``shingled`` OVERRIDES ``df``/``text_col``/``shingle_n`` (ADVICE
+    r15 #4): when provided it must carry exactly ``(mh_id, sh)`` —
+    the id column renamed to ``mh_id`` and ``sh`` built by
+    :func:`word_shingles` / :func:`word_shingles_sql` with the SAME
+    ``shingle_n`` the caller would otherwise pass; the other three
+    arguments are ignored.  The only intended caller is
+    :func:`minhash_verified_pairs`'s shared-scan path, which persists
+    one shingle table and feeds both the signature pipeline and the
+    exact verify.
     """
     rows_per_band = num_perm // bands
     cached_input = shingled is not None
@@ -616,16 +626,45 @@ def simhash_near_dups(
     left = banded.selectExpr("sh_id as id_a", "fp as fp_a", "band_idx", "band_val")
     right = banded.selectExpr("sh_id as id_b", "fp as fp_b", "band_idx", "band_val")
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # r16: emit each pair from its FIRST colliding band instead of
+    # dropDuplicates (guide §2.4 — one Exchange removed).  A joined row
+    # exists for every (pair, colliding band); the row survives iff
+    # every EARLIER band of the pair differs, i.e. (fp_a ^ fp_b) has a
+    # set bit inside that band's placed mask — pure codegen arithmetic
+    # on columns already in the row.  Every colliding pair has exactly
+    # one minimal colliding band, so each pair is emitted exactly once
+    # with the identical (id_a, id_b, hamming) values the dedup kept;
+    # the multi-collision rows (near-identical fps collide in ~all
+    # bands on a dense corpus) stop riding a corpus-pairs-sized
+    # exchange.  The Hamming predicate stays FIRST in the conjunction:
+    # it kills the vast majority of joined rows before the per-band
+    # CASE runs.
+    layout = simhash_band_layout(n_bands)
+
+    def _sign64(m: int) -> int:
+        return m - (1 << 64) if m >= (1 << 63) else m
+
+    placed = [_sign64(((1 << w) - 1) << off) for off, w in layout]
+    first_band = F.expr(
+        "CASE band_idx "
+        + " ".join(
+            f"WHEN {b} THEN "
+            + (
+                " AND ".join(
+                    f"((fp_a ^ fp_b) & {placed[i]}L) != 0" for i in range(b)
+                )
+                or "true"
+            )
+            for b in range(n_bands)
+        )
+        + " ELSE false END"
+    )
     return (
         left.hint("shuffle_hash")
         .join(right, ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # hamming filter BEFORE the pair-dedup exchange: failing pairs
-        # (the vast majority) never shuffle, and duplicate band
-        # collisions agree on the fingerprints so the result is the same
+        .filter((hamming <= max_hamming) & first_band)
         .select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -969,12 +1008,20 @@ def embedding_near_dups(
     domain knowledge that near-dups can't cross blocks.
 
     Cost shape: cosine(a, b) is computed as dot(â, b̂) of pre-normalized
-    vectors — normalization is O(rows) in its own projection (the norm
-    is materialized as a column FIRST, so the per-element lambda only
-    does a field lookup, never re-aggregates), while the per-pair work
-    in the join (the O(candidates) part) drops from three interpreted
-    HOF aggregates to one.  Higher-order functions are interpreted, not
-    codegen'd, so per-pair expression count is the dominant constant.
+    vectors, while the per-pair work in the join (the O(candidates)
+    part) drops from three interpreted HOF aggregates to one.
+    Higher-order functions are interpreted, not codegen'd, so per-pair
+    expression count is the dominant constant.
+
+    r16: the norm binds ONCE per row via a singleton-struct transform
+    (the r15 `_assign_cid` pattern).  Materializing it as a separate
+    column did NOT protect it — CollapseProject inlines a single-use
+    alias into the consuming lambda, so `x -> x / __nrm` re-ran the
+    64-element norm aggregate PER ELEMENT, and the collapsed
+    normalize expression travelled into the join where it re-ran per
+    CANDIDATE side (measured 2.26 s -> 0.91 s noop median for the
+    whole pipeline at sf0.1 with the struct binding; identical pair
+    set and cosines).
     """
     from vector_db_ingestor_spark.functions.vector import dot_sql, l2_norm_sql
 
@@ -985,12 +1032,16 @@ def embedding_near_dups(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
         *( [F.col(block_col)] if block_col is not None else [] ),
-    ).withColumn("__nrm", F.expr(l2_norm_sql("__v")))
+    )
+    nv_sql = (
+        f"element_at(transform(array(struct(__v AS v, {l2_norm_sql('__v')} AS n)),"
+        " s -> transform(s.v, x -> x / s.n)), 1)"
+    )
     normed = base.select(
         id_col,
         "__v",
         *( [block_col] if block_col is not None else [] ),
-        F.expr("transform(__v, x -> x / __nrm)").alias("__nv"),
+        F.expr(nv_sql).alias("__nv"),
     )
     cos = F.round(F.expr(dot_sql("vec_a", "vec_b")), 6)
     if block_col is not None:

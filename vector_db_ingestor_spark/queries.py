@@ -4239,7 +4239,18 @@ def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle.  One lineitem pass instead of two at any scale; a global
     window would also work but holds every supplier in one task — the
     cache + scalar join keeps the plan shape scale-free.  The handle is
-    registered with :mod:`vector_db_ingestor_spark.caching`."""
+    registered with :mod:`vector_db_ingestor_spark.caching`.
+
+    Residual float-equality hazard (ADVICE r15 #3): the
+    ``total_revenue == __mx`` equality is guaranteed exact only while
+    ``rev`` stays cached — if the cache were evicted (or released by
+    ``release_all()``) BEFORE materialization, the max branch and the
+    join branch would recompute the double sums independently, and
+    shuffle-merge-order nondeterminism could make the equality miss
+    the true max row.  This is the same hazard the old two-scan form
+    carried (not a regression); the cache narrows the window to
+    eviction-under-memory-pressure, and MEMORY_AND_DISK spills rather
+    than evicts in practice."""
     from vector_db_ingestor_spark.caching import register
     from vector_db_ingestor_spark.tables import register_views
 
