@@ -1404,6 +1404,111 @@ def text_100x(sf_dir: str, reps: int = 3) -> None:
 
 
 
+def r16_core_scaling(sf_dir: str, reps: int = 3, factor: int = 10) -> None:
+    """Round-16 core-scaling leg: the exec-heavy rewritten operators at
+    ``factor``x replication, timed at the CURRENT ``SPARK_GRAFT_CPUS``
+    (the same env the driver's low-core bench probe sets).  VERDICT
+    r15 #2: the sf0.1 headline keys are overhead-bound, so the
+    driver's 8-vs-32-core ratios sit at ~1 and say nothing; at 10x
+    replication these operators have real execution volume, so the
+    core ratio has something to bite on.  Run once per core count:
+
+        SPARK_GRAFT_CPUS=32 python scripts/scale_probe.py --r16cores
+        SPARK_GRAFT_CPUS=8  python scripts/scale_probe.py --r16cores
+
+    Appends one section per invocation (labeled with the core count)
+    to SCALE_PROBE.md; the pair of sections is the scaling evidence.
+    """
+    from vector_db_ingestor_spark.operators.dedup import (
+        embedding_near_dups,
+        minhash_candidates,
+        minhash_verified_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_dups,
+    )
+    from vector_db_ingestor_spark.operators.similarity import auto_n_bits
+    from vector_db_ingestor_spark.caching import release_all
+    from vector_db_ingestor_spark.operators.text_analysis import (
+        contamination_report,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark("scale_probe_r16")
+    results: dict[str, float] = {}
+    try:
+        # the sf0.1 fixture is ONE small parquet file -> ONE scan
+        # partition, and the explode replicator preserves that — every
+        # map stage (tokenize, shingle, Arrow simhash) would run as a
+        # single task and the core count could never matter.  A real
+        # corpus at this volume arrives as many files/splits, so spread
+        # the replicated input deterministically (hash on the id — a
+        # rand-derived key breaks retry determinism, guide §2.5) to the
+        # parallelism the scan would have at real scale.  Fixed 128
+        # partitions, NOT cpu-derived: both core-count legs must time
+        # the IDENTICAL plan.
+        docs = replicate_docs(
+            load_table(spark, sf_dir, "documents"), factor
+        ).repartition(128, "doc_id")
+        emb_base = load_table(spark, sf_dir, "embeddings")
+        emb = replicate_embeddings(emb_base, factor, EMBEDDING_DIM).repartition(
+            128, "vec_id"
+        )
+        n_bits = auto_n_bits(emb_base.count() * factor, target_bucket=8)
+        evals = docs.filter(F.col("doc_id") % 97 == 0)
+        fams = {
+            "minhash_cand_est": lambda: minhash_candidates(
+                docs, with_estimate=True, hash_family="md5"
+            ),
+            "minhash_full": lambda: minhash_verified_pairs(docs, threshold=0.5),
+            "ngram_capped": lambda: ngram_jaccard_pairs(
+                docs, block_col="lang", n=2, threshold=0.2, max_df=5
+            ),
+            "embed_full": lambda: embedding_near_dups(
+                emb, threshold=0.3, dim=EMBEDDING_DIM, n_bits=n_bits
+            ),
+            "simhash_auto": lambda: simhash_near_dups(
+                docs, max_hamming=10, bands="auto"
+            ),
+            "contamination": lambda: contamination_report(docs, evals, n=2),
+        }
+        for name, build in fams.items():
+            # plan rebuilt per rep (bench methodology); caches released
+            # between reps so every rep pays its own materialization
+            build().write.format("noop").mode("overwrite").save()
+            release_all()
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+                release_all()
+            results[name] = statistics.median(ts)
+            print(f"cpus={cpus} x{factor} {name}: {results[name]:.2f}s")
+    finally:
+        spark.stop()
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_PROBE.md",
+    )
+    lines = [
+        "",
+        f"## r16 core-scaling leg — rewritten operators at {factor}x, "
+        f"local[{cpus}]",
+        "",
+        f"Warm medians of {reps} reps, plan rebuilt and caches released",
+        "per rep (bench methodology).  Compare the local[32] and",
+        "local[8] sections: exec-heavy legs should approach the core",
+        "ratio; overhead-bound legs stay flat (VERDICT r15 #2).",
+        "",
+        "| operator | median |",
+        "|---|---|",
+    ] + [f"| {k} | {v:.2f}s |" for k, v in results.items()]
+    with open(out, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended to {out}")
+
+
 def queue_100x(
     sf_dir: str,
     reps: int = 3,
@@ -1993,6 +2098,12 @@ if __name__ == "__main__":
         rel_100x(
             sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
             int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+        )
+    elif sys.argv[1:2] == ["--r16cores"]:
+        r16_core_scaling(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 10,
         )
     elif sys.argv[1:2] == ["--layout100"]:
         layout_100x(
