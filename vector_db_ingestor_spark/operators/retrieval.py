@@ -176,11 +176,20 @@ def shortlist_with_sims(
     # materialize the n-row shortlist before the self-join: TakeOrdered
     # is not an Exchange, so without this both join sides re-scan and
     # re-score the full corpus — the one cost the design promises to
-    # pay once
-    short = (
+    # pay once.  r16: persist+register, not localCheckpoint — even
+    # eager=False localCheckpoint runs analysis+physical planning AT
+    # BUILD time (~0.3-0.7 s of py4j/planning per invocation, the
+    # dominant cost of the mmr keys), while declaring a persist is
+    # free and materializes inside the job.  Identical values; the
+    # harness reclaims the handle via release_all().
+    from pyspark import StorageLevel
+
+    from vector_db_ingestor_spark.caching import register
+
+    short = register(
         scored.orderBy(F.col("rel").desc(), F.col("sid").asc())
         .limit(n)
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = short.select(
         F.col("sid").alias("id_a"), F.col("rel").alias("rel_a"), F.col("svec").alias("vec_a")
@@ -294,20 +303,35 @@ def shortlist_with_sims_batch(
     only B x n rows.  Output adds ``probe_id_col`` to the single-probe
     pair schema.
     """
+    from vector_db_ingestor_spark.functions.vector import dot_sql, l2_norm_sql
+
+    # SQL-fragment cosine (identical tree to cosine_similarity, one
+    # F.expr parse instead of ~6 per-lambda py4j builds — guide §7.3)
+    def cos_sql(a: str, b: str) -> str:
+        return (
+            f"{dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)})"
+        )
+
     scored = embeddings.crossJoin(F.broadcast(probes)).select(
         F.col(probe_id_col).alias("qid"),
         F.col(id_col).alias("sid"),
         F.col(vec_col).alias("svec"),
         F.round(
-            cosine_similarity(F.col(vec_col), F.col(probe_vec_col)), round_dp
+            F.expr(cos_sql(f"`{vec_col}`", f"`{probe_vec_col}`")), round_dp
         ).alias("rel"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("sid").asc())
-    short = (
+    # persist+register, not localCheckpoint: see shortlist_with_sims —
+    # eager=False localCheckpoint plans at BUILD time (~0.7 s here)
+    from pyspark import StorageLevel
+
+    from vector_db_ingestor_spark.caching import register
+
+    short = register(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)
         .drop("__rn")
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = short.select(
         "qid",
@@ -326,9 +350,7 @@ def shortlist_with_sims_batch(
             (F.col("qid") == F.col("qid_b")) & (F.col("id_a") != F.col("id_b")),
             "left",
         )
-        .withColumn(
-            "sim", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), round_dp)
-        )
+        .withColumn("sim", F.round(F.expr(cos_sql("vec_a", "vec_b")), round_dp))
         .select(F.col("qid").alias(probe_id_col), "id_a", "rel_a", "id_b", "sim")
     )
 

@@ -5129,8 +5129,18 @@ def q_vec_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the codes once: both the top-10 heap and the output
     # join consume the same encode (at deployment scale the codes are a
     # persisted table built once, like the IVF index — re-encoding per
-    # consumer is the one shape PQ exists to avoid)
-    scored = enc.withColumn("adc", F.round(adc, 6)).localCheckpoint(eager=False)
+    # consumer is the one shape PQ exists to avoid).  r16:
+    # persist+register, not localCheckpoint — eager=False
+    # localCheckpoint still runs analysis+planning at BUILD time
+    # (~0.3 s/invocation); the persist declaration is free and the
+    # harness reclaims it via release_all()
+    from vector_db_ingestor_spark.caching import register
+
+    scored = register(
+        enc.withColumn("adc", F.round(adc, 6)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     top = (
         scored.orderBy(F.col("adc").desc(), F.col("vec_id").asc())
         .limit(10)
